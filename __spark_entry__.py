@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (ProvinceStats recast) at sf0.001.
+`queries()` exposes one callable per implemented SURVEY.md §2 operator plus
+the north-star extension operators; `oracle_sql()` gives each one's DuckDB
+twin. Cross-engine conventions (see flinkproject_spark.functions):
+
+- money sums: CAST to DECIMAL(18,2) *before* SUM (exact, order-insensitive),
+  surfaced as DOUBLE — bit-identical across engines;
+- event timestamps are formatted to 'yyyy-MM-dd HH:mm:ss' strings in outputs
+  (events.parquet is TIMESTAMP(NANOS); formatting removes precision skew);
+- deterministic 64-bit hashing via md5 prefix (same expression both engines);
+- every float ratio is an explicit double division of identically-derived
+  operands; cosines/jaccards rounded to 6 decimals;
+- integer outputs cast to BIGINT on the Spark side (size()/row_number()
+  return int32, DuckDB returns int64).
 """
 
 from __future__ import annotations
@@ -12,27 +21,696 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkproject_spark import catalog, session
+from flinkproject_spark import functions as K
+from flinkproject_spark.operators import dedup, joins, relational, routing, similarity, state, text, windows
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+QUERY_IDS = [0, 1, 2, 3, 4]  # similarity-search probe set
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    session.configure(spark)
+    dfs = [catalog.load_table(spark, sf_dir, n) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ProvinceStats (windowed GMV + distinct orders per nation)."""
+    orders, customer, nation = _t(spark, SF_SMOKE, "orders", "customer", "nation")
+    return windows.province_stats(orders, customer, nation)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def q_a1_project_orders(spark, sf):
+    return relational.project_orders(_t(spark, sf, "orders"))
+
+
+def q_a2_filter_events(spark, sf):
+    ev = relational.filter_events(_t(spark, sf, "events"))
+    return ev.select("event_id", K.ts_to_str("ts").alias("ts"), "user_id", "event_type", "value", "props")
+
+
+def q_a3_explode_words(spark, sf):
+    out = relational.explode_words(_t(spark, sf, "documents"))
+    return out.select("doc_id", "lang", F.col("pos").cast("bigint").alias("pos"), "word")
+
+
+def q_a4_split_routes(spark, sf):
+    return relational.split_route_summary(_t(spark, sf, "events"))
+
+
+def q_a5_union_streams(spark, sf):
+    u = relational.union_measure_streams(_t(spark, sf, "events"))
+    return u.select("user_id", K.ts_to_str("ts").alias("ts"), "pv_ct", "uv_ct", "sv_ct")
+
+
+def q_a6_visitor_stats(spark, sf):
+    return windows.visitor_stats(_t(spark, sf, "events"))
+
+
+def q_a7_window_distinct(spark, sf):
+    return windows.window_distinct_users(_t(spark, sf, "events"))
+
+
+def q_a8_interval_join(spark, sf):
+    orders, lineitem = _t(spark, sf, "orders", "lineitem")
+    out = joins.interval_join_orders_lineitem(orders, lineitem)
+    return out.select(
+        "o_orderkey", "o_custkey", K.ts_to_str("o_orderdate").alias("o_orderdate"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"), "l_partkey",
+        "order_price", "sku_num", K.ts_to_str("l_shipdate").alias("l_shipdate"),
+    )
+
+
+def q_a8_payment_wide(spark, sf):
+    return joins.payment_wide(_t(spark, sf, "events"))
+
+
+def q_a9_order_wide(spark, sf):
+    orders, customer, nation, region = _t(spark, sf, "orders", "customer", "nation", "region")
+    out = joins.order_wide(orders, customer, nation, region)
+    return out.withColumn("province_id", F.col("province_id").cast("bigint"))
+
+
+def q_a9_product_wide(spark, sf):
+    lineitem, part, supplier, nation = _t(spark, sf, "lineitem", "part", "supplier", "nation")
+    out = joins.product_wide(lineitem, part, supplier, nation)
+    return out.select(
+        "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "sku_id", "sku_name", "tm_name", "category3_name",
+        "supplier_name", "supplier_nation", "order_amount",
+    )
+
+
+def q_a10_unique_visits(spark, sf):
+    return state.unique_visits(_t(spark, sf, "events"))
+
+
+def q_a11_is_new_flag(spark, sf):
+    out = state.fix_is_new_flag(_t(spark, sf, "events"))
+    return out.withColumn("is_new", F.col("is_new").cast("bigint"))
+
+
+def q_a12_bounce(spark, sf):
+    return state.detect_bounces(_t(spark, sf, "events"))
+
+
+def q_a13_sessionize(spark, sf):
+    out = state.sessionize(_t(spark, sf, "events"))
+    return out.select(
+        "event_id", K.ts_to_str("ts").alias("ts"), "user_id", "event_type", "value",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+    )
+
+
+def q_a15_route_config(spark, sf):
+    orders, customer = _t(spark, sf, "orders", "customer")
+    return routing.routed_counts({"orders": orders, "customer": customer})
+
+
+def q_a17_topn_gmv_brand(spark, sf):
+    lineitem, part = _t(spark, sf, "lineitem", "part")
+    return relational.topn_gmv_by_brand(lineitem, part)
+
+
+def q_a18_gmv_day_range(spark, sf):
+    return relational.gmv_for_day_range(_t(spark, sf, "orders"), "19960101", "19961231")
+
+
+def q_a19_keyword_stats(spark, sf):
+    return windows.keyword_stats(_t(spark, sf, "documents"))
+
+
+def q_a20_sql_province_stats(spark, sf):
+    """A20 — the SQL-over-views surface (ProvinceStatsSqlApp.java:35-68)."""
+    session.configure(spark)
+    catalog.register_views(spark, sf, ("orders", "customer", "nation"))
+    return spark.sql("""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end,   'yyyy-MM-dd HH:mm:ss') AS edt,
+               CAST(n_nationkey AS BIGINT) AS province_id,
+               n_name AS province_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+               COUNT(DISTINCT o_orderkey) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY window(o_orderdate, '365 days'), n_nationkey, n_name
+    """)
+
+
+def q_b4_cdc_roundtrip(spark, sf):
+    """B4+A2 — encode orders into the Debezium-style envelope, decode it
+    back (CustomerDeserialization.java:23-85), drop deletes (BaseDBApp.java:56-62)."""
+    orders = _t(spark, sf, "orders")
+    enveloped = orders.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("orders").alias("tableName"),
+                F.create_map(
+                    F.lit("id"), F.col("o_orderkey").cast("string"),
+                    F.lit("total"), F.col("o_totalprice").cast("string"),
+                    F.lit("status"), F.col("o_orderstatus"),
+                ).alias("after"),
+                F.when(F.col("o_orderstatus") == "F", "update")
+                .when(F.col("o_orderstatus") == "P", "delete")
+                .otherwise("insert")
+                .alias("type"),
+            )
+        ).alias("value")
+    )
+    decoded = routing.filter_deletes(routing.decode_cdc_envelope(enveloped))
+    return decoded.select(
+        F.col("database"),
+        F.col("tableName").alias("table_name"),
+        F.col("after")["id"].cast("bigint").alias("id"),
+        F.col("after")["total"].cast("double").alias("total"),
+        F.col("type"),
+    )
+
+
+def q_province_stats(spark, sf):
+    orders, customer, nation = _t(spark, sf, "orders", "customer", "nation")
+    out = windows.province_stats(orders, customer, nation)
+    return out.withColumn("province_id", F.col("province_id").cast("bigint"))
+
+
+def q_product_stats(spark, sf):
+    return windows.product_stats(_t(spark, sf, "lineitem"))
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark, sf):
+    out = dedup.simhash_near_dups(_t(spark, sf, "documents"))
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+def q_dedup_ngram_blocked(spark, sf):
+    return dedup.blocked_ngram_jaccard(_t(spark, sf, "documents"))
+
+
+def q_dedup_embedding(spark, sf):
+    return dedup.embedding_near_dups(_t(spark, sf, "embeddings"))
+
+
+def q_sim_topk_bruteforce(spark, sf):
+    out = similarity.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), QUERY_IDS)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_sim_topk_ivf(spark, sf):
+    out = similarity.cosine_topk_ivf(_t(spark, sf, "embeddings"), QUERY_IDS)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_text_token_stats(spark, sf):
+    out = text.token_stats(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+        "n_chars", "avg_token_len",
+    )
+
+
+def q_text_corpus_summary(spark, sf):
+    out = text.corpus_token_summary(_t(spark, sf, "documents"))
+    return out.select(
+        "source", "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("total_unique_tokens").cast("bigint").alias("total_unique_tokens"),
+        F.col("max_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+def q_text_quality(spark, sf):
+    out = text.quality_scores(_t(spark, sf, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+
+
+def q_text_langid(spark, sf):
+    out = text.lang_id(_t(spark, sf, "documents"))
+    return out.withColumn("best_score", F.col("best_score").cast("bigint"))
+
+
+def q_text_fingerprint(spark, sf):
+    out = text.fingerprints(_t(spark, sf, "documents"))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_project_orders": q_a1_project_orders,
+        "a2_filter_events": q_a2_filter_events,
+        "a3_explode_words": q_a3_explode_words,
+        "a4_split_routes": q_a4_split_routes,
+        "a5_union_streams": q_a5_union_streams,
+        "a6_visitor_stats": q_a6_visitor_stats,
+        "a7_window_distinct": q_a7_window_distinct,
+        "a8_interval_join": q_a8_interval_join,
+        "a8_payment_wide": q_a8_payment_wide,
+        "a9_order_wide": q_a9_order_wide,
+        "a9_product_wide": q_a9_product_wide,
+        "a10_unique_visits": q_a10_unique_visits,
+        "a11_is_new_flag": q_a11_is_new_flag,
+        "a12_bounce": q_a12_bounce,
+        "a13_sessionize": q_a13_sessionize,
+        "a15_route_config": q_a15_route_config,
+        "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
+        "a18_gmv_day_range": q_a18_gmv_day_range,
+        "a19_keyword_stats": q_a19_keyword_stats,
+        "a20_sql_province_stats": q_a20_sql_province_stats,
+        "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
+        "province_stats": q_province_stats,
+        "product_stats": q_product_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_blocked": q_dedup_ngram_blocked,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "text_token_stats": q_text_token_stats,
+        "text_corpus_summary": q_text_corpus_summary,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+MONEY = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+REVENUE = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+           "CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)")
+FMT = "%Y-%m-%d %H:%M:%S"
+H64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+_STOP_OR = " OR ".join(f"t = '{s}'" for s in text.STOPWORDS)
+
+_SHINGLES = """
+sh AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(range(1, len(x)-1),
+                       i -> x[i] || ' ' || x[i+1] || ' ' || x[i+2])) AS shingles
+  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS x FROM documents)
+  WHERE len(x) >= 3
+)"""
+
+
+def _minhash_sql() -> str:
+    mins = ",\n    ".join(
+        "min({h}) AS h{i}".format(h=H64.format(x="'%d|' || s" % i), i=i)
+        for i in range(16)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(h{4*b}::VARCHAR || ',' || h{4*b+1}::VARCHAR || ',' "
+        f"|| h{4*b+2}::VARCHAR || ',' || h{4*b+3}::VARCHAR) AS bucket FROM mh"
+        for b in range(4)
+    )
+    return f"""
+WITH {_SHINGLES.strip()},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM ex GROUP BY doc_id
+),
+banded AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE, 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
+"""
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)" for b in range(32))
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, (simhash >> {b*8}) & 255 AS bucket FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hashed AS (SELECT doc_id, {H32.format(x='t')} AS h FROM toks),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {sig} AS simhash FROM bits),
+banded AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+_DOT = ("list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)), (x, y) -> x + y)")
+_NORM = ("sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+         "i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))")
+
+
+def _topk_sql(cell_pruned: bool) -> str:
+    cell_cond = "AND q.label = c.label" if cell_pruned else ""
+    qids = ", ".join(str(i) for i in QUERY_IDS)
+    dot = _DOT.format(a="q.embedding", b="c.embedding")
+    qn = _NORM.format(a="q.embedding")
+    cn = _NORM.format(a="c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(({dot}) / (({qn}) * ({cn})), 6) AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id IN ({qids}) AND q.vec_id <> c.vec_id {cell_cond}
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+_LANG_SCORES = ",\n  ".join(
+    "len(list_filter(x, t -> {ors})) AS s_{lg}".format(
+        ors=" OR ".join(f"t = '{m}'" for m in ms), lg=lg
+    )
+    for lg, ms in text.LANG_MARKERS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in text.LANG_MARKERS) + ")"
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN s_{lg} = {_LANG_BEST} THEN '{lg}'" for lg in text.LANG_MARKERS
+) + " END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_project_orders": f"""
+            SELECT o_orderkey AS order_id, o_custkey AS user_id,
+                   o_orderstatus AS order_status,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+                   strftime(o_orderdate, '{FMT}') AS create_time,
+                   strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+                   strftime(o_orderdate, '%H') AS create_hour,
+                   epoch_ms(o_orderdate) AS create_ts
+            FROM orders""",
+        "a2_filter_events": f"""
+            SELECT event_id, strftime(ts, '{FMT}') AS ts, user_id, event_type, value, props
+            FROM events
+            WHERE event_type <> 'error'
+              AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""",
+        "a3_explode_words": """
+            SELECT doc_id, lang, i - 1 AS pos, x[i] AS word
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS x FROM documents),
+                 unnest(generate_series(1, len(x))) AS u(i)""",
+        "a4_split_routes": f"""
+            WITH routed AS (
+              SELECT CASE WHEN event_type IN ('view', 'click') THEN 'page'
+                          WHEN event_type = 'signup' THEN 'start'
+                          ELSE 'display' END AS route, value
+              FROM events)
+            SELECT route, COUNT(*) AS ct, {MONEY.format(col='value')} AS value_sum
+            FROM routed GROUP BY route""",
+        "a5_union_streams": f"""
+            SELECT user_id, strftime(ts, '{FMT}') AS ts, 1 AS pv_ct, 0 AS uv_ct, 0 AS sv_ct
+            FROM events WHERE event_type = 'view'
+            UNION ALL
+            SELECT user_id, strftime(ts, '{FMT}') AS ts, 0, 1, 0 FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, strftime(ts, '{FMT}') AS ts, 0, 0, 1 FROM events WHERE event_type = 'signup'""",
+        "a6_visitor_stats": f"""
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP), '{FMT}') AS stt,
+                   strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)
+                            + INTERVAL '10 minutes', '{FMT}') AS edt,
+                   event_type,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS pv_ct,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS uv_ct,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS sv_ct,
+                   {MONEY.format(col='value')} AS dur_sum
+            FROM events
+            GROUP BY 1, 2, 3""",
+        "a7_window_distinct": f"""
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '{FMT}') AS stt,
+                   strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)
+                            + INTERVAL '1 hour', '{FMT}') AS edt,
+                   COUNT(DISTINCT user_id) AS uv_ct, COUNT(*) AS pv_ct
+            FROM events GROUP BY 1, 2""",
+        "a8_interval_join": f"""
+            SELECT o_orderkey, o_custkey, strftime(o_orderdate, '{FMT}') AS o_orderdate,
+                   l_linenumber::BIGINT AS l_linenumber, l_partkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS order_price,
+                   l_quantity AS sku_num, strftime(l_shipdate, '{FMT}') AS l_shipdate
+            FROM orders JOIN lineitem
+              ON o_orderkey = l_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 30 DAYS""",
+        "a8_payment_wide": f"""
+            SELECT p.event_id AS payment_id, p.user_id AS user_id,
+                   strftime(p.ts, '{FMT}') AS payment_create_time,
+                   CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS payment_amount,
+                   c.event_id AS order_id,
+                   strftime(c.ts, '{FMT}') AS order_create_time,
+                   CAST(CAST(c.value AS DECIMAL(18,2)) AS DOUBLE) AS order_amount
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 24 HOURS""",
+        "a9_order_wide": f"""
+            SELECT o_orderkey AS order_id, o_custkey AS user_id, o_orderstatus AS order_status,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+                   strftime(o_orderdate, '{FMT}') AS create_time,
+                   c_name AS user_name, c_mktsegment AS user_segment, c_acctbal AS user_acctbal,
+                   n_nationkey::BIGINT AS province_id, n_name AS province_name, r_name AS region_name
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey""",
+        "a9_product_wide": """
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_partkey AS sku_id,
+                   p_name AS sku_name, p_brand AS tm_name, p_type AS category3_name,
+                   s_name AS supplier_name, n_name AS supplier_nation,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS order_amount
+            FROM lineitem
+            LEFT JOIN part ON l_partkey = p_partkey
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN nation ON s_nationkey = n_nationkey""",
+        "a10_unique_visits": f"""
+            SELECT event_id, strftime(ts, '{FMT}') AS ts, user_id,
+                   strftime(ts, '%Y-%m-%d') AS dt, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                ORDER BY ts, event_id) = 1""",
+        "a11_is_new_flag": f"""
+            SELECT event_id, strftime(ts, '{FMT}') AS ts, user_id, event_type,
+                   CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END::BIGINT AS is_new
+            FROM events""",
+        "a12_bounce": f"""
+            WITH flagged AS (
+              SELECT event_id, ts, user_id, event_type,
+                     lag(ts) OVER w AS prev_ts, lead(ts) OVER w AS next_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, strftime(ts, '{FMT}') AS ts, user_id, event_type
+            FROM flagged
+            WHERE (prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800)
+              AND (next_ts IS NULL OR date_diff('second', ts, next_ts) > 600)""",
+        "a13_sessionize": f"""
+            WITH flagged AS (
+              SELECT event_id, ts, user_id, event_type, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS entry
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, strftime(ts, '{FMT}') AS ts, user_id, event_type, value,
+                   SUM(entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+            FROM flagged""",
+        "a15_route_config": """
+            SELECT 'dwd_order_info' AS sink_table, 'kafka' AS sink_type,
+                   'o_orderkey,o_custkey,o_totalprice,o_orderdate' AS sink_columns,
+                   COUNT(*) AS ct FROM orders
+            UNION ALL
+            SELECT 'dwd_order_update', 'kafka', 'o_orderkey,o_orderstatus,o_totalprice',
+                   COUNT(*) FROM orders
+            UNION ALL
+            SELECT 'dim_user_info', 'hbase', 'c_custkey,c_name,c_mktsegment',
+                   COUNT(*) FROM customer""",
+        "a17_topn_gmv_brand": f"""
+            SELECT p_brand AS tm_name, {REVENUE} AS order_amount
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY order_amount DESC, tm_name
+            LIMIT 10""",
+        "a18_gmv_day_range": f"""
+            SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+                   {MONEY.format(col='o_totalprice')} AS gmv, COUNT(*) AS order_ct
+            FROM orders
+            WHERE strftime(o_orderdate, '%Y%m%d') >= '19960101'
+              AND strftime(o_orderdate, '%Y%m%d') <= '19961231'
+            GROUP BY 1""",
+        "a19_keyword_stats": """
+            SELECT keyword, COUNT(*) AS ct, 'search' AS source FROM (
+              SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
+            GROUP BY keyword
+            ORDER BY ct DESC, keyword LIMIT 100""",
+        "a20_sql_province_stats": _province_stats_sql(),
+        "b4_cdc_roundtrip": """
+            SELECT 'gmall' AS database, 'orders' AS table_name, o_orderkey AS id,
+                   o_totalprice AS total,
+                   CASE WHEN o_orderstatus = 'F' THEN 'update'
+                        WHEN o_orderstatus = 'P' THEN 'delete'
+                        ELSE 'insert' END AS type
+            FROM orders
+            WHERE o_orderstatus <> 'P'""",
+        "province_stats": _province_stats_sql(),
+        "product_stats": f"""
+            WITH b AS (
+              SELECT *,
+                     DATE '1970-01-01'
+                       + ((date_diff('day', DATE '1970-01-01', l_shipdate) // 30) * 30) * INTERVAL 1 DAY
+                       AS wstart
+              FROM lineitem)
+            SELECT strftime(wstart, '{FMT}') AS stt,
+                   strftime(wstart + INTERVAL 30 DAYS, '{FMT}') AS edt,
+                   l_partkey AS sku_id,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sku_num,
+                   {REVENUE} AS order_amount,
+                   COUNT(DISTINCT l_orderkey) AS order_ct,
+                   COUNT(*) AS line_ct
+            FROM b GROUP BY 1, 2, 3""",
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
+            FROM documents GROUP BY 1""",
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_ngram_blocked": f"""
+            WITH {_SHINGLES.strip()},
+            blocked AS (
+              SELECT doc_id, lang, (n_chars // 128) AS len_band, shingles, len(shingles) AS n_sh
+              FROM sh WHERE len(shingles) > 0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles)))::DOUBLE,
+                         6) AS jaccard
+            FROM blocked a JOIN blocked b
+              ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.4""",
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(({_DOT.format(a='a.embedding', b='b.embedding')})
+                         / (({_NORM.format(a='a.embedding')})
+                            * ({_NORM.format(a='b.embedding')})), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
+                        / (({_NORM.format(a='a.embedding')})
+                           * ({_NORM.format(a='b.embedding')})), 6) >= 0.35""",
+        "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
+        "sim_topk_ivf": _topk_sql(cell_pruned=True),
+        "text_token_stats": """
+            SELECT doc_id, lang, source,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique,
+                   n_chars,
+                   n_chars::DOUBLE / len(string_split(text, ' '))::DOUBLE AS avg_token_len
+            FROM documents""",
+        "text_corpus_summary": """
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                   SUM(len(list_distinct(string_split(text, ' '))))::BIGINT AS total_unique_tokens,
+                   MAX(len(string_split(text, ' ')))::BIGINT AS max_tokens
+            FROM documents GROUP BY source""",
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS x FROM documents)
+            SELECT doc_id, lang,
+                   len(x)::BIGINT AS n_tokens,
+                   len(list_filter(x, t -> {_STOP_OR}))::DOUBLE / len(x)::DOUBLE AS stopword_ratio,
+                   len(list_distinct(x))::DOUBLE / len(x)::DOUBLE AS diversity,
+                   least(len(x)::DOUBLE / 100.0, 1.0) * 0.5
+                     + (len(list_distinct(x))::DOUBLE / len(x)::DOUBLE) * 0.5 AS quality_score
+            FROM t""",
+        "text_langid": f"""
+            WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS x FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                {_LANG_SCORES}
+              FROM t)
+            SELECT doc_id, lang AS actual_lang,
+                   {_LANG_CASE} AS predicted_lang,
+                   {_LANG_BEST}::BIGINT AS best_score
+            FROM scored""",
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                                      'string_agg', ' ')) AS fingerprint,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens
+            FROM documents""",
+    }
+
+
+def _province_stats_sql() -> str:
+    return f"""
+        WITH b AS (
+          SELECT o_orderkey, o_totalprice, c_nationkey,
+                 DATE '1970-01-01'
+                   + ((date_diff('day', DATE '1970-01-01', o_orderdate) // 365) * 365) * INTERVAL 1 DAY
+                   AS wstart
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT strftime(wstart, '{FMT}') AS stt,
+               strftime(wstart + INTERVAL 365 DAYS, '{FMT}') AS edt,
+               n_nationkey::BIGINT AS province_id, n_name AS province_name,
+               {MONEY.format(col='o_totalprice')} AS order_amount,
+               COUNT(DISTINCT o_orderkey) AS order_count
+        FROM b JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3, 4"""

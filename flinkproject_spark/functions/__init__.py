@@ -1,0 +1,132 @@
+"""Scalar-function kernel set (SURVEY.md §2C) + cross-engine helpers.
+
+Every scalar computation the reference performs (datetime parse/format,
+string split, conditional flags, age derivation, JSON field access —
+reference: utils/DateTimeUtil.java:11-21, app/dwm/OrderWideApp.java:77-146,
+app/dws/VisitorStatsApp.java:94-100) exists here as a composable Column
+function built from `pyspark.sql.functions` — JVM-side, codegen-friendly,
+no Python UDFs in the hot path.
+
+The hash helpers are *cross-engine deterministic*: built from md5 so the
+DuckDB oracle can compute bit-identical values (`('0x'||substr(md5(x),1,N))
+::BIGINT` on the DuckDB side). Spark's native `xxhash64` would be faster but
+is not reproducible outside Spark; for the correctness tier we pay the md5
+cost, and the dedup operators take the hash function as a parameter so the
+scale tier can swap in `F.xxhash64`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# datetime kernels (reference: utils/DateTimeUtil.java:11-21)
+# ---------------------------------------------------------------------------
+
+DT_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def ts_to_str(col: Column | str) -> Column:
+    """epoch-ms/timestamp -> 'yyyy-MM-dd HH:mm:ss' (DateTimeUtil.java:13-16)."""
+    return F.date_format(col, DT_FMT)
+
+
+def str_to_ts(col: Column | str) -> Column:
+    """'yyyy-MM-dd HH:mm:ss' -> timestamp (DateTimeUtil.java:18-21)."""
+    return F.to_timestamp(col, DT_FMT)
+
+
+def yyyymmdd(col: Column | str) -> Column:
+    """ClickHouse ``toYYYYMMDD`` analog (publisher ProductStatsMapper.java:12,26)."""
+    return F.date_format(col, "yyyyMMdd")
+
+
+def create_date(col: Column | str) -> Column:
+    """create_time.split(" ")[0] (OrderWideApp.java:77-80)."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def create_hour(col: Column | str) -> Column:
+    """create_time.split(" ")[1].split(":")[0] (OrderWideApp.java:77-80)."""
+    return F.date_format(col, "HH")
+
+
+def age_years(birthday: Column | str, on: Column | None = None) -> Column:
+    """(now - birthday)/365 days, floor — reproduces the reference's 365-day
+    convention, NOT months_between (OrderWideApp.java:138-146)."""
+    ref = on if on is not None else F.current_date()
+    return F.floor(F.datediff(ref, F.col(birthday) if isinstance(birthday, str) else birthday) / 365)
+
+
+# ---------------------------------------------------------------------------
+# money kernels — exact decimal arithmetic
+# ---------------------------------------------------------------------------
+# The reference accumulates money in BigDecimal (ProductStatsApp.java:224-232).
+# Engine convention: cast doubles to DECIMAL(18,2) *before* aggregating so the
+# sum is exact and independent of partition/accumulation order (bit-identical
+# between Spark and the DuckDB oracle), then surface as double.
+
+
+def money(col: Column | str) -> Column:
+    return (F.col(col) if isinstance(col, str) else col).cast("decimal(18,2)")
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-insensitive exact sum of a money column, surfaced as double."""
+    return F.sum(money(col)).cast("double")
+
+
+def revenue(price: Column | str, discount: Column | str) -> Column:
+    """l_extendedprice * (1 - l_discount) as exact decimal product."""
+    p = money(price)
+    d = (F.lit(1.0) - (F.col(discount) if isinstance(discount, str) else discount)).cast(
+        "decimal(18,2)"
+    )
+    return p * d
+
+
+# ---------------------------------------------------------------------------
+# flags / conditionals (VisitorStatsApp.java:94-100, UniqueVisitApp.java:74-76)
+# ---------------------------------------------------------------------------
+
+
+def is_session_entry(last_page_id: Column | str) -> Column:
+    """sv flag: 1 when last_page_id is null/empty else 0."""
+    c = F.col(last_page_id) if isinstance(last_page_id, str) else last_page_id
+    return F.when(F.coalesce(c, F.lit("")) == "", F.lit(1)).otherwise(F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# cross-engine deterministic hashing
+# ---------------------------------------------------------------------------
+
+
+def hash64(col: Column | str, nhex: int = 15) -> Column:
+    """Deterministic non-negative int64 from md5's first `nhex` hex chars.
+
+    15 hex chars = 60 bits, always positive in a signed 64-bit integer.
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("bigint")
+
+
+def hash32(col: Column | str) -> Column:
+    """32-bit variant (8 hex chars) for SimHash bit budgets."""
+    return hash64(col, nhex=8)
+
+
+def duck_hash64(expr: str, nhex: int = 15) -> str:
+    """The DuckDB SQL text computing the same value as :func:`hash64`."""
+    return f"(('0x' || substr(md5({expr}), 1, {nhex}))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# JSON access (fastjson getString/getJSONObject — BaseLogApp.java:71,108,115)
+# ---------------------------------------------------------------------------
+
+
+def json_str(col: Column | str, path: str) -> Column:
+    """get_json_object shorthand; DuckDB twin: json_extract_string(col,'$.path')."""
+    return F.get_json_object(F.col(col) if isinstance(col, str) else col, f"$.{path}")

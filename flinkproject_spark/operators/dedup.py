@@ -1,0 +1,284 @@
+"""Deduplication operators (north-star surface): exact, MinHash+LSH,
+SimHash, blocked n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design (the whole point of these operators):
+
+- **Exact** — one hash-groupBy shuffle; the canonical 100 TB first pass.
+- **MinHash+LSH** — the classic shingle -> minhash signature -> band-bucket
+  join pipeline: candidate generation never compares all O(n^2) pairs, only
+  rows sharing a band bucket. Each stage is one shuffle with near-uniform
+  keys (hash buckets), so it survives a 1000-executor scale-up.
+- **SimHash** — 32-bit signatures, 4x8-bit band blocking (a pair within
+  hamming distance 3 must agree on >= 1 band), then exact hamming check.
+- **Blocked n-gram Jaccard** — brute-force verification *within* cheap
+  blocking keys; the verifier for the LSH candidates and a standalone
+  operator for small blocks.
+- **Embedding near-dup** — cosine over `array<float>` within coarse cells.
+
+Hashes use the cross-engine md5-based kernels (functions.hash64) so the
+DuckDB oracle reproduces identical signatures; production would swap in
+xxhash64 (same plan shape, ~5x cheaper) via the `hash_fn` parameter.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+from flinkproject_spark.operators.text import tokens, word_ngrams
+
+HashFn = Callable[[Column], Column]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Group identical texts by md5, keep the lowest doc_id as canonical.
+
+    Returns one row per distinct content: (keeper_id, dup_ct, content md5).
+    At 100 TB this is the standard first dedup pass: one shuffle on a
+    64-128 bit content hash, no text comparison needed.
+    """
+    return (
+        documents.select(F.col("doc_id"), F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def shingle_docs(documents: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> distinct word n-gram shingle array."""
+    return documents.select(
+        "doc_id",
+        F.array_distinct(
+            word_ngrams(F.col("x"), n)
+        ).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, n: int = 3, hash_fn: HashFn | None = None
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of hash(i || shingle).
+
+    One explode + one groupBy (single shuffle); the `num_hashes` mins are
+    computed as parallel aggregates map-side before the shuffle.
+    """
+    hash_fn = hash_fn or K.hash64
+    sh = documents.withColumn("x", tokens("text"))
+    sh = shingle_docs(sh, n).filter(F.col("n_sh") > 0)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(hash_fn(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit distinct candidate pairs per shared bucket.
+
+    Bucket key = md5 of the band's hash tuple; the self-join runs per
+    (band, bucket) — at scale, bucket sizes are small so the join output is
+    near-linear in input, not quadratic.
+    """
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair; keep >= threshold.
+
+    Intersection/union via integer set sizes -> the only float op is one
+    division, identical across engines.
+    """
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_dedup(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> LSH candidates -> Jaccard verify."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    shingled = shingle_docs(documents.withColumn("x", tokens("text")), n)
+    return jaccard_verify(cands, shingled, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over tokens: bit b of the signature is set when the
+    sum over tokens of (+1 if token-hash bit b set else -1) is positive."""
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    hashed = toks.select("doc_id", K.hash32(F.col("t")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    summed = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return summed.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4x8-bit bands (pigeonhole: any
+    pair with hamming <= 3 over 32 bits shares at least one exact band),
+    then exact hamming check with bit_count(xor)."""
+    sigs = simhash_signatures(documents)
+    band_rows = []
+    for b in range(4):
+        band_rows.append(
+            sigs.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard (brute force within blocks)
+# ---------------------------------------------------------------------------
+def blocked_ngram_jaccard(
+    documents: DataFrame, n: int = 3, threshold: float = 0.4, block_chars: int = 128
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within (lang, length-band) blocks.
+
+    Blocking bounds the quadratic term: near-dups rarely cross language or
+    large length differences. Standalone verifier-style dedup for corpora
+    where LSH recall tuning isn't warranted.
+    """
+    sh = shingle_docs(documents.withColumn("x", tokens("text")), n).filter(F.col("n_sh") > 0)
+    blocked = documents.select(
+        "doc_id", "lang", (F.floor(F.col("n_chars") / block_chars)).alias("len_band")
+    ).join(sh, "doc_id")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast("double")
+    union = (F.col("a.n_sh") + F.col("b.n_sh")).cast("double") - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Near-duplicate vectors: cosine >= threshold within coarse cells.
+
+    The `label` column is the precomputed coarse-quantizer cell (IVF-style);
+    pairs only form within a cell, keeping the join near-linear. See
+    similarity.py for the cosine kernel contract.
+    """
+    from flinkproject_spark.operators.similarity import cosine_expr, with_norm
+
+    e = with_norm(embeddings)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("cell"),
+        F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("cell_b"),
+        F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cos = cosine_expr("emb_a", "emb_b", "norm_a", "norm_b")
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,176 @@
+"""Join operators (SURVEY.md §2 A8, A9) — the DWM layer.
+
+Two join families in the reference:
+
+1. **Interval joins** — event-time range equi-joins with inclusive bounds
+   (order_info ⋈ order_detail within ±5 s, payment ⋈ order_wide within
+   [-15 min, +5 s] — reference: app/dwm/OrderWideApp.java:99-107,
+   app/dwm/PaymentWideApp.java:77-85). Spark: equi-join + BETWEEN range
+   predicate; in streaming the same expression with watermarks bounds state.
+
+2. **Dimension enrichment** — per-key async lookups against Phoenix/HBase
+   with a Redis cache and a 60 s timeout (reference:
+   app/function/DimAsyncFunction.java:16-69, utils/DimUtil.java:13-45,
+   utils/ThreadPoolUtil.java:14-38 — ~300 LoC of machinery). Spark replaces
+   the whole apparatus with **broadcast hash joins**: the dim snapshot ships
+   to every executor once per plan, lookups become in-memory hash probes,
+   and null-on-miss left-join semantics match DimAsyncFunction.java:49-51.
+
+Scale notes: the fact-side join key (order id) is near-uniform, so the
+shuffle for any non-broadcast join is skew-safe; AQE skew-join splitting is
+enabled in the session for the residual cases. Dim tables at 100 TB scale
+stay broadcastable (dims are MBs, facts are TBs) — exactly why the
+reference needed a cache and Spark doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+
+
+# ---------------------------------------------------------------------------
+# A8 — interval join (inclusive bounds, per SURVEY §7 delta #2)
+# ---------------------------------------------------------------------------
+def interval_join_orders_lineitem(
+    orders: DataFrame, lineitem: DataFrame, days_before: int = 0, days_after: int = 30
+) -> DataFrame:
+    """order ⋈ line-detail on key + event-time interval.
+
+    Mirrors OrderWideApp's `keyBy(id) intervalJoin keyBy(order_id)
+    .between(-5s, +5s)` (app/dwm/OrderWideApp.java:99-107) with inclusive
+    bounds: l_shipdate ∈ [o_orderdate - days_before, o_orderdate + days_after],
+    both ends inclusive (Flink `between` is inclusive — SURVEY §7 delta #2).
+
+    The equi-key (l_orderkey = o_orderkey) drives the shuffle; the range
+    predicate is evaluated post-probe, so this is a plain shuffled hash/merge
+    join, NOT a cartesian range join.
+    """
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate >= F.date_add(orders.o_orderdate, -days_before))
+            & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, days_after)),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "l_linenumber",
+            "l_partkey",
+            K.money("l_extendedprice").cast("double").alias("order_price"),
+            F.col("l_quantity").alias("sku_num"),
+            "l_shipdate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — chained broadcast dimension enrichment (OrderWide shape)
+# ---------------------------------------------------------------------------
+def order_wide(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """OrderWide assembly: fact ⋈ user dim ⋈ province dim chain.
+
+    The reference chains 5 async dim lookups (user, province, sku, spu,
+    trademark — app/dwm/OrderWideApp.java:126-231); here the same chain is
+    broadcast left joins with null-on-miss (DimAsyncFunction.java:49-51 only
+    merges when dimInfo != null — i.e. left-outer semantics).
+    customer=DIM_USER_INFO, nation+region=DIM_BASE_PROVINCE two-level
+    hierarchy (FIXTURES.md §2.4).
+    """
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderstatus").alias("order_status"),
+            K.money("o_totalprice").cast("double").alias("total_amount"),
+            K.ts_to_str("o_orderdate").alias("create_time"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("user_segment"),
+            F.col("c_acctbal").alias("user_acctbal"),
+            F.col("n_nationkey").alias("province_id"),
+            F.col("n_name").alias("province_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+def product_wide(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """ProductStats-side dim chain: sku -> part dim, supplier -> nation dim
+    (reference: app/dws/ProductStatsApp.java:266-328 — 4 chained async dim
+    joins become broadcast left joins)."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_partkey").alias("sku_id"),
+            F.col("p_name").alias("sku_name"),
+            F.col("p_brand").alias("tm_name"),
+            F.col("p_type").alias("category3_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("supplier_nation"),
+            K.revenue("l_extendedprice", "l_discount").cast("double").alias("order_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 variant — PaymentWide (asymmetric interval: -15 min / +5 s analog)
+# ---------------------------------------------------------------------------
+def payment_wide(events: DataFrame, hours_before: int = 24) -> DataFrame:
+    """payment ⋈ triggering-event interval join with *asymmetric* bounds.
+
+    PaymentWideApp joins payment_info to order_wide where the order was
+    created within the 15 minutes *before* the payment — bounds
+    [-15 min, +5 s] (app/dwm/PaymentWideApp.java:77-85). Stand-in
+    (FIXTURES.md §2.3): `purchase` events are payments; a `click` event by
+    the same user within `hours_before` hours *before* the purchase is its
+    triggering order. Both timestamps survive, renamed exactly like
+    bean/PaymentWide.java:14-87 (payment_create_time / order_create_time).
+
+    The user_id equi-key drives the shuffle; in streaming form the same
+    predicate + watermarks on both sides bounds the join state to the
+    interval width.
+    """
+    payments = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("payment_id"),
+        F.col("user_id").alias("pay_user"),
+        F.col("ts").alias("payment_ts"),
+        F.col("value").alias("payment_amount"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("order_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("order_ts"),
+        F.col("value").alias("order_amount"),
+    )
+    return (
+        payments.join(
+            clicks,
+            (payments.pay_user == clicks.click_user)
+            & (clicks.order_ts <= payments.payment_ts)
+            & (clicks.order_ts >= F.col("payment_ts") - F.expr(f"INTERVAL {hours_before} HOURS")),
+        )
+        .select(
+            "payment_id",
+            F.col("pay_user").alias("user_id"),
+            K.ts_to_str("payment_ts").alias("payment_create_time"),
+            K.money("payment_amount").cast("double").alias("payment_amount"),
+            "order_id",
+            K.ts_to_str("order_ts").alias("order_create_time"),
+            K.money("order_amount").cast("double").alias("order_amount"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Relational / dataflow core operators (SURVEY.md §2 A1-A5, A17, A18).
+
+All of these stay inside whole-stage codegen: projections, filters,
+explodes, unions, top-N, filtered aggregates built purely from
+`pyspark.sql.functions`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+
+
+# ---------------------------------------------------------------------------
+# A1 — map / projection with field derivation
+# ---------------------------------------------------------------------------
+def project_orders(orders: DataFrame) -> DataFrame:
+    """POJO-style projection + derived date/hour fields.
+
+    Reproduces OrderInfo construction: parse create_time, derive
+    create_date / create_hour / create_ts (reference:
+    app/dwm/OrderWideApp.java:74-96, bean/OrderInfo.java:30-36).
+    """
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        K.money("o_totalprice").cast("double").alias("total_amount"),
+        K.ts_to_str("o_orderdate").alias("create_time"),
+        K.create_date("o_orderdate").alias("create_date"),
+        K.create_hour("o_orderdate").alias("create_hour"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("create_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — filter / predicate (incl. JSON field predicates)
+# ---------------------------------------------------------------------------
+def filter_events(events: DataFrame, drop_type: str = "error", min_k: int = 50) -> DataFrame:
+    """Predicate filter with a JSON field condition.
+
+    The reference drops CDC `delete` rows (app/dwd/BaseDBApp.java:56-62) and
+    filters on JSON map fields in SQL (app/dws/KeywordStatsApp.java:45-52).
+    Here: drop `drop_type` events and keep rows whose props JSON field `k`
+    exceeds `min_k` — same shape: type-discriminator filter + JSON access.
+    """
+    return events.filter(
+        (F.col("event_type") != drop_type)
+        & (K.json_str("props", "k").cast("int") > F.lit(min_k))
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# A3 — flatMap / explode
+# ---------------------------------------------------------------------------
+def explode_words(documents: DataFrame) -> DataFrame:
+    """Fan each document out into one row per token.
+
+    Analog of exploding the `displays` JSON array with page_id injected
+    before the explode (reference: app/dwd/BaseLogApp.java:115-124,
+    app/dws/ProductStatsApp.java:97-112): parent keys travel with each
+    exploded element.
+    """
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — multi-way split (side-output analog)
+# ---------------------------------------------------------------------------
+PAGE_TYPES = ("view", "click")
+START_TYPES = ("signup",)
+
+
+def split_event_routes(events: DataFrame) -> dict[str, DataFrame]:
+    """Route one parsed stream to page / start / display / dirty channels.
+
+    Flink side outputs (reference: app/dwd/BaseLogApp.java:53-68,100-130)
+    become N filtered sub-DataFrames off one shared source; Catalyst reuses
+    the scan, and each channel gets its own sink. 'dirty' = rows whose props
+    JSON fails to parse (the BaseLogApp.java:53-68 dirty-data side output).
+    """
+    parsed = events.withColumn("k", K.json_str("props", "k").cast("int"))
+    return {
+        "page": parsed.filter(F.col("event_type").isin(*PAGE_TYPES)),
+        "start": parsed.filter(F.col("event_type").isin(*START_TYPES)),
+        "display": parsed.filter(~F.col("event_type").isin(*PAGE_TYPES, *START_TYPES)),
+        "dirty": parsed.filter(F.col("k").isNull()),
+    }
+
+
+def split_route_summary(events: DataFrame) -> DataFrame:
+    """Auditable summary of the A4 split: per-route row count + value sum."""
+    routes = split_event_routes(events)
+    parts = [
+        df.select(F.lit(name).alias("route"), "event_id", "value")
+        for name, df in routes.items()
+        if name != "dirty"
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("route").agg(
+        F.count("*").alias("ct"),
+        K.money_sum("value").alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — union of homogeneous streams
+# ---------------------------------------------------------------------------
+def union_measure_streams(events: DataFrame) -> DataFrame:
+    """Union N homogeneous measure streams into one.
+
+    Mirrors VisitorStatsApp's union of pv/uv/bounce streams, each first
+    normalized to the same wide schema with zeroed other-measures
+    (reference: app/dws/VisitorStatsApp.java:59-114): each input becomes
+    (user_id, ts, pv_ct, uv_ct, sv_ct) rows with exactly one live measure.
+    """
+    pv = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.lit(1).alias("pv_ct"), F.lit(0).alias("uv_ct"), F.lit(0).alias("sv_ct"),
+    )
+    uv = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(0).alias("pv_ct"), F.lit(1).alias("uv_ct"), F.lit(0).alias("sv_ct"),
+    )
+    sv = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts",
+        F.lit(0).alias("pv_ct"), F.lit(0).alias("uv_ct"), F.lit(1).alias("sv_ct"),
+    )
+    return pv.unionByName(uv).unionByName(sv)
+
+
+# ---------------------------------------------------------------------------
+# A17 — sort + top-N (serving layer)
+# ---------------------------------------------------------------------------
+def topn_gmv_by_brand(lineitem: DataFrame, part: DataFrame, n: int = 10) -> DataFrame:
+    """GMV by brand, top-N (reference: publisher ProductStatsMapper.java:26 —
+    `group by tm_name order by order_amount desc limit N`).
+
+    p_brand stands in for tm_name (FIXTURES.md §2.4). The dim side is tiny ->
+    broadcast join; orderBy+limit compiles to TakeOrderedAndProject (no full
+    sort at scale). Ties broken by brand name for determinism.
+    """
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("tm_name"))
+        .agg(F.sum(K.revenue("l_extendedprice", "l_discount")).cast("double").alias("order_amount"))
+        .orderBy(F.desc("order_amount"), F.asc("tm_name"))
+        .limit(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18 — batch filter-aggregate (serving layer)
+# ---------------------------------------------------------------------------
+def gmv_for_day_range(orders: DataFrame, start_yyyymmdd: str, end_yyyymmdd: str) -> DataFrame:
+    """Total GMV for a date window (reference: publisher
+    ProductStatsMapper.java:12 — `sum(order_amount) where toYYYYMMDD(stt)=#{date}`),
+    generalized to a range so the predicate prunes at the parquet scan."""
+    return (
+        orders.filter(
+            (K.yyyymmdd("o_orderdate") >= start_yyyymmdd)
+            & (K.yyyymmdd("o_orderdate") <= end_yyyymmdd)
+        )
+        .groupBy(K.yyyymmdd("o_orderdate").alias("dt"))
+        .agg(
+            K.money_sum("o_totalprice").alias("gmv"),
+            F.count("*").alias("order_ct"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (north-star surface).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, score every (query, candidate) pair with a JVM-side fold (no Python),
+  rank per query. Linear scan; correct at any scale, cost O(N * Q * d).
+- **IVF-style ANN** — restrict scoring to the query's coarse cell(s). The
+  `label` column serves as the precomputed cell assignment (in production:
+  k-means centroids trained on a sample, broadcast, cell = argmin distance;
+  the plan shape — partition-prune by cell, then scan — is identical).
+  Cost drops to O(N/cells * Q * d) with the standard recall trade-off.
+
+Numeric contract: elements cast float->double *before* any arithmetic, dot
+products folded left-to-right (`aggregate`), so results are deterministic
+and reproducible by the DuckDB oracle; final cosines are rounded to 6
+decimals to absorb any engine-side summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm once (reused across every pair the row joins into)."""
+    e = embeddings.withColumn("emb", F.col(vec_col))
+    return e.withColumn("norm", F.sqrt(_dot("emb", "emb")))
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return _dot(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is tiny -> broadcast nested-loop join against the full
+    collection (one scan, no shuffle of the big side); ranking is a
+    per-query window over k rows. Ties break by neighbor id.
+    """
+    e = with_norm(embeddings)
+    queries = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """ANN top-k probing only the query's own coarse cell (label).
+
+    Same ranking contract as the brute-force tier; candidates are
+    cell-pruned before scoring. At 100 TB the collection is stored
+    partitioned by cell, so the probe is a partition-pruned scan."""
+    e = with_norm(embeddings)
+    queries = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_cell"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_cell"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            cands,
+            (F.col("q_cell") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-cell centroid + population — the 'train the coarse quantizer'
+    half of IVF.
+
+    Scalable formulation: posexplode to (label, dim, value) rows and
+    aggregate per (label, dim) — partial aggregation runs map-side, no
+    per-group vector materialization (a collect_list per label would bound
+    group size by executor memory; this doesn't).
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.withColumn("m", F.col("s") / F.col("n"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).getField("m").alias("centroid"),
+        )
+    )

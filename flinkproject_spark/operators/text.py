@@ -1,0 +1,162 @@
+"""Text-analysis operators over the `documents` table (north-star surface).
+
+Extends the reference's only text operator — the KeywordStats tokenizer UDTF
+(function/SplitFunction.java:12-29, function/KeywordUtil.java:13-35) — into
+the analysis kit a large-scale training-data pipeline needs: tokenization,
+language ID, quality scoring, token statistics, and document fingerprinting.
+
+Everything is built from JVM-side `pyspark.sql.functions` (no Python in the
+hot path) and is expressible in ANSI SQL for the DuckDB oracle. All ratio
+math casts to double *explicitly* so both engines perform the identical
+IEEE operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Deterministic per-language marker lexicons (the n-gram-heuristic analog of
+# a fastText language IDer). The synthetic corpus shares one vocabulary
+# across langs, so accuracy is not the point — determinism and the
+# argmax-over-scores plan shape are.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "order", "row", "data"),
+    "de": ("agg", "merge", "scan", "sort", "hash"),
+    "es": ("fast", "spark", "customer", "stream", "query"),
+    "fr": ("group", "batch", "line", "vector", "column"),
+    "zh": ("big", "dup", "filter", "value", "table"),
+}
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokenizer (the SplitFunction analog; pluggable kernel)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_SPLIT_RE)
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: transform over a sliding index sequence.
+
+    Pure SQL expression (no UDF): for i in 0..len-n concat the n words.
+    Returns an empty array for docs shorter than n tokens.
+    """
+    parts = ", ".join(f"x[i+{j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size(x) >= {n} THEN "
+        f"transform(sequence(0, size(x)-{n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def with_tokens(documents: DataFrame) -> DataFrame:
+    return documents.withColumn("x", tokens("text"))
+
+
+# ---------------------------------------------------------------------------
+# token statistics (token counting per BASELINE north star)
+# ---------------------------------------------------------------------------
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counts + length features."""
+    return with_tokens(documents).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("x").alias("n_tokens"),
+        F.size(F.array_distinct("x")).alias("n_unique"),
+        F.col("n_chars").alias("n_chars"),
+        (F.col("n_chars").cast("double") / F.size("x").cast("double")).alias("avg_token_len"),
+    )
+
+
+def corpus_token_summary(documents: DataFrame) -> DataFrame:
+    """Corpus-level rollup by source: total/unique tokens, docs — the shape
+    of a pre-training data audit."""
+    t = token_stats(documents)
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_unique").alias("total_unique_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Deterministic quality features + a composite score in [0, ~1].
+
+    The standard cheap filters (Gopher/C4-style): document length, stopword
+    ratio, vocabulary diversity. All double math is explicit-cast so the
+    DuckDB oracle reproduces bit-identical values.
+    """
+    d = with_tokens(documents)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size("x").cast("double")
+    stop_ct = F.size(F.expr(
+        "filter(x, t -> t IN ({}))".format(", ".join(f"'{s}'" for s in STOPWORDS))
+    )).cast("double")
+    uniq = F.size(F.array_distinct("x")).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("x").alias("n_tokens"),
+        (stop_ct / n_tok).alias("stopword_ratio"),
+        (uniq / n_tok).alias("diversity"),
+        (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + (uniq / n_tok) * F.lit(0.5)
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-lexicon heuristic)
+# ---------------------------------------------------------------------------
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Predict language by marker-word counts, argmax with fixed priority.
+
+    Scores are exact integers (no float ambiguity); ties resolve in the
+    declared LANG_MARKERS order, making the operator engine-portable.
+    """
+    d = with_tokens(documents)
+    score_cols = []
+    for lg, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(F.size(F.expr(f"filter(x, t -> t IN ({inlist}))")).alias(f"s_{lg}"))
+    scored = d.select("doc_id", "lang", *score_cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = None
+    for lg in reversed(langs):
+        cond = F.col(f"s_{lg}") == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else F.when(cond, F.lit(lg)).otherwise(pred)
+    # reversed+otherwise chain => earliest lang in LANG_MARKERS wins ties
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Canonical content fingerprint: md5 over the sorted distinct token set.
+
+    The bag-of-words canonicalization used before exact-dup clustering; a
+    rolling/content-defined variant lives in dedup.minhash_signatures.
+    """
+    d = with_tokens(documents)
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("x")))).alias("fingerprint"),
+        F.size("x").alias("n_tokens"),
+    )

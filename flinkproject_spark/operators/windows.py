@@ -1,0 +1,164 @@
+"""Windowed aggregation operators (SURVEY.md §2 A6, A7, A20) — the DWS layer.
+
+The reference computes every DWS table with 10 s tumbling event-time windows
+over keyed streams (incremental ReduceFunction + finalizing WindowFunction —
+reference: app/dws/VisitorStatsApp.java:127-168,
+app/dws/ProductStatsApp.java:215-261, app/dws/ProvinceStatsSqlApp.java:49-68).
+
+Spark expresses the identical semantics with `groupBy(window(ts, ...), keys)`
+— partial aggregation before the shuffle is automatic (the ReduceFunction
+half), and the window struct carries start/end (the WindowFunction half).
+The same functions serve batch parity tests and Structured Streaming
+(`flinkproject_spark.streaming` adds the watermark).
+
+Window bounds are surfaced as formatted strings `stt`/`edt` exactly like the
+reference's VisitorStats/ProductStats beans (bean/VisitorStats.java:12-13),
+via date_format — which also makes results engine-portable for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+
+TEN_MIN = "10 minutes"  # testdata uses minute-scale gaps; reference uses 10 s
+
+
+def _window_bounds(df: DataFrame) -> DataFrame:
+    return df.select(
+        K.ts_to_str(F.col("window.start")).alias("stt"),
+        K.ts_to_str(F.col("window.end")).alias("edt"),
+        "*",
+    ).drop("window")
+
+
+# ---------------------------------------------------------------------------
+# A6 — keyed tumbling-window multi-measure aggregate (VisitorStats shape)
+# ---------------------------------------------------------------------------
+def visitor_stats(events: DataFrame, duration: str = TEN_MIN) -> DataFrame:
+    """VisitorStatsApp recast: union of measure streams -> keyed tumbling
+    window -> summed measures + formatted bounds
+    (reference: app/dws/VisitorStatsApp.java:112-168).
+
+    Keyed by event_type (stand-in for the (ar,ch,is_new,vc) dims); measures:
+    pv/uv/sv-style counts and a duration sum (value ~ dur_sum).
+    """
+    measured = events.select(
+        "event_type",
+        "ts",
+        "user_id",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("pv_ct"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("uv_ct"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("sv_ct"),
+        F.col("value").alias("dur"),
+    )
+    agg = (
+        measured.groupBy(F.window("ts", duration), "event_type")
+        .agg(
+            F.sum("pv_ct").alias("pv_ct"),
+            F.sum("uv_ct").alias("uv_ct"),
+            F.sum("sv_ct").alias("sv_ct"),
+            K.money_sum("dur").alias("dur_sum"),
+        )
+    )
+    return _window_bounds(agg)
+
+
+# ---------------------------------------------------------------------------
+# A6 + A7 — windowed aggregate with exact distinct counts (ProductStats shape)
+# ---------------------------------------------------------------------------
+def product_stats(lineitem: DataFrame, duration_days: int = 30) -> DataFrame:
+    """ProductStatsApp recast over lineitem: per-sku (part) tumbling window
+    with summed measures AND exact distinct-order counts.
+
+    The reference accumulates HashSet<Long> orderIds in the reduce and takes
+    size() in the finalizer (app/dws/ProductStatsApp.java:138-139,225-235,
+    254-256; transient-set trick bean/ProductStats.java:74-84). Spark:
+    `countDistinct` inside the windowed agg — same exactness, one shuffle.
+    At 100 TB swap for `approx_count_distinct` (documented scale valve).
+
+    Window = `duration_days`-day tumble over l_shipdate (testdata spans
+    years; the reference's 10 s windows make sense only against its
+    mock-second streams).
+    """
+    agg = (
+        lineitem.groupBy(
+            F.window("l_shipdate", f"{duration_days} days"),
+            F.col("l_partkey").alias("sku_id"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sku_num"),
+            F.sum(K.revenue("l_extendedprice", "l_discount")).cast("double").alias("order_amount"),
+            F.countDistinct("l_orderkey").alias("order_ct"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+    return _window_bounds(agg)
+
+
+# ---------------------------------------------------------------------------
+# A7 — windowed distinct user count (UV shape)
+# ---------------------------------------------------------------------------
+def window_distinct_users(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """count(distinct user) per tumbling window (the SQL
+    `count(distinct order_id)` at app/dws/ProvinceStatsSqlApp.java:57)."""
+    agg = events.groupBy(F.window("ts", duration)).agg(
+        F.countDistinct("user_id").alias("uv_ct"),
+        F.count("*").alias("pv_ct"),
+    )
+    return _window_bounds(agg)
+
+
+# ---------------------------------------------------------------------------
+# ProvinceStats (A20 SQL form lives in __spark_entry__; this is the DF form)
+# ---------------------------------------------------------------------------
+def province_stats(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, duration_days: int = 365
+) -> DataFrame:
+    """ProvinceStatsSqlApp recast: per-province (nation) windowed GMV +
+    distinct order count (reference: app/dws/ProvinceStatsSqlApp.java:49-68).
+
+    nation is the province dim (FIXTURES.md §2.4); customer bridges orders to
+    nation. Both dims are small -> broadcast, so the only shuffle is the
+    final aggregation on (window, province).
+    """
+    enriched = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("o_orderdate", f"{duration_days} days"),
+            F.col("n_nationkey").alias("province_id"),
+            F.col("n_name").alias("province_name"),
+        )
+        .agg(
+            K.money_sum("o_totalprice").alias("order_amount"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+    )
+    return _window_bounds(agg)
+
+
+# ---------------------------------------------------------------------------
+# KeywordStats (A19 tokenize + A20 aggregate)
+# ---------------------------------------------------------------------------
+def keyword_stats(documents: DataFrame, source_tag: str = "search", top: int = 100) -> DataFrame:
+    """KeywordStatsApp recast: tokenize -> explode -> per-word counts with a
+    literal source tag, top-N for serving
+    (reference: app/dws/KeywordStatsApp.java:45-75, function/SplitFunction.java:12-29).
+
+    Tokenization = split on whitespace (the IK Chinese segmenter is an
+    external analyzer; the engine's tokenizer kernel is pluggable — see
+    flinkproject_spark.operators.text for the richer tokenizer).
+    """
+    words = documents.select(F.explode(F.split("text", " ")).alias("keyword"))
+    return (
+        words.groupBy("keyword")
+        .agg(F.count("*").alias("ct"))
+        .select("keyword", "ct", F.lit(source_tag).alias("source"))
+        .orderBy(F.desc("ct"), F.asc("keyword"))
+        .limit(top)
+    )

@@ -1,0 +1,190 @@
+"""Operator-level unit tests — semantics the oracle comparison doesn't pin
+down (plan shape, edge cases, determinism)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flinkproject_spark import catalog
+from flinkproject_spark import functions as K
+from flinkproject_spark.operators import dedup, joins, relational, routing, similarity, state, text, windows
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return catalog.load_tables(spark, sf_dir)
+
+
+# --- kernels ---------------------------------------------------------------
+
+def test_hash64_is_deterministic_and_positive(spark):
+    df = spark.range(100).select(K.hash64(F.col("id").cast("string")).alias("h"))
+    rows = [r.h for r in df.collect()]
+    assert all(h >= 0 for h in rows)
+    rows2 = [r.h for r in df.collect()]
+    assert rows == rows2
+
+
+def test_money_sum_is_exact(spark):
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], ["v"])
+    (total,) = df.select(K.money_sum("v").alias("s")).first()
+    assert total == 0.6  # decimal pre-cast; double sum would give 0.6000000000000001
+
+
+# --- A4 split --------------------------------------------------------------
+
+def test_split_routes_partition_events(tables):
+    routes = relational.split_event_routes(tables["events"])
+    total = tables["events"].count()
+    assert routes["page"].count() + routes["start"].count() + routes["display"].count() == total
+    assert routes["dirty"].count() == 0  # testdata props are all valid JSON
+
+
+# --- A8 interval join inclusivity ------------------------------------------
+
+def test_interval_join_bounds_inclusive(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 5.0, "2024-01-10 00:00:00", "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    mk = lambda d: (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+    lineitem = spark.createDataFrame(
+        [mk("2024-01-10 00:00:00"), mk("2024-02-09 00:00:00"), mk("2024-02-10 00:00:00")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    out = joins.interval_join_orders_lineitem(orders, lineitem, days_before=0, days_after=30)
+    # day 0 and day +30 are both inclusive; day +31 is out
+    assert out.count() == 2
+
+
+# --- A9 left-join null-on-miss ---------------------------------------------
+
+def test_order_wide_null_on_dim_miss(spark, tables):
+    # remove one customer from the dim: orders of that customer keep flowing
+    victim = tables["orders"].select("o_custkey").first()[0]
+    thinned = tables["customer"].filter(F.col("c_custkey") != victim)
+    out = joins.order_wide(tables["orders"], thinned, tables["nation"], tables["region"])
+    miss = out.filter(F.col("user_id") == victim)
+    assert miss.count() > 0
+    assert miss.filter(F.col("user_name").isNull()).count() == miss.count()
+
+
+# --- A10/A11/A12 state semantics -------------------------------------------
+
+def test_unique_visits_one_per_user_day(tables):
+    uv = state.unique_visits(tables["events"])
+    assert uv.groupBy("user_id", "dt").count().filter("count > 1").count() == 0
+
+
+def test_is_new_exactly_once_per_user(tables):
+    flags = state.fix_is_new_flag(tables["events"])
+    per_user = flags.groupBy("user_id").agg(F.sum("is_new").alias("s"))
+    assert per_user.filter("s != 1").count() == 0
+
+
+def test_sessionize_monotone(tables):
+    s = state.sessionize(tables["events"])
+    agg = s.groupBy("user_id").agg(F.min("session_seq").alias("lo"), F.max("session_seq").alias("hi"), F.countDistinct("session_seq").alias("n"))
+    bad = agg.filter((F.col("lo") != 1) | (F.col("n") != F.col("hi"))).count()
+    assert bad == 0  # sessions numbered 1..K densely
+
+
+# --- routing ----------------------------------------------------------------
+
+def test_route_returns_pruned_columns(tables):
+    out = routing.route(tables["orders"], "orders", "insert")
+    assert out.columns == ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    assert routing.route(tables["orders"], "orders", "delete") is None  # unknown combo dropped
+
+
+def test_cdc_decode_drops_deletes(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"database":"d","tableName":"t","before":null,"after":{"id":"1"},"type":"insert"}',),
+            ('{"database":"d","tableName":"t","before":{"id":"1"},"after":null,"type":"delete"}',),
+        ],
+        "value string",
+    )
+    out = routing.filter_deletes(routing.decode_cdc_envelope(raw))
+    assert out.count() == 1
+    assert out.first()["type"] == "insert"
+
+
+# --- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_finds_planted_duplicate(spark, tables):
+    docs = tables["documents"].limit(10)
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    planted = docs.unionByName(dup)
+    out = dedup.exact_dedup(planted)
+    assert out.filter("dup_ct = 2").count() == 1
+    # keeper is the lower doc_id
+    kid = out.filter("dup_ct = 2").first()["keeper_id"]
+    assert kid < 100000
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, tables):
+    docs = tables["documents"].limit(50)
+    # plant: copy of doc with one word changed -> high jaccard
+    base = docs.first()
+    mutated = base["text"].rsplit(" ", 1)[0] + " zzz"
+    extra = spark.createDataFrame(
+        [(999999, mutated, base["lang"], base["source"], len(mutated))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.minhash_lsh_dedup(docs.unionByName(extra), threshold=0.3)
+    hits = out.filter((F.col("doc_a") == base["doc_id"]) & (F.col("doc_b") == 999999))
+    assert hits.count() == 1
+
+
+def test_simhash_identical_docs_zero_hamming(spark, tables):
+    docs = tables["documents"].limit(20)
+    clone = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 500000)
+    out = dedup.simhash_near_dups(docs.unionByName(clone))
+    assert out.filter("hamming = 0").count() >= 1
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_topk_self_excluded_and_k_respected(tables):
+    out = similarity.cosine_topk_bruteforce(tables["embeddings"], [0, 1], k=5)
+    pdf = out.toPandas()
+    assert set(pdf["query_id"]) == {0, 1}
+    assert all(pdf.groupby("query_id").size() == 5)
+    assert not any(pdf["query_id"] == pdf["neighbor_id"])
+
+
+def test_ivf_is_subset_of_bruteforce_candidates(tables):
+    bf = similarity.cosine_topk_bruteforce(tables["embeddings"], [0], k=200).toPandas()
+    ivf = similarity.cosine_topk_ivf(tables["embeddings"], [0], k=5).toPandas()
+    # every ivf hit appears in the big brute-force list (same scores)
+    merged = ivf.merge(bf, on="neighbor_id", suffixes=("_i", "_b"))
+    assert len(merged) == len(ivf)
+    assert (merged["cosine_i"] == merged["cosine_b"]).all()
+
+
+def test_label_centroids_shape(tables):
+    c = similarity.label_centroids(tables["embeddings"]).toPandas()
+    assert len(c) == tables["embeddings"].select("label").distinct().count()
+    assert all(len(v) == 64 for v in c["centroid"])
+
+
+# --- text -------------------------------------------------------------------
+
+def test_quality_scores_bounded(tables):
+    q = text.quality_scores(tables["documents"]).toPandas()
+    assert ((q["stopword_ratio"] >= 0) & (q["stopword_ratio"] <= 1)).all()
+    assert ((q["diversity"] > 0) & (q["diversity"] <= 1)).all()
+    assert ((q["quality_score"] > 0) & (q["quality_score"] <= 1)).all()
+
+
+def test_fingerprint_invariant_to_word_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a c", "en", "s", 5), (2, "c b a", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = text.fingerprints(docs).toPandas()
+    assert fps["fingerprint"].nunique() == 1

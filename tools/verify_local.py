@@ -1,0 +1,110 @@
+"""Local correctness harness mirroring the driver's t2 gate.
+
+Runs every `__spark_entry__.queries()` entry on Spark and its
+`oracle_sql()` twin on DuckDB over the same parquet tables, then compares
+row count, sorted column names, and exact values (order-insensitive).
+
+Usage:  python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from flinkproject_spark.catalog import TABLES  # noqa: E402
+from flinkproject_spark.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: repr(v) if not isinstance(v, str) else v)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
+    if len(spark_df) != len(duck_df):
+        return f"row count: spark={len(spark_df)} duck={len(duck_df)}"
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        return f"columns: spark={sc} duck={dc}"
+    a, b = canonicalize(spark_df), canonicalize(duck_df)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        detail = str(e).splitlines()[:8]
+        # locate first differing row for debugging
+        for i in range(min(len(a), 50000)):
+            if not a.iloc[i].equals(b.iloc[i]):
+                detail.append(f"first diff row {i}: spark={a.iloc[i].to_dict()} duck={b.iloc[i].to_dict()}")
+                break
+        return "values: " + " | ".join(detail)
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+    spark = get_spark("verify-local", cpus=16, shuffle_partitions=16)
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            failures.append((name, "SPARK ERROR: " + traceback.format_exc(limit=6)))
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"  [rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception:
+            failures.append((name, "DUCK ERROR: " + traceback.format_exc(limit=4)))
+            continue
+        err = compare(name, sdf, ddf)
+        if err:
+            failures.append((name, err))
+            print(f"  [FAIL] {name}: {err[:300]} ({time.time()-t0:.1f}s)")
+        else:
+            passed += 1
+            print(f"  [ok] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{passed} passed, {len(failures)} failed, {rows_only} rows-only")
+    for name, err in failures:
+        print(f"\n=== {name} ===\n{err[:2000]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

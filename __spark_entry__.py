@@ -337,8 +337,12 @@ sh AS (
 
 
 def _minhash_sql() -> str:
+    from flinkproject_spark.functions import MINHASH_P, minhash_coeffs
+
     mins = ",\n    ".join(
-        "min({h}) AS h{i}".format(h=H64.format(x="'%d|' || s" % i), i=i)
+        "min(({a} * hb + {b}) % {p}) AS h{i}".format(
+            a=minhash_coeffs(i)[0], b=minhash_coeffs(i)[1], p=MINHASH_P, i=i
+        )
         for i in range(16)
     )
     bands = "\n  UNION ALL\n".join(
@@ -349,10 +353,11 @@ def _minhash_sql() -> str:
     return f"""
 WITH {_SHINGLES.strip()},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+based AS (SELECT doc_id, ({H64.format(x='s')} % {MINHASH_P}) AS hb FROM ex),
 mh AS (
   SELECT doc_id,
     {mins}
-  FROM ex GROUP BY doc_id
+  FROM based GROUP BY doc_id
 ),
 banded AS (
 {bands}

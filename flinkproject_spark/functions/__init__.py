@@ -122,6 +122,30 @@ def duck_hash64(expr: str, nhex: int = 15) -> str:
     return f"(('0x' || substr(md5({expr}), 1, {nhex}))::BIGINT)"
 
 
+# MinHash universal-hash family: ONE md5 per input, then cheap affine
+# transforms h_i = (a_i * (h mod P) + b_i) mod P. P = 2^31 - 1 keeps
+# a_i * h below 2^62 (no signed-64 overflow) in both engines.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for hash-family member i; a_i != 0."""
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_P
+    b = (2654435761 * (i + 1)) % MINHASH_P
+    return (a or 1, b)
+
+
+def minhash_member(h_mod: Column, i: int) -> Column:
+    """Affine family member over an already-reduced base hash (h mod P)."""
+    a, b = minhash_coeffs(i)
+    return (F.lit(a) * h_mod + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def duck_minhash_member(h_mod_expr: str, i: int) -> str:
+    a, b = minhash_coeffs(i)
+    return f"(({a} * {h_mod_expr} + {b}) % {MINHASH_P})"
+
+
 # ---------------------------------------------------------------------------
 # JSON access (fastjson getString/getJSONObject — BaseLogApp.java:71,108,115)
 # ---------------------------------------------------------------------------

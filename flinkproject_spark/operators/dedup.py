@@ -66,20 +66,26 @@ def shingle_docs(documents: DataFrame, n: int = 3) -> DataFrame:
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 16, n: int = 3, hash_fn: HashFn | None = None
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of hash(i || shingle).
+    """Per-doc MinHash signature via a universal affine hash family:
+    h_i = min over shingles of (a_i * base + b_i) mod P, base = md5-hash(shingle) mod P.
 
-    One explode + one groupBy (single shuffle); the `num_hashes` mins are
-    computed as parallel aggregates map-side before the shuffle.
+    ONE expensive hash per shingle (not per shingle*per member), then
+    `num_hashes` integer affine transforms — the standard MinHash family.
+    One explode + one groupBy (single shuffle); the mins are computed as
+    parallel aggregates map-side before the shuffle.
     """
     hash_fn = hash_fn or K.hash64
     sh = documents.withColumn("x", tokens("text"))
     sh = shingle_docs(sh, n).filter(F.col("n_sh") > 0)
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    based = exploded.select(
+        "doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb")
+    )
     aggs = [
-        F.min(hash_fn(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        F.min(K.minhash_member(F.col("hb"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

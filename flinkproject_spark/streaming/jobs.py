@@ -1,0 +1,106 @@
+"""Watermarked streaming forms of the DWS/DWM computations.
+
+Each function takes a *streaming* DataFrame (from the replay harness or a
+Kafka source) and applies the SAME DataFrame-building code as the batch
+operators — `withWatermark` + heartbeat filtering is the only streaming
+delta. That sharing is the test strategy (SURVEY §5): the batch bodies are
+oracle-checked against DuckDB, and replay tests check streaming == batch.
+
+Heartbeat handling: sentinel rows are NOT filtered before the watermark —
+Catalyst pushes a deterministic `user_id != -1` straight through the
+EventTimeWatermark node into the parquet scan, the row group gets skipped
+(min=max=-1 statistics), and the watermark never advances. Instead the
+sentinel is *intrinsically harmless*: its far-future timestamp puts it in a
+tumbling window whose end is always beyond the final watermark
+(end > hb_ts >= hb_ts - delay), so append mode never emits it; the stateful
+operators skip the sentinel key inside the state function; pass-through
+operators filter it AFTER the stateful/dedup node (`drop_heartbeats`).
+
+A7/A6 distinct counts: Structured Streaming forbids `countDistinct` in a
+streaming aggregation, so the streaming twins use
+`size(collect_set(...))` — exact, same value, watermark-bounded state.
+(`approx_count_distinct` stays the documented 100 TB valve; at that scale
+the collect_set per (window,key) cell is the memory hazard.)
+
+Watermark delays mirror the reference's bounded-disorder choices
+(UserJumpDetailApp.java:57-65: 1 s; VisitorStatsApp.java:117-124: 11 s) but
+scaled to the testdata's minute-granular event spacing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+from flinkproject_spark.operators import joins, windows
+from flinkproject_spark.streaming.replay import drop_heartbeats
+
+DEFAULT_DELAY = "10 minutes"
+
+
+def watermarked_events(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:
+    """Standard prologue for every events-driven streaming job (A13).
+
+    No heartbeat filter here — see the module docstring: the sentinel must
+    reach the EventTimeWatermark node, and it cannot leak into any
+    append-mode window output anyway.
+    """
+    return events.withWatermark("ts", delay)
+
+
+# ---------------------------------------------------------------------------
+# A6 — VisitorStats as a streaming query (VisitorStatsApp.java:127-168)
+# ---------------------------------------------------------------------------
+def visitor_stats_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:
+    return windows.visitor_stats(watermarked_events(events, delay))
+
+
+# ---------------------------------------------------------------------------
+# A7 — windowed exact distinct users, streaming-legal form
+# ---------------------------------------------------------------------------
+def window_distinct_users_stream(
+    events: DataFrame, duration: str = "1 hour", delay: str = DEFAULT_DELAY
+) -> DataFrame:
+    ev = watermarked_events(events, delay)
+    agg = ev.groupBy(F.window("ts", duration)).agg(
+        F.size(F.collect_set("user_id")).cast("bigint").alias("uv_ct"),
+        F.count("*").alias("pv_ct"),
+    )
+    return agg.select(
+        K.ts_to_str(F.col("window.start")).alias("stt"),
+        K.ts_to_str(F.col("window.end")).alias("edt"),
+        "uv_ct",
+        "pv_ct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — PaymentWide stream-stream interval self-join (PaymentWideApp.java:77-85)
+# ---------------------------------------------------------------------------
+def payment_wide_stream(
+    events: DataFrame, hours_before: int = 24, delay: str = DEFAULT_DELAY
+) -> DataFrame:
+    """Both join inputs derive from one watermarked source; the equi-key
+    (user) + time-range predicate lets Spark bound each side's join state to
+    the interval width plus the watermark delay — the exact analog of
+    Flink's interval-join state machine (SURVEY §4 join-strategy row)."""
+    return joins.payment_wide(watermarked_events(events, delay), hours_before)
+
+
+# ---------------------------------------------------------------------------
+# A10 built-in approximation — dropDuplicates dedup (vs stateful exact twin)
+# ---------------------------------------------------------------------------
+def unique_visits_dropdup_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:
+    """The one-line engine form of UV dedup: watermark + dropDuplicates on
+    (user, day). Emits ONE arbitrary row per key-day (not necessarily the
+    first — that precision needs stateful.unique_visits_stream); state is
+    dropped once the watermark passes the day, the built-in analog of the
+    reference's 24 h TTL (UniqueVisitApp.java:62-66)."""
+    ev = watermarked_events(events, delay).withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    deduped = ev.dropDuplicates(["user_id", "dt"])
+    return drop_heartbeats(deduped).select(
+        "event_id", K.ts_to_str("ts").alias("ts"), "user_id", "dt", "event_type"
+    )

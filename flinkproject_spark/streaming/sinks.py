@@ -1,0 +1,110 @@
+"""foreachBatch sink builders (B2, B5, B6, B11 + the A15 routed fan-out).
+
+The reference's sinks are ClickHouse JDBC batches (utils/ClickHouseUtil.java:
+20-69), Phoenix dim upserts (DimSinkFunction.java:21-77), and per-record
+dynamic-topic Kafka producers (MyKafkaUtil.java:29-38). Spark's idiom for
+all of them is `writeStream.foreachBatch`: each micro-batch is a normal
+batch DataFrame, so any batch writer — parquet append, JDBC, MERGE — works,
+and the routing decision (A15: which rows go to which sink table) happens
+INSIDE the batch function, because a running query cannot grow new sinks
+(SURVEY §7 delta #6).
+
+Exactly-once posture: checkpointing gives replayable offsets; parquet/JDBC
+appends are at-least-once (dedupe downstream on pk), mirroring the
+reference's at-least-once default (MyKafkaUtil.java:25-27).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flinkproject_spark.operators.routing import DEFAULT_RULES, RouteRule
+
+
+def start_parquet_sink(
+    df: DataFrame, path: str, checkpoint_dir: str | None = None, available_now: bool = True
+) -> StreamingQuery:
+    """B5 analog — append micro-batches to a parquet table (the serving
+    store; swap format for "delta"/JDBC in a real deployment)."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def routed_cdc_writer(
+    base_path: str, rules: tuple[RouteRule, ...] = DEFAULT_RULES
+) -> Callable[[DataFrame, int], None]:
+    """A15/B5/B6 — build the foreachBatch function that fans a decoded CDC
+    micro-batch (columns database/tableName/before/after/type) out to its
+    configured sink directories with per-rule column pruning.
+
+    Fact rules (`sink_type=kafka` in the reference) and dim rules (`hbase`)
+    both land as parquet here — `{base_path}/{sink_table}/`; dims would be a
+    Delta MERGE on sink_pk in production (routing.upsert_parquet shows the
+    parquet fallback). Config is captured per call; re-reading it each batch
+    (TableProcessFunction's broadcast refresh) means just rebuilding this
+    closure from the config table inside the caller's loop.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            for r in rules:
+                routed = batch.filter(
+                    (F.col("tableName") == r.source_table) & (F.col("type") == r.operate_type)
+                ).select(*[F.col("after")[c].alias(c) for c in r.sink_columns])
+                if routed.isEmpty():  # don't materialize empty sink dirs
+                    continue
+                routed.write.mode("append").parquet(f"{base_path}/{r.sink_table}")
+        finally:
+            batch.unpersist()
+
+    return fn
+
+
+def start_routed_cdc_sink(
+    cdc_stream: DataFrame,
+    base_path: str,
+    rules: tuple[RouteRule, ...] = DEFAULT_RULES,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Wire a decoded CDC stream into the routed fan-out (BaseDBApp.java:83-99)."""
+    return (
+        cdc_stream.writeStream.foreachBatch(routed_cdc_writer(base_path, rules))
+        .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:
+    """B11 — the `.print()` debug sink (BaseLogApp.java:132-134)."""
+    return df.writeStream.format("console").option("numRows", rows).start()
+
+
+def kafka_value_frame(df: DataFrame, topic_col: str | None = None, topic: str | None = None) -> DataFrame:
+    """B2 — shape a DataFrame for the Kafka sink: all columns JSON-packed
+    into `value`, topic either fixed or per-record from `topic_col` (the
+    reference's dynamic `sinkTable` topic — MyKafkaUtil.java:29-38).
+
+    No broker exists in this environment; this returns the sink-ready frame
+    so tests can assert its shape, and production code appends
+    `.writeStream.format("kafka").option("kafka.bootstrap.servers", ...)`.
+    """
+    assert (topic_col is None) != (topic is None), "exactly one of topic_col/topic"
+    payload = df.select(
+        (F.col(topic_col) if topic_col else F.lit(topic)).alias("topic"),
+        F.to_json(F.struct(*[c for c in df.columns if c != topic_col])).alias("value"),
+    )
+    return payload

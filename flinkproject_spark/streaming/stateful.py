@@ -1,0 +1,227 @@
+"""Custom keyed-state streaming operators (`applyInPandasWithState`).
+
+These are the three semantics Spark has no built-in operator for (SURVEY §4
+"custom work" items 1/2/4), each verified on replay against its
+oracle-checked batch twin in `flinkproject_spark.operators.state`:
+
+- :func:`fix_is_new_flag_stream` — A11, keyed first-seen flag
+  (reference: app/dwd/BaseLogApp.java:73-96, ValueState<String>).
+- :func:`unique_visits_stream`   — A10+A14, first-event-per-key-per-day with
+  24 h TTL state eviction (app/dwm/UniqueVisitApp.java:54-87).
+- :func:`detect_bounces_stream`  — A12, CEP bounce detection with the
+  event-time *timeout* branch (app/dwm/UserJumpDetailApp.java:68-117: match
+  path = second session-entry too soon... emits first event; timeout path =
+  no follow-up before the timer -> also emits first event).
+
+Mechanics shared by all three:
+- input must already be watermarked (`withWatermark("ts", ...)`) — the
+  watermark both bounds state and drives `GroupStateTimeout.EventTimeTimeout`;
+- rows inside a micro-batch are sorted by (ts, event_id) in pandas — Spark
+  does not order rows within a batch, and the replay harness guarantees
+  ordering only ACROSS batches;
+- the replay heartbeat key (replay.HEARTBEAT_ID) is skipped so sentinel rows
+  advance the watermark without polluting output.
+
+Scale posture: state is sharded by the group key across executors (HDFS/
+RocksDB-backed state store on a real cluster); per-key state here is O(1)
+(a flag, a date, one pending event) so 10^9 keys is ~GBs cluster-wide, and
+every timer is watermark-bounded so state cannot grow without bound.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flinkproject_spark.streaming.replay import HEARTBEAT_ID
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _ordered(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    chunks = [p for p in pdfs]
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def _ts_ms(series: pd.Series) -> pd.Series:
+    return series.astype("datetime64[ns]").astype("int64") // 1_000_000
+
+
+def _safe_timeout(state: GroupState, at_ms: int) -> None:
+    """EventTimeTimeout requires a timestamp strictly past the watermark."""
+    state.setTimeoutTimestamp(max(at_ms, state.getCurrentWatermarkMs() + 1))
+
+
+# ---------------------------------------------------------------------------
+# A11 — new/returning-visitor flag (keyed first-seen, no timers)
+# ---------------------------------------------------------------------------
+def fix_is_new_flag_stream(events: DataFrame) -> DataFrame:
+    """is_new=1 iff the event is its user's first ever, via a per-key seen
+    flag — the streaming twin of operators.state.fix_is_new_flag."""
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if key[0] == HEARTBEAT_ID:
+            return
+        pdf = _ordered(pdfs)
+        if not len(pdf):
+            return
+        seen = state.get[0] if state.exists else False
+        flags = [0] * len(pdf)
+        if not seen:
+            flags[0] = 1
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"].dt.strftime(_TS_FMT),
+                "user_id": pdf["user_id"],
+                "event_type": pdf["event_type"],
+                "is_new": pd.Series(flags, dtype="int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="event_id bigint, ts string, user_id bigint, event_type string, is_new bigint",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 + A14 — per-day dedup with TTL state eviction
+# ---------------------------------------------------------------------------
+def unique_visits_stream(events: DataFrame, ttl_hours: int = 24) -> DataFrame:
+    """First event per (user, event-time day), state evicted `ttl_hours`
+    after the key's last event — UniqueVisitApp's ValueState<date> + 24 h TTL
+    (UniqueVisitApp.java:54-87).
+
+    Event-time-ordered input makes the per-key day monotonic, so a single
+    `last_dt` string is complete state. TTL eviction is behavior-preserving
+    here (a >24 h gap always lands on a later calendar day — SURVEY §7
+    delta #5) but keeps unbounded-key state from accumulating forever.
+    """
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if key[0] == HEARTBEAT_ID:
+            return
+        if state.hasTimedOut:
+            state.remove()  # A14: TTL eviction
+            return
+        pdf = _ordered(pdfs)
+        if not len(pdf):
+            return
+        last_dt = state.get[0] if state.exists else None
+        dts = pdf["ts"].dt.strftime("%Y-%m-%d")
+        keep = []
+        for dt in dts:
+            keep.append(last_dt is None or dt > last_dt)
+            last_dt = dt if last_dt is None else max(last_dt, dt)
+        last_ms = int(_ts_ms(pdf["ts"]).iloc[-1])
+        state.update((last_dt,))
+        _safe_timeout(state, last_ms + ttl_ms)
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        yield pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "ts": out["ts"].dt.strftime(_TS_FMT),
+                "user_id": out["user_id"],
+                "dt": out["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": out["event_type"],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="event_id bigint, ts string, user_id bigint, dt string, event_type string",
+        stateStructType="last_dt string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — CEP bounce detection with event-time timeout
+# ---------------------------------------------------------------------------
+def detect_bounces_stream(
+    events: DataFrame, session_gap_min: int = 30, bounce_gap_min: int = 10
+) -> DataFrame:
+    """Streaming CEP: a session-entry event is a bounce when the same user's
+    next event is more than `bounce_gap_min` later (match path) or never
+    arrives before the event-time timer fires (timeout path) — both branches
+    of UserJumpDetailApp.java:101-117, unified.
+
+    State = the pending entry event + the key's last event time; the pending
+    entry registers an event-time timer at entry_ts + bounce_gap, so the
+    timeout path needs no data to fire — the watermark (advanced by the
+    replay heartbeat, or by live traffic in production) triggers it.
+    """
+    gap_s = session_gap_min * 60
+    bounce_s = bounce_gap_min * 60
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if key[0] == HEARTBEAT_ID:
+            return
+        pending_id, pending_s, pending_type, last_s = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        if state.hasTimedOut:
+            # timeout branch: the pending entry never saw a follow-up
+            state.update((None, None, None, last_s))
+            if pending_id is not None:
+                yield pd.DataFrame(
+                    {
+                        "event_id": pd.Series([pending_id], dtype="int64"),
+                        "ts": [pd.Timestamp(pending_s, unit="s").strftime(_TS_FMT)],
+                        "user_id": pd.Series([key[0]], dtype="int64"),
+                        "event_type": [pending_type],
+                    }
+                )
+            return
+        pdf = _ordered(pdfs)
+        if not len(pdf):
+            return
+        # whole-second arithmetic matches the batch twin's unix_timestamp()
+        ts_s = _ts_ms(pdf["ts"]) // 1000
+        out_ids, out_s, out_types = [], [], []
+        for i in range(len(pdf)):
+            t = int(ts_s.iloc[i])
+            if pending_id is not None:
+                if t - pending_s > bounce_s:  # match branch: follow-up too late
+                    out_ids.append(pending_id)
+                    out_s.append(pending_s)
+                    out_types.append(pending_type)
+                pending_id = pending_s = pending_type = None
+            if last_s is None or t - last_s > gap_s:  # session entry
+                pending_id = int(pdf["event_id"].iloc[i])
+                pending_s = t
+                pending_type = pdf["event_type"].iloc[i]
+            last_s = t
+        state.update((pending_id, pending_s, pending_type, last_s))
+        if pending_id is not None:
+            _safe_timeout(state, (pending_s + bounce_s) * 1000)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series(out_ids, dtype="int64"),
+                    "ts": [pd.Timestamp(s, unit="s").strftime(_TS_FMT) for s in out_s],
+                    "user_id": pd.Series([key[0]] * len(out_ids), dtype="int64"),
+                    "event_type": out_types,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="event_id bigint, ts string, user_id bigint, event_type string",
+        stateStructType="pending_id bigint, pending_s bigint, pending_type string, last_s bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

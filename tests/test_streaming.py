@@ -1,0 +1,166 @@
+"""Streaming tests: replay the events table through Structured Streaming and
+check each streaming operator produces EXACTLY its oracle-checked batch
+twin's result (SURVEY §5 strategy — batch parity transfers to streaming)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from flinkproject_spark import catalog
+from flinkproject_spark.operators import joins, routing, state, windows
+from flinkproject_spark.streaming import jobs, replay, sinks, stateful
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return catalog.load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def staged(spark, events, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("replay") / "events")
+    replay.stage_replay(events, path, chunks=8)
+    return path
+
+
+def _stream(spark, staged):
+    return replay.read_replay(spark, staged)
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+# --- harness ---------------------------------------------------------------
+
+def test_replay_roundtrip_preserves_rows(spark, events, staged):
+    out = replay.run_to_table(_stream(spark, staged))
+    # all original rows + exactly one heartbeat sentinel
+    assert out.count() == events.count() + 1
+    assert out.filter(F.col("user_id") == replay.HEARTBEAT_ID).count() == 1
+    got = _sorted_rows(replay.drop_heartbeats(out), ["event_id"])
+    want = _sorted_rows(events, ["event_id"])
+    assert got == want
+
+
+def test_replay_chunks_are_time_ordered(spark, staged):
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 9  # 8 chunks + heartbeat
+    last_max = None
+    for f in files:
+        b = spark.read.parquet(f"{staged}/{f}")
+        lo, hi = b.agg(F.min("ts"), F.max("ts")).first()
+        if last_max is not None:
+            assert lo >= last_max
+        last_max = hi
+
+
+# --- A6/A7 windowed aggregates --------------------------------------------
+
+def test_visitor_stats_stream_matches_batch(spark, events, staged):
+    got = replay.run_to_table(jobs.visitor_stats_stream(_stream(spark, staged)))
+    want = windows.visitor_stats(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_window_distinct_stream_matches_batch(spark, events, staged):
+    got = replay.run_to_table(jobs.window_distinct_users_stream(_stream(spark, staged)))
+    want = windows.window_distinct_users(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+# --- A8 stream-stream interval join ---------------------------------------
+
+def test_payment_wide_stream_matches_batch(spark, events, staged):
+    got = replay.run_to_table(jobs.payment_wide_stream(_stream(spark, staged)))
+    want = joins.payment_wide(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+# --- A10/A11/A12 stateful operators ---------------------------------------
+
+def test_is_new_flag_stream_matches_batch(spark, events, staged):
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.fix_is_new_flag_stream(wm))
+    want = state.fix_is_new_flag(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_unique_visits_stream_matches_batch(spark, events, staged):
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.unique_visits_stream(wm))
+    want = state.unique_visits(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_bounce_stream_matches_batch_incl_timeout_path(spark, events, staged):
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.detect_bounces_stream(wm))
+    want = state.detect_bounces(events)
+    cols = want.columns
+    got_rows, want_rows = _sorted_rows(got, cols), _sorted_rows(want, cols)
+    assert got_rows == want_rows
+    # the timeout branch must have fired: every user's final session-entry
+    # has no following event, so each user contributes >=1 timer-emitted row
+    assert got.select("user_id").distinct().count() == events.select("user_id").distinct().count()
+
+
+def test_unique_visits_dropdup_counts(spark, events, staged):
+    got = replay.run_to_table(jobs.unique_visits_dropdup_stream(_stream(spark, staged)))
+    want = state.unique_visits(events)
+    # dropDuplicates keeps an arbitrary row per (user, day): counts match
+    assert got.count() == want.count()
+    assert _sorted_rows(got, ["user_id", "dt"]) == _sorted_rows(want, ["user_id", "dt"])
+
+
+# --- A15/B5 routed CDC sink -----------------------------------------------
+
+def test_routed_cdc_sink_writes_pruned_tables(spark, tmp_path):
+    orders = catalog.load_table(spark, "/root/testdata/sf0.001", "orders")
+    enveloped = orders.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("orders").alias("tableName"),
+                F.create_map(
+                    F.lit("o_orderkey"), F.col("o_orderkey").cast("string"),
+                    F.lit("o_custkey"), F.col("o_custkey").cast("string"),
+                    F.lit("o_totalprice"), F.col("o_totalprice").cast("string"),
+                    F.lit("o_orderdate"), F.col("o_orderdate").cast("string"),
+                    F.lit("o_orderstatus"), F.col("o_orderstatus"),
+                ).alias("after"),
+                F.lit("insert").alias("type"),
+            )
+        ).alias("value")
+    )
+    staged = str(tmp_path / "cdc")
+    replay.stage_replay(
+        enveloped.withColumn("event_id", F.monotonically_increasing_id()),
+        staged, order_col="event_id", tiebreak="event_id", chunks=4, heartbeat_keys=(),
+    )
+    stream = replay.read_replay(spark, staged).drop("event_id")
+    decoded = routing.decode_cdc_envelope(stream)
+    base = str(tmp_path / "sinks")
+    q = sinks.start_routed_cdc_sink(decoded, base, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(f"{base}/dwd_order_info")
+    assert out.columns == ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    assert out.count() == orders.count()
+    # update-rule sink must not exist: no update-typed rows were routed
+    assert not os.path.exists(f"{base}/dwd_order_update")
+
+
+def test_kafka_value_frame_shape(spark):
+    df = spark.createDataFrame([(1, "a", "t1"), (2, "b", "t2")], ["id", "v", "sink"])
+    out = sinks.kafka_value_frame(df, topic_col="sink")
+    assert out.columns == ["topic", "value"]
+    rows = {r.topic: r.value for r in out.collect()}
+    assert '"id":1' in rows["t1"] and '"v":"b"' in rows["t2"]

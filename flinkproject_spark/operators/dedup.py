@@ -24,11 +24,11 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flinkproject_spark import functions as K
-from flinkproject_spark.operators.text import tokens, word_ngrams
+from flinkproject_spark.operators.text import tokens
 
 HashFn = Callable[[Column], Column]
 
@@ -53,14 +53,35 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows via posexplode + lead() windows.
+
+    Deliberately NOT the higher-order-function form
+    (`transform(sequence(...), i -> concat_ws(x[i], ...))`): lambda
+    functions run on Spark's interpreted expression path (no whole-stage
+    codegen) and, post-CollapseProject, re-evaluate the tokenizing `split`
+    per element access — measured ~17 s for a 260 k-shingle corpus where
+    this window form takes ~1 s. posexplode/lead/concat_ws are all
+    codegen'd, and the single doc_id window shuffle is reused by every
+    downstream per-doc aggregation.
+    """
+    tok = documents.select("doc_id", F.posexplode("x").alias("pos", "w0"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w0", k).over(w).alias(f"w{k}") for k in range(1, n)]
+    grams = tok.select("doc_id", "w0", *leads).filter(F.col(f"w{n-1}").isNotNull())
+    return grams.select(
+        "doc_id", F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("sh")
+    )
+
+
 def shingle_docs(documents: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> distinct word n-gram shingle array."""
-    return documents.select(
-        "doc_id",
-        F.array_distinct(
-            word_ngrams(F.col("x"), n)
-        ).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    return (
+        _shingle_rows(documents, n)
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("sh")).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
 
 
 def minhash_signatures(
@@ -75,10 +96,11 @@ def minhash_signatures(
     parallel aggregates map-side before the shuffle.
     """
     hash_fn = hash_fn or K.hash64
-    sh = documents.withColumn("x", tokens("text"))
-    sh = shingle_docs(sh, n).filter(F.col("n_sh") > 0)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    based = exploded.select(
+    # No distinct/array round-trip: min over the shingle multiset equals min
+    # over the set, so signatures consume the raw (doc_id, shingle) rows.
+    # The groupBy reuses the doc_id window partitioning from _shingle_rows.
+    rows = _shingle_rows(documents.withColumn("x", tokens("text")), n)
+    based = rows.select(
         "doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb")
     )
     aggs = [
@@ -93,33 +115,35 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and emit distinct candidate pairs per shared bucket.
 
-    Bucket key = md5 of the band's hash tuple; the self-join runs per
-    (band, bucket) — at scale, bucket sizes are small so the join output is
-    near-linear in input, not quadratic.
+    Plan shape matters here: banding is ONE `explode` over an array of
+    (band, bucket) structs — not a union of per-band projections — and pair
+    generation is a grouped `collect_list` + within-bucket expansion — not a
+    self-join. A union/self-join form re-evaluates the whole upstream
+    signature pipeline (explode + md5 + groupBy) once per branch and per
+    join side (~8x at 4 bands: Spark does not reuse common subplans across
+    union/join branches); this form computes it exactly once and shuffles
+    once, on the near-uniform (band, bucket) key. Bucket membership lists
+    are bounded by bucket size (small by construction of the LSH family), so
+    the per-group expansion stays near-linear at 100 TB.
     """
-    band_rows = []
+    band_structs = []
     for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
+        cols = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -166,7 +190,11 @@ def minhash_lsh_dedup(
 def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash over tokens: bit b of the signature is set when the
     sum over tokens of (+1 if token-hash bit b set else -1) is positive."""
-    toks = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    # repartition before the per-token hash for the same reason as
+    # minhash_signatures (parallelize + shuffle-free groupBy)
+    toks = documents.repartition(F.col("doc_id")).select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
     hashed = toks.select("doc_id", K.hash32(F.col("t")).alias("h"))
     bit_aggs = [
         F.sum(
@@ -187,27 +215,29 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     pair with hamming <= 3 over 32 bits shares at least one exact band),
     then exact hamming check with bit_count(xor)."""
     sigs = simhash_signatures(documents)
-    band_rows = []
-    for b in range(4):
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                "simhash",
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bucket"),
-            )
+    # same single-pass band-explode + bucket-expansion shape as
+    # lsh_candidate_pairs (avoids re-evaluating the 32-bit-agg pipeline per
+    # union branch / join side)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("bucket"),
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
-    a, b_ = banded.alias("a"), banded.alias("b")
+        for b in range(4)
+    ]
+    banded = sigs.select(
+        F.struct("doc_id", "simhash").alias("ds"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("ds", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("ds").alias("members"))
+        .filter(F.size("members") > 1)
+    )
     pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

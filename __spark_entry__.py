@@ -25,7 +25,17 @@ from pyspark.sql import functions as F
 
 from flinkproject_spark import catalog, session
 from flinkproject_spark import functions as K
-from flinkproject_spark.operators import dedup, joins, relational, routing, similarity, state, text, windows
+from flinkproject_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    relational,
+    routing,
+    similarity,
+    state,
+    text,
+    windows,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -273,6 +283,20 @@ def q_text_fingerprint(spark, sf):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def q_mm_decode(spark, sf):
+    """Multimodal decode plumbing (mapInPandas over binary payloads; the
+    decode itself is the documented stub)."""
+    return multimodal.decode_assets(multimodal.documents_as_assets(_t(spark, sf, "documents")))
+
+
+def q_mm_frame_sample(spark, sf):
+    return multimodal.frame_sample(multimodal.documents_as_assets(_t(spark, sf, "documents")))
+
+
+def q_mm_features(spark, sf):
+    return multimodal.extract_features(multimodal.documents_as_assets(_t(spark, sf, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -310,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "mm_decode": q_mm_decode,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_features": q_mm_features,
     }
 
 
@@ -701,6 +728,25 @@ def oracle_sql() -> dict[str, str]:
                                       'string_agg', ' ')) AS fingerprint,
                    len(string_split(text, ' '))::BIGINT AS n_tokens
             FROM documents""",
+        "mm_decode": f"""
+            SELECT doc_id AS asset_id,
+                   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS payload_md5,
+                   (64 + {H32.format(x='text')} % 1920)::BIGINT AS width,
+                   (64 + (('0x' || substr(md5(text), 9, 8))::BIGINT) % 1080)::BIGINT AS height
+            FROM documents""",
+        "mm_frame_sample": """
+            SELECT doc_id AS asset_id, (doc_id % 20 + 10)::BIGINT AS n_frames,
+                   f::BIGINT AS frame_idx
+            FROM documents, unnest(generate_series(0, (doc_id % 20 + 10) - 1, 4)) AS t(f)
+            WHERE doc_id % 3 = 2""",
+        "mm_features": """
+            SELECT doc_id AS asset_id, i::BIGINT AS feat_idx,
+                   ((('0x' || substr(md5(text || '|' || i), 1, 8))::BIGINT % 1000)
+                    / 1000.0)::DOUBLE AS feature
+            FROM documents, unnest(generate_series(0, 7)) AS t(i)""",
     }
 
 

@@ -188,3 +188,34 @@ def test_fingerprint_invariant_to_word_order(spark):
     )
     fps = text.fingerprints(docs).toPandas()
     assert fps["fingerprint"].nunique() == 1
+
+
+# --- multimodal (north-star: binary payloads + mapInPandas plumbing) --------
+
+def test_multimodal_assets_schema_and_kinds(tables):
+    from flinkproject_spark.operators import multimodal
+
+    assets = multimodal.documents_as_assets(tables["documents"])
+    assert dict(assets.dtypes)["payload"] == "binary"
+    kinds = {r.kind for r in assets.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_multimodal_decode_is_deterministic(tables):
+    from flinkproject_spark.operators import multimodal
+
+    assets = multimodal.documents_as_assets(tables["documents"])
+    a = multimodal.decode_assets(assets).orderBy("asset_id").collect()
+    b = multimodal.decode_assets(assets).orderBy("asset_id").collect()
+    assert a == b
+    assert all(64 <= r.width < 64 + 1920 and 64 <= r.height < 64 + 1080 for r in a[:20])
+
+
+def test_multimodal_feature_vectors_fixed_width(tables):
+    from flinkproject_spark.operators import multimodal
+
+    assets = multimodal.documents_as_assets(tables["documents"])
+    vecs = multimodal.feature_vectors(assets, dim=8)
+    rows = vecs.limit(10).collect()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= f < 1.0 for r in rows for f in r.features)

@@ -283,6 +283,23 @@ def q_text_fingerprint(spark, sf):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def q_a19_udtf_lateral(spark, sf):
+    """A19/D — keyword counts through the registered Python UDTF + LATERAL
+    (the reference's exact query shape, KeywordStatsApp.java:55-75); the
+    explode-based a19_keyword_stats is the JVM fast path for the same
+    semantics."""
+    session.configure(spark)
+    catalog.register_views(spark, sf, ("documents",))
+    text.register_split_words(spark)
+    return spark.sql("""
+        SELECT word AS keyword, COUNT(*) AS ct, 'search' AS source
+        FROM documents, LATERAL split_words(text)
+        GROUP BY word
+        ORDER BY ct DESC, keyword
+        LIMIT 100
+    """)
+
+
 def q_mm_decode(spark, sf):
     """Multimodal decode plumbing (mapInPandas over binary payloads; the
     decode itself is the documented stub)."""
@@ -318,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
         "a18_gmv_day_range": q_a18_gmv_day_range,
         "a19_keyword_stats": q_a19_keyword_stats,
+        "a19_udtf_lateral": q_a19_udtf_lateral,
         "a20_sql_province_stats": q_a20_sql_province_stats,
         "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
         "province_stats": q_province_stats,
@@ -633,6 +651,12 @@ def oracle_sql() -> dict[str, str]:
         "a19_keyword_stats": """
             SELECT keyword, COUNT(*) AS ct, 'search' AS source FROM (
               SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
+            GROUP BY keyword
+            ORDER BY ct DESC, keyword LIMIT 100""",
+        "a19_udtf_lateral": """
+            SELECT keyword, COUNT(*) AS ct, 'search' AS source FROM (
+              SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
+            WHERE keyword <> ''
             GROUP BY keyword
             ORDER BY ct DESC, keyword LIMIT 100""",
         "a20_sql_province_stats": _province_stats_sql(),

@@ -1,0 +1,88 @@
+"""Skew-handling primitives: salted aggregation and salted shuffle joins.
+
+The reference never confronts skew (parallelism 1 everywhere — SURVEY §6);
+at 100 TB it is the first thing that breaks a shuffle: one hot key (a viral
+sku, a bot device id) lands an entire reduce partition on one executor.
+AQE's skew-join splitting (enabled in session.py) handles the join case at
+runtime; these operators are the *explicit* valves for the two cases AQE
+does not cover — aggregation skew, and joins where the planner must be
+forced to pre-spread a hot key.
+
+- `salted_agg`: two-phase aggregation. Phase 1 groups by (keys, salt) so a
+  hot key's rows spread over `buckets` partitions; phase 2 merges the
+  partials by the true keys. Only works for decomposable aggregates
+  (sum/count/min/max — the re-aggregation is given per measure).
+- `salted_join`: fact rows get a deterministic salt in [0, buckets); the
+  (small-ish) right side is replicated `buckets` times via explode, so the
+  shuffle key (key, salt) spreads a hot fact key over `buckets` reducers.
+  Use when the right side is too big to broadcast but small enough to
+  replicate; broadcast remains the first choice for true dims.
+
+Both are semantics-preserving (tests assert equality with the unsalted
+plans) and deterministic: the salt is a hash of the whole fact row's
+distinguishing column, not rand(), so retries/speculative tasks agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def _salt_col(distinct_col: str | Column, buckets: int) -> Column:
+    c = F.col(distinct_col) if isinstance(distinct_col, str) else distinct_col
+    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    salt_from: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    measures: {out_name: (input_col, fn)} with fn in {"sum", "count",
+    "min", "max"} — the decomposable set (phase-2 re-agg: count -> sum).
+    `salt_from` is any column whose values spread a hot key's rows (a row
+    id, an event id); hashing it gives a uniform deterministic salt.
+    """
+    refn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    phase1 = df.withColumn(SALT, _salt_col(salt_from, buckets)).groupBy(
+        *keys, SALT
+    ).agg(
+        *[
+            getattr(F, fn)(col).alias(out)
+            for out, (col, fn) in measures.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, refn[fn])(out).alias(out)
+            for out, (_, fn) in measures.items()
+        ]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    right: DataFrame,
+    fact_key: str,
+    right_key: str,
+    salt_from: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join: fact gets salt = hash(salt_from) % buckets,
+    right side is replicated once per salt value, join key becomes
+    (key, salt). Output columns = fact ⊕ right minus the helper columns.
+    """
+    f = fact.withColumn(SALT, _salt_col(salt_from, buckets))
+    r = right.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = f.join(r, (f[fact_key] == r[right_key]) & (f[SALT] == r[SALT]), how)
+    return out.drop(f[SALT]).drop(r[SALT])

@@ -160,3 +160,33 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("x")))).alias("fingerprint"),
         F.size("x").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19/D — the UDTF registration surface (SplitFunction.java:12-29)
+# ---------------------------------------------------------------------------
+def register_split_words(spark) -> None:
+    """Register `split_words` as a Python UDTF usable with LATERAL — the
+    direct analog of the reference's `createTemporarySystemFunction` +
+    `LATERAL TABLE(split_words(fullword))` (KeywordStatsApp.java:55-61).
+
+    Like the reference's UDTF (which falls back to emitting the raw string
+    when the segmenter errors — SplitFunction.java:21-27), empty/null input
+    yields nothing rather than failing.
+
+    Production note: the explode(split(...)) form in keyword_stats is the
+    JVM-side fast path; this UDTF exists for the *extensibility* surface —
+    a real segmenter (jieba etc.) drops into `eval` without touching the
+    query, at Arrow-batched Python cost.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    if w:
+                        yield (w, i)
+
+    spark.udtf.register("split_words", SplitWords)

@@ -89,6 +89,87 @@ def payment_wide_stream(
 
 
 # ---------------------------------------------------------------------------
+# A9 — stream-static broadcast enrichment + windowed agg (ProvinceStats live)
+# ---------------------------------------------------------------------------
+def province_stats_stream(
+    orders_stream: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    duration_days: int = 365,
+    delay: str = "1 day",
+) -> DataFrame:
+    """The reference's core enrichment pattern live: a streaming fact joined
+    to *static* dim snapshots via broadcast (the whole DimAsyncFunction +
+    Redis apparatus — OrderWideApp.java:126-231 — reduced to a hash probe),
+    then the windowed province aggregate.
+
+    Streaming-legal distinct: `size(collect_set(...))` replaces the batch
+    twin's countDistinct (same exact value). Column-compatible with
+    operators.windows.province_stats for replay parity tests.
+    """
+    # watermark columns must be TIMESTAMP (not NTZ); session tz is pinned
+    # UTC so the cast is wall-clock preserving
+    orders_stream = orders_stream.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    wm = orders_stream.withWatermark("o_orderdate", delay)
+    enriched = wm.join(
+        F.broadcast(customer), wm.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    agg = (
+        enriched.groupBy(
+            F.window("o_orderdate", f"{duration_days} days"),
+            F.col("n_nationkey").alias("province_id"),
+            F.col("n_name").alias("province_name"),
+        )
+        .agg(
+            K.money_sum("o_totalprice").alias("order_amount"),
+            F.size(F.collect_set("o_orderkey")).cast("bigint").alias("order_count"),
+        )
+    )
+    return agg.select(
+        K.ts_to_str(F.col("window.start")).alias("stt"),
+        K.ts_to_str(F.col("window.end")).alias("edt"),
+        "province_id",
+        "province_name",
+        "order_amount",
+        "order_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — stream-stream interval join on two independent streams (OrderWide)
+# ---------------------------------------------------------------------------
+def interval_join_stream(
+    orders_stream: DataFrame,
+    lineitem_stream: DataFrame,
+    days_after: int = 30,
+    delay: str = "1 day",
+) -> DataFrame:
+    """orders ⋈ lineitem as two watermarked streams — the true streaming
+    form of OrderWideApp's interval join (OrderWideApp.java:99-107): the
+    equi-key plus the time-range predicate let Spark bound both sides'
+    join state to interval width + watermark delay. Inner-join matches emit
+    eagerly (no watermark wait), so replay output equals the batch join.
+
+    Replay note: both sides' heartbeat sentinels share key -1 and could
+    pair; callers filter `o_orderkey != -1` post-join (the operator output
+    carries the key).
+    """
+    o = orders_stream.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    ).withWatermark("o_orderdate", delay)
+    l = lineitem_stream.withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    ).withWatermark("l_shipdate", delay)
+    from flinkproject_spark.operators.joins import interval_join_orders_lineitem
+
+    return interval_join_orders_lineitem(o, l, days_after=days_after).filter(
+        F.col("o_orderkey") != -1
+    )
+
+
+# ---------------------------------------------------------------------------
 # A10 built-in approximation — dropDuplicates dedup (vs stateful exact twin)
 # ---------------------------------------------------------------------------
 def unique_visits_dropdup_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:

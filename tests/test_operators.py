@@ -219,3 +219,43 @@ def test_multimodal_feature_vectors_fixed_width(tables):
     rows = vecs.limit(10).collect()
     assert all(len(r.features) == 8 for r in rows)
     assert all(0.0 <= f < 1.0 for r in rows for f in r.features)
+
+
+# --- scale: salting valves --------------------------------------------------
+
+def test_salted_agg_equals_plain_agg(tables):
+    from flinkproject_spark.operators import scale
+
+    li = tables["lineitem"]
+    plain = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.count("*").alias("ct"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+    )
+    salted = scale.salted_agg(
+        li,
+        keys=["l_partkey"],
+        measures={"qty": ("l_quantity", "sum"), "ct": ("l_orderkey", "count"),
+                  "mx": ("l_extendedprice", "max")},
+        salt_from="l_orderkey",
+        buckets=8,
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_salted_join_equals_plain_join(tables):
+    from flinkproject_spark.operators import scale
+
+    li, part = tables["lineitem"], tables["part"]
+    plain = li.join(part, li.l_partkey == part.p_partkey).select("l_orderkey", "l_linenumber", "p_name")
+    salted = scale.salted_join(
+        li, part, "l_partkey", "p_partkey", salt_from="l_orderkey", buckets=4
+    ).select("l_orderkey", "l_linenumber", "p_name")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b

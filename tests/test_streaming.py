@@ -164,3 +164,44 @@ def test_kafka_value_frame_shape(spark):
     assert out.columns == ["topic", "value"]
     rows = {r.topic: r.value for r in out.collect()}
     assert '"id":1' in rows["t1"] and '"v":"b"' in rows["t2"]
+
+
+# --- A9 stream-static enrichment + A8 two-stream interval join -------------
+
+@pytest.fixture(scope="module")
+def orders_staged(spark, sf_dir, tmp_path_factory):
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    path = str(tmp_path_factory.mktemp("replay") / "orders")
+    replay.stage_replay(orders, path, order_col="o_orderdate", tiebreak="o_orderkey",
+                        chunks=6, heartbeat_keys=("o_orderkey", "o_custkey"))
+    return path
+
+
+def test_province_stats_stream_static_matches_batch(spark, sf_dir, orders_staged):
+    customer = catalog.load_table(spark, sf_dir, "customer")
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    got = replay.run_to_table(
+        jobs.province_stats_stream(_stream(spark, orders_staged), customer, nation)
+    )
+    want = windows.province_stats(
+        catalog.load_table(spark, sf_dir, "orders"), customer, nation
+    )
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_interval_join_two_streams_matches_batch(spark, sf_dir, orders_staged, tmp_path_factory):
+    lineitem = catalog.load_table(spark, sf_dir, "lineitem")
+    li_path = str(tmp_path_factory.mktemp("replay") / "lineitem")
+    replay.stage_replay(lineitem, li_path, order_col="l_shipdate", tiebreak="l_orderkey",
+                        chunks=6, heartbeat_keys=("l_orderkey",))
+    from flinkproject_spark.operators.joins import interval_join_orders_lineitem
+
+    got = replay.run_to_table(
+        jobs.interval_join_stream(_stream(spark, orders_staged), _stream(spark, li_path))
+    )
+    want = interval_join_orders_lineitem(
+        catalog.load_table(spark, sf_dir, "orders"), lineitem
+    )
+    cols = ["o_orderkey", "l_linenumber", "l_partkey", "order_price", "sku_num"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -314,6 +314,10 @@ def q_mm_features(spark, sf):
     return multimodal.extract_features(multimodal.documents_as_assets(_t(spark, sf, "documents")))
 
 
+def q_mm_resize(spark, sf):
+    return multimodal.resize_assets(multimodal.documents_as_assets(_t(spark, sf, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -355,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode": q_mm_decode,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
+        "mm_resize": q_mm_resize,
     }
 
 
@@ -771,6 +776,13 @@ def oracle_sql() -> dict[str, str]:
                    ((('0x' || substr(md5(text || '|' || i), 1, 8))::BIGINT % 1000)
                     / 1000.0)::DOUBLE AS feature
             FROM documents, unnest(generate_series(0, 7)) AS t(i)""",
+        "mm_resize": """
+            SELECT doc_id AS asset_id,
+                   CASE (doc_id % 3) WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+                   224::BIGINT AS width, 224::BIGINT AS height,
+                   md5(text || '|224x224') AS resized_md5
+            FROM documents
+            WHERE doc_id % 3 IN (0, 2)""",
     }
 
 

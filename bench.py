@@ -26,18 +26,30 @@ HEADLINE = [
     "province_stats",
     "product_stats",
     "a6_visitor_stats",
+    "a7_window_distinct",
     "a8_interval_join",
     "a9_order_wide",
     "a9_product_wide",
     "a10_unique_visits",
+    "a11_is_new_flag",
     "a12_bounce",
+    "a13_sessionize",
     "a17_topn_gmv_brand",
     "a19_keyword_stats",
+    "a20_sql_province_stats",
+    "b4_cdc_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_blocked",
+    "dedup_embedding",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
     "text_quality",
+    "text_langid",
+    "text_token_stats",
+    "mm_decode",
+    "mm_features",
 ]
 
 

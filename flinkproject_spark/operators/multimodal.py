@@ -159,6 +159,44 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id bigint, kind string, width bigint, height bigint, "
+    "resized_md5 string"
+)
+
+
+def resize_assets(assets: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize plumbing (same STUB contract as _decode_batch): emits the
+    target dimensions plus a deterministic content hash standing in for the
+    resized payload — a real deployment swaps the hash for
+    PIL `Image.resize` bytes inside the identical mapInPandas shape.
+
+    Only image/video assets resize; audio rows are filtered relationally so
+    the scan prunes them before any Python runs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            md5s = [
+                hashlib.md5(bytes(p) + f"|{target_w}x{target_h}".encode()).hexdigest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                    "resized_md5": md5s,
+                }
+            )
+
+    visual = assets.filter(F.col("kind").isin("image", "video"))
+    return visual.select("asset_id", "kind", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def feature_vectors(assets: DataFrame, dim: int = 8) -> DataFrame:
     """Assemble (asset_id, features array<double>) from the feature rows —
     the bridge into the similarity operators' array<float> surface."""

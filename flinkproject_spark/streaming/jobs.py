@@ -170,6 +170,36 @@ def interval_join_stream(
 
 
 # ---------------------------------------------------------------------------
+# A20 — SQL over a streaming dynamic table (ProvinceStatsSqlApp.java:35-68)
+# ---------------------------------------------------------------------------
+def sql_visitor_stats_stream(
+    events_stream: DataFrame,
+    duration: str = "10 minutes",
+    delay: str = DEFAULT_DELAY,
+    view: str = "events_dyn",
+) -> DataFrame:
+    """Flink's `CREATE TABLE ... WITH (kafka)` + `TUMBLE` SQL surface: the
+    watermarked stream registers as a temp view and plain `spark.sql` with
+    `window()` grouping runs against it — the result is itself a streaming
+    DataFrame (dynamic-table semantics, SURVEY §1.1-2).
+
+    `size(collect_set())` is the streaming-legal exact distinct (the SQL
+    `count(distinct)` at ProvinceStatsSqlApp.java:57)."""
+    spark = events_stream.sparkSession
+    watermarked_events(events_stream, delay).createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end,   'yyyy-MM-dd HH:mm:ss') AS edt,
+               event_type,
+               CAST(size(collect_set(user_id)) AS BIGINT) AS uv_ct,
+               COUNT(*) AS pv_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        FROM {view}
+        GROUP BY window(ts, '{duration}'), event_type
+    """)
+
+
+# ---------------------------------------------------------------------------
 # A10 built-in approximation — dropDuplicates dedup (vs stateful exact twin)
 # ---------------------------------------------------------------------------
 def unique_visits_dropdup_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:

@@ -205,3 +205,22 @@ def test_interval_join_two_streams_matches_batch(spark, sf_dir, orders_staged, t
     )
     cols = ["o_orderkey", "l_linenumber", "l_partkey", "order_price", "sku_num"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+# --- A20 SQL over a streaming dynamic table ---------------------------------
+
+def test_sql_over_stream_matches_batch_sql(spark, events, staged):
+    got = replay.run_to_table(jobs.sql_visitor_stats_stream(_stream(spark, staged)))
+    events.createOrReplaceTempView("events_batch")
+    want = spark.sql("""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end,   'yyyy-MM-dd HH:mm:ss') AS edt,
+               event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct,
+               COUNT(*) AS pv_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS dur_sum
+        FROM events_batch
+        GROUP BY window(ts, '10 minutes'), event_type
+    """)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -91,6 +91,14 @@ def stage_replay(
             hb_dir = f"{tmp}/hb"
             hb.coalesce(1).write.mode("overwrite").parquet(hb_dir)
             _move_single_part(hb_dir, f"{path}/{chunks:05d}-heartbeat.parquet")
+
+    # The file streaming source orders files by modification time; pin
+    # strictly increasing, well-spaced mtimes so replay order can never
+    # collide (a reordered heartbeat would — correctly — late-drop the
+    # chunks it jumped ahead of).
+    base_t = os.path.getmtime(f"{path}/00000.parquet")
+    for i, f in enumerate(sorted(os.listdir(path))):
+        os.utime(f"{path}/{f}", (base_t + i * 10, base_t + i * 10))
     return path
 
 

@@ -243,6 +243,11 @@ def q_sim_topk_bruteforce(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def q_sim_topk_vectorized(spark, sf):
+    out = similarity.cosine_topk_vectorized(_t(spark, sf, "embeddings"), QUERY_IDS)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def q_sim_topk_ivf(spark, sf):
     out = similarity.cosine_topk_ivf(_t(spark, sf, "embeddings"), QUERY_IDS)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -350,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_blocked": q_dedup_ngram_blocked,
         "dedup_embedding": q_dedup_embedding,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_vectorized": q_sim_topk_vectorized,
         "sim_topk_ivf": q_sim_topk_ivf,
         "text_token_stats": q_text_token_stats,
         "text_corpus_summary": q_text_corpus_summary,
@@ -718,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
                         / (({_NORM.format(a='a.embedding')})
                            * ({_NORM.format(a='b.embedding')})), 6) >= 0.35""",
         "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
+        "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
         "text_token_stats": """
             SELECT doc_id, lang, source,

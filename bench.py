@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_blocked",
     "dedup_embedding",
     "sim_topk_bruteforce",
+    "sim_topk_vectorized",
     "sim_topk_ivf",
     "text_quality",
     "text_langid",

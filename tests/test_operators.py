@@ -259,3 +259,12 @@ def test_salted_join_equals_plain_join(tables):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b
+
+
+def test_vectorized_topk_equals_bruteforce(tables):
+    from flinkproject_spark.operators import similarity
+
+    qids = [0, 1, 2]
+    a = similarity.cosine_topk_bruteforce(tables["embeddings"], qids).collect()
+    b = similarity.cosine_topk_vectorized(tables["embeddings"], qids).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

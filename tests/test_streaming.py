@@ -280,3 +280,66 @@ def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path
     want = state.unique_visits(events)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+# --- late-data semantics (SURVEY §2E): eviction-based late drop -------------
+
+def test_late_data_semantics_eviction_based(spark, tmp_path):
+    """The reference relies on Flink defaults: watermark-late events vanish
+    from windowed aggs (SURVEY §2 E). Pin the engine's guarantees for
+    append mode once the watermark has committed past a region:
+
+    - a late row for an already-finalized window is dropped — append mode
+      never re-emits or updates an emitted window;
+    - a late row opening a fresh window below the committed watermark is
+      dropped too (matching Flink's drop-late default). NB: Spark commits
+      the watermark with a one-batch lag, so a "late" row landing in the
+      very first batch after the events that *would* advance the watermark
+      can still be aggregated — the cutoff is the batch-start watermark,
+      not the instantaneous max-event-time.
+    """
+    import shutil
+    import time as _time
+
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double"
+    on_time = [(i, f"2024-01-01 10:{m:02d}:00", 1, "view", 1.0) for i, m in enumerate(range(0, 50, 5))]
+    tail1 = [(50, "2024-01-01 11:00:00", 1, "view", 1.0)]   # wm -> 10:50: evicts all 10:xx windows
+    late_dup = [(100, "2024-01-01 10:02:00", 1, "view", 1.0)]  # window 10:00 already emitted
+    late_fresh = [(101, "2024-01-01 09:00:00", 1, "view", 1.0)]  # fresh below-wm window
+    tail2 = [(102, "2024-01-01 11:30:00", 1, "view", 1.0)]
+
+    def write_file(data, name):
+        df = spark.createDataFrame(data, schema).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value"
+        )
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(f"{tmp}/{part}", str(tmp_path / "stream" / name))
+
+    os.makedirs(tmp_path / "stream")
+    write_file(on_time, "00000.parquet")
+    write_file(tail1, "00001.parquet")
+    write_file(late_dup + late_fresh + tail2, "00002.parquet")
+    for i, f in enumerate(sorted(os.listdir(tmp_path / "stream"))):
+        os.utime(str(tmp_path / "stream" / f), (_time.time() - 100 + i * 10,) * 2)
+
+    stream = replay.read_replay(spark, str(tmp_path / "stream"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("ct"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "ct")
+    )
+    rows = replay.run_to_table(agg).collect()
+    got: dict[str, list[int]] = {}
+    for r in rows:
+        got.setdefault(r.w, []).append(r.ct)
+    # on-time windows emitted once with on-time counts only: the late 10:02
+    # row must NOT produce a duplicate/updated 10:00 window
+    assert got["10:00"] == [2] and got["10:40"] == [2]
+    # the fresh below-watermark window is dropped (Flink drop-late parity;
+    # the watermark committed two batches earlier)
+    assert "09:00" not in got
+    # the final tail's window never closes
+    assert "11:30" not in got

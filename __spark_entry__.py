@@ -305,6 +305,16 @@ def q_a19_udtf_lateral(spark, sf):
     """)
 
 
+def q_session_stats(spark, sf):
+    """Session windows (native F.session_window) — an engine addition beyond
+    the reference's tumbling-only surface (SURVEY §2E)."""
+    return windows.session_stats(_t(spark, sf, "events"))
+
+
+def q_text_bpe_tokens(spark, sf):
+    return text.bpe_token_stats(_t(spark, sf, "documents"))
+
+
 def q_mm_decode(spark, sf):
     """Multimodal decode plumbing (mapInPandas over binary payloads; the
     decode itself is the documented stub)."""
@@ -362,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "session_stats": q_session_stats,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "mm_decode": q_mm_decode,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
@@ -763,6 +775,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
                                       'string_agg', ' ')) AS fingerprint,
                    len(string_split(text, ' '))::BIGINT AS n_tokens
+            FROM documents""",
+        "session_stats": f"""
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                          THEN 1 ELSE 0 END AS entry
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, SUM(entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged)
+            SELECT strftime(MIN(ts), '{FMT}') AS stt,
+                   strftime(MAX(ts) + INTERVAL 30 MINUTES, '{FMT}') AS edt,
+                   user_id, COUNT(*) AS event_ct,
+                   {MONEY.format(col='value')} AS value_sum
+            FROM sess GROUP BY user_id, sid""",
+        "text_bpe_tokens": """
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::BIGINT
+                     AS n_bpe_tokens,
+                   len(string_split_regex(text, '\\s+'))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))::DOUBLE
+                     / len(string_split_regex(text, '\\s+'))::DOUBLE AS bpe_per_word
             FROM documents""",
         "mm_decode": f"""
             SELECT doc_id AS asset_id,

@@ -49,6 +49,8 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_token_stats",
+    "text_bpe_tokens",
+    "session_stats",
     "mm_decode",
     "mm_features",
 ]

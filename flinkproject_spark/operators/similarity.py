@@ -212,3 +212,21 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             ).getField("m").alias("centroid"),
         )
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact ground truth —
+    the metric that justifies a cell-probe parameter choice. Both inputs use
+    the (query_id, rank, neighbor_id, cosine) contract."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hit = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+        .join(hit.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+             / F.col("n_exact").cast("double")).alias("recall"),
+        )
+    )

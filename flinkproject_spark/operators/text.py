@@ -190,3 +190,28 @@ def register_split_words(spark) -> None:
                         yield (w, i)
 
     spark.udtf.register("split_words", SplitWords)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (north star: whitespace + a BPE-ish regex)
+# ---------------------------------------------------------------------------
+# GPT-2-style pretokenizer, ASCII-restricted so the Java (Spark) and RE2
+# (DuckDB oracle) regex engines agree: runs of letters, runs of digits, runs
+# of other non-space symbols — each optionally preceded by one space.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Approximate LLM-token counts per document via the BPE-style
+    pretokenizer regex — the standard cheap stand-in for a real tokenizer
+    when budgeting a pre-training corpus (whitespace tokens undercount
+    punctuation-heavy text). Pure JVM regexp, no Python."""
+    pieces = F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)")
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(pieces).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        (F.size(pieces).cast("double") / F.size(F.split("text", r"\s+")).cast("double")
+         ).alias("bpe_per_word"),
+    )

@@ -162,3 +162,33 @@ def keyword_stats(documents: DataFrame, source_tag: str = "search", top: int = 1
         .orderBy(F.desc("ct"), F.asc("keyword"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (beyond the reference — SURVEY §2E notes it has none; the
+# engine adds them because Spark has a native operator and the DWM bounce/UV
+# logic is naturally session-shaped)
+# ---------------------------------------------------------------------------
+def session_stats(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Per-user session aggregates via native `session_window`: a session
+    extends while consecutive events arrive within `gap_min`; end = last
+    event + gap. Works identically over batch and watermarked streams
+    (where state for closed sessions is evicted by the watermark).
+
+    Merge semantics: two events fuse when the second starts strictly before
+    the first's window end (ts_prev + gap); an exact-gap arrival opens a new
+    session — mirrored in the oracle with a >= on epoch-microsecond diffs.
+    """
+    agg = events.groupBy(
+        F.session_window("ts", f"{gap_min} minutes"), "user_id"
+    ).agg(
+        F.count("*").alias("event_ct"),
+        K.money_sum("value").alias("value_sum"),
+    )
+    return agg.select(
+        K.ts_to_str(F.col("session_window.start")).alias("stt"),
+        K.ts_to_str(F.col("session_window.end")).alias("edt"),
+        "user_id",
+        "event_ct",
+        "value_sum",
+    )

@@ -170,6 +170,16 @@ def interval_join_stream(
 
 
 # ---------------------------------------------------------------------------
+# Session windows as a streaming query (engine addition; watermark evicts
+# closed-session state, heartbeat sessions never close -> never emit)
+# ---------------------------------------------------------------------------
+def session_stats_stream(
+    events: DataFrame, gap_min: int = 30, delay: str = DEFAULT_DELAY
+) -> DataFrame:
+    return windows.session_stats(watermarked_events(events, delay), gap_min)
+
+
+# ---------------------------------------------------------------------------
 # A20 — SQL over a streaming dynamic table (ProvinceStatsSqlApp.java:35-68)
 # ---------------------------------------------------------------------------
 def sql_visitor_stats_stream(

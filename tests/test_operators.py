@@ -268,3 +268,19 @@ def test_vectorized_topk_equals_bruteforce(tables):
     a = similarity.cosine_topk_bruteforce(tables["embeddings"], qids).collect()
     b = similarity.cosine_topk_vectorized(tables["embeddings"], qids).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_recall_measured_against_bruteforce(tables):
+    from flinkproject_spark.operators import similarity
+
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk_bruteforce(tables["embeddings"], qids)
+    approx = similarity.cosine_topk_ivf(tables["embeddings"], qids)
+    rec = {r.query_id: r.recall for r in similarity.recall_at_k(approx, exact).collect()}
+    assert set(rec) == set(qids)
+    assert all(0.0 <= v <= 1.0 for v in rec.values())
+    # the synthetic `label` column is an arbitrary cell assignment, not a
+    # trained quantizer, so no recall floor is asserted — the point is that
+    # the metric is measurable; a perfect-probe sanity check instead:
+    self_rec = {r.query_id: r.recall for r in similarity.recall_at_k(exact, exact).collect()}
+    assert all(v == 1.0 for v in self_rec.values())

@@ -343,3 +343,12 @@ def test_late_data_semantics_eviction_based(spark, tmp_path):
     assert "09:00" not in got
     # the final tail's window never closes
     assert "11:30" not in got
+
+
+# --- session windows: streaming == batch ------------------------------------
+
+def test_session_stats_stream_matches_batch(spark, events, staged):
+    got = replay.run_to_table(jobs.session_stats_stream(_stream(spark, staged)))
+    want = windows.session_stats(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -170,6 +170,36 @@ def interval_join_stream(
 
 
 # ---------------------------------------------------------------------------
+# A6+A7 — ProductStats as a streaming query (ProductStatsApp.java:215-261)
+# ---------------------------------------------------------------------------
+def product_stats_stream(
+    lineitem_stream: DataFrame, duration_days: int = 30, delay: str = "1 day"
+) -> DataFrame:
+    """Per-sku windowed measures with streaming-legal exact distinct-order
+    counts; column-compatible with operators.windows.product_stats."""
+    li = lineitem_stream.withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    ).withWatermark("l_shipdate", delay)
+    agg = (
+        li.groupBy(
+            F.window("l_shipdate", f"{duration_days} days"),
+            F.col("l_partkey").alias("sku_id"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sku_num"),
+            F.sum(K.revenue("l_extendedprice", "l_discount")).cast("double").alias("order_amount"),
+            F.size(F.collect_set("l_orderkey")).cast("bigint").alias("order_ct"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+    return agg.select(
+        K.ts_to_str(F.col("window.start")).alias("stt"),
+        K.ts_to_str(F.col("window.end")).alias("edt"),
+        "sku_id", "sku_num", "order_amount", "order_ct", "line_ct",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Session windows as a streaming query (engine addition; watermark evicts
 # closed-session state, heartbeat sessions never close -> never emit)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) for the cross-engine kernel contracts —
+the invariants every oracle comparison silently depends on."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from flinkproject_spark import functions as K
+
+SETTINGS = dict(max_examples=20, deadline=None)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=40), min_size=1, max_size=20))
+def test_hash64_nonnegative_and_stable(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], ["s"])
+    got = [r.h for r in df.select(K.hash64("s").alias("h")).collect()]
+    assert all(0 <= h < 2**60 for h in got)
+    again = [r.h for r in df.select(K.hash64("s").alias("h")).collect()]
+    assert got == again
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=K.MINHASH_P - 1), min_size=1, max_size=20),
+       st.integers(min_value=0, max_value=15))
+def test_minhash_member_stays_in_field(spark, hs, i):
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    got = [r.m for r in df.select(K.minhash_member(F.col("h"), i).alias("m")).collect()]
+    assert all(0 <= m < K.MINHASH_P for m in got)
+    # the affine map with a != 0 is a bijection mod P: distinct in -> distinct out
+    assert len(set(got)) == len(set(hs))
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.decimals(min_value=Decimal("-99999.99"), max_value=Decimal("99999.99"),
+                            places=2, allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=30))
+def test_money_sum_is_exact_decimal_sum(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    (got,) = df.select(K.money_sum("v").alias("s")).first()
+    # exact decimal accumulation of the 2-dp-quantized doubles
+    want = float(sum(Decimal(str(float(v))).quantize(Decimal("0.01")) for v in vals))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=2, max_size=16))
+def test_cosine_kernel_self_similarity(spark, vec):
+    from flinkproject_spark.operators.similarity import with_norm, cosine_expr
+
+    if sum(v * v for v in vec) == 0:
+        return
+    df = spark.createDataFrame([(1, [float(v) for v in vec])], ["vec_id", "embedding"])
+    e = with_norm(df)
+    pair = e.select(
+        F.col("emb").alias("emb_a"), F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_a"), F.col("norm").alias("norm_b"),
+    )
+    (cos,) = pair.select(F.round(cosine_expr("emb_a", "emb_b", "norm_a", "norm_b"), 6).alias("c")).first()
+    assert abs(cos - 1.0) < 1e-5

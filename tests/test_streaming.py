@@ -352,3 +352,14 @@ def test_session_stats_stream_matches_batch(spark, events, staged):
     want = windows.session_stats(events)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_product_stats_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    lineitem = catalog.load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path_factory.mktemp("replay") / "li_ps")
+    replay.stage_replay(lineitem, path, order_col="l_shipdate", tiebreak="l_orderkey",
+                        chunks=6, heartbeat_keys=("l_orderkey", "l_partkey"))
+    got = replay.run_to_table(jobs.product_stats_stream(_stream(spark, path)))
+    want = windows.product_stats(lineitem)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

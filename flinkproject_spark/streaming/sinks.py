@@ -43,7 +43,8 @@ def start_parquet_sink(
 
 
 def routed_cdc_writer(
-    base_path: str, rules: tuple[RouteRule, ...] = DEFAULT_RULES
+    base_path: str,
+    rules: tuple[RouteRule, ...] | Callable[[], tuple[RouteRule, ...]] = DEFAULT_RULES,
 ) -> Callable[[DataFrame, int], None]:
     """A15/B5/B6 — build the foreachBatch function that fans a decoded CDC
     micro-batch (columns database/tableName/before/after/type) out to its
@@ -52,15 +53,21 @@ def routed_cdc_writer(
     Fact rules (`sink_type=kafka` in the reference) and dim rules (`hbase`)
     both land as parquet here — `{base_path}/{sink_table}/`; dims would be a
     Delta MERGE on sink_pk in production (routing.upsert_parquet shows the
-    parquet fallback). Config is captured per call; re-reading it each batch
-    (TableProcessFunction's broadcast refresh) means just rebuilding this
-    closure from the config table inside the caller's loop.
+    parquet fallback).
+
+    Dynamic config (BaseDBApp's broadcast table_process stream,
+    BaseDBApp.java:63-77): pass a zero-arg CALLABLE and it is re-invoked at
+    every micro-batch — the Spark analog of the broadcast-state refresh
+    (SURVEY §7 delta #6: a running query cannot grow sinks, so new rules
+    take effect at the next batch's fan-out instead). A plain tuple is
+    captured statically.
     """
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        live_rules = rules() if callable(rules) else rules
         batch = batch.persist()
         try:
-            for r in rules:
+            for r in live_rules:
                 routed = batch.filter(
                     (F.col("tableName") == r.source_table) & (F.col("type") == r.operate_type)
                 ).select(*[F.col("after")[c].alias(c) for c in r.sink_columns])
@@ -76,7 +83,7 @@ def routed_cdc_writer(
 def start_routed_cdc_sink(
     cdc_stream: DataFrame,
     base_path: str,
-    rules: tuple[RouteRule, ...] = DEFAULT_RULES,
+    rules: tuple[RouteRule, ...] | Callable[[], tuple[RouteRule, ...]] = DEFAULT_RULES,
     checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
     """Wire a decoded CDC stream into the routed fan-out (BaseDBApp.java:83-99)."""

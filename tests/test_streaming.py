@@ -363,3 +363,49 @@ def test_product_stats_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     want = windows.product_stats(lineitem)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_routing_config_refreshes_per_microbatch(spark, tmp_path):
+    """A15 dynamic config: a rule added while the query runs takes effect
+    from the next micro-batch (the broadcast-config refresh semantics,
+    SURVEY §7 delta #6)."""
+    from flinkproject_spark.operators.routing import RouteRule
+
+    orders = catalog.load_table(spark, "/root/testdata/sf0.001", "orders")
+    env = orders.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("orders").alias("tableName"),
+                F.create_map(
+                    F.lit("o_orderkey"), F.col("o_orderkey").cast("string"),
+                    F.lit("o_totalprice"), F.col("o_totalprice").cast("string"),
+                ).alias("after"),
+                F.lit("insert").alias("type"),
+            )
+        ).alias("value"),
+        F.col("o_orderkey").alias("event_id"),
+    )
+    staged = str(tmp_path / "cdc")
+    replay.stage_replay(env, staged, order_col="event_id", tiebreak="event_id",
+                        chunks=4, heartbeat_keys=())
+    decoded = routing.decode_cdc_envelope(replay.read_replay(spark, staged).drop("event_id"))
+
+    v1 = (RouteRule("orders", "insert", "kafka", "sink_v1", ("o_orderkey",)),)
+    v2_rule = RouteRule("orders", "insert", "kafka", "sink_v2", ("o_orderkey", "o_totalprice"))
+    calls = {"n": 0}
+
+    def provider():
+        calls["n"] += 1
+        return v1 if calls["n"] == 1 else v1 + (v2_rule,)
+
+    base = str(tmp_path / "sinks")
+    q = sinks.start_routed_cdc_sink(decoded, base, rules=provider,
+                                    checkpoint_dir=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(180)
+    total = orders.count()
+    v1_ct = spark.read.parquet(f"{base}/sink_v1").count()
+    v2_ct = spark.read.parquet(f"{base}/sink_v2").count()
+    assert v1_ct == total                   # routed from batch 0 onward
+    assert 0 < v2_ct < total                # only from the second batch on
+    assert calls["n"] >= 4                  # provider re-read every batch

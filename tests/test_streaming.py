@@ -409,3 +409,48 @@ def test_routing_config_refreshes_per_microbatch(spark, tmp_path):
     assert v1_ct == total                   # routed from batch 0 onward
     assert 0 < v2_ct < total                # only from the second batch on
     assert calls["n"] >= 4                  # provider re-read every batch
+
+
+# --- end-to-end: ODS json stream -> DWD parse -> DWS windowed stats ---------
+
+def test_end_to_end_log_warehouse_stream(spark, events, tmp_path):
+    """The BaseLogApp->VisitorStatsApp chain as ONE streaming pipeline over
+    raw JSON: permissive parse (dirty rows filtered), typed projection,
+    watermarked windowed aggregation — equal to the identical batch chain.
+    The heartbeat is a hand-crafted far-future log row (the embedded ts is
+    what the watermark reads, not the staging column)."""
+    from flinkproject_spark.sources import logs as logsrc
+
+    raw = logsrc.events_to_log_json(events, corrupt_every=13).join(
+        events.select("event_id", "ts"), "event_id"
+    )
+    hb = spark.createDataFrame(
+        [(10**9, '{"common":{"mid":"-1"},"page":{"page_id":"view","during_time":"0"},'
+          '"ts":4102444800000}',)],  # 2100-01-01, far past every real window
+        "event_id long, value string",
+    ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+    staged = str(tmp_path / "logs")
+    replay.stage_replay(raw.unionByName(hb), staged, order_col="ts",
+                        tiebreak="event_id", chunks=6, heartbeat_keys=())
+
+    def typed(clean):
+        return clean.select(
+            F.col("common")["mid"].cast("bigint").alias("user_id"),
+            F.timestamp_millis("ts").alias("ts"),
+            F.col("page")["page_id"].alias("event_type"),
+            F.col("page")["during_time"].cast("double").alias("value"),
+        )
+
+    # streaming chain
+    stream = replay.read_replay(spark, staged).select("value")
+    s_clean, _ = logsrc.parse_logs(stream)
+    got = replay.run_to_table(
+        windows.visitor_stats(typed(s_clean).withWatermark("ts", "10 minutes"))
+    )
+    # identical batch chain (no heartbeat row)
+    b_clean, b_dirty = logsrc.parse_logs(raw.select("value"))
+    want = windows.visitor_stats(typed(b_clean))
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # dirty channel saw the corrupted rows
+    assert b_dirty.count() == events.filter(F.col("event_id") % 13 == 0).count()

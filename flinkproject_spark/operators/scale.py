@@ -1,4 +1,5 @@
-"""Skew-handling primitives: salted aggregation and salted shuffle joins.
+"""Scale primitives: salted aggregation/joins (skew) and bucketed
+co-located joins (shuffle elimination).
 
 The reference never confronts skew (parallelism 1 everywhere — SURVEY §6);
 at 100 TB it is the first thing that breaks a shuffle: one hot key (a viral
@@ -21,6 +22,15 @@ forced to pre-spread a hot key.
 Both are semantics-preserving (tests assert equality with the unsalted
 plans) and deterministic: the salt is a hash of the whole fact row's
 distinguishing column, not rand(), so retries/speculative tasks agree.
+
+- `write_bucketed` / `bucketed_join`: pre-shuffle-by-contract. Two tables
+  bucketed on the same key with the same bucket count join with ZERO
+  exchanges — each task zips bucket i with bucket i. At 100 TB this is the
+  difference between re-shuffling the fact table on every query and paying
+  the shuffle once at ingest: the standing layout for fact⋈fact joins
+  (order_info ⋈ order_detail — the reference's OrderWideApp interval join
+  pair, app/dwm/OrderWideApp.java:99-107) where neither side broadcasts.
+  tests/test_operators.py asserts the exchange-free plan.
 """
 
 from __future__ import annotations
@@ -86,3 +96,42 @@ def salted_join(
     )
     out = f.join(r, (f[fact_key] == r[right_key]) & (f[SALT] == r[SALT]), how)
     return out.drop(f[SALT]).drop(r[SALT])
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located joins
+# ---------------------------------------------------------------------------
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist `df` as a bucketed (and bucket-sorted) external table.
+
+    Bucketing hash-partitions rows into `buckets` files per write-task by
+    `keys`, and records the layout in the catalog; `sort=True` additionally
+    sorts within each bucket so downstream sort-merge joins skip their sort.
+    This is the pay-the-shuffle-once ingest layout for standing fact tables.
+    """
+    w = df.repartition(buckets, *keys).write.bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.option("path", path).mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket keys.
+
+    With matching bucket specs Spark plans a sort-merge join with NO
+    Exchange on either side (and no per-query Sort when bucket-sorted):
+    bucket i of the left zips with bucket i of the right. The join itself
+    is ordinary `join` — this helper exists to name the contract and keep
+    the table-vs-path distinction (bucketing metadata lives in the catalog,
+    so reads must go through `spark.table`, not `spark.read.parquet`).
+    """
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -261,6 +261,30 @@ def test_salted_join_equals_plain_join(tables):
     assert a == b
 
 
+def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
+    from flinkproject_spark.operators import scale
+
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    scale.write_bucketed(orders, "b_orders", ["o_orderkey"], 8, str(tmp_path / "o"))
+    scale.write_bucketed(li, "b_lineitem", ["o_orderkey"], 8, str(tmp_path / "l"))
+    # force the shuffle-join path so the assertion is about bucketing, not
+    # broadcast thresholds
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join re-shuffled"
+        assert joined.count() == tables["lineitem"].count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_vectorized_topk_equals_bruteforce(tables):
     from flinkproject_spark.operators import similarity
 

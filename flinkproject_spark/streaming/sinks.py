@@ -27,16 +27,28 @@ from flinkproject_spark.operators.routing import DEFAULT_RULES, RouteRule
 
 
 def start_parquet_sink(
-    df: DataFrame, path: str, checkpoint_dir: str | None = None, available_now: bool = True
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    partition_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """B5 analog — append micro-batches to a parquet table (the serving
-    store; swap format for "delta"/JDBC in a real deployment)."""
+    store; swap format for "delta"/JDBC in a real deployment).
+
+    `partition_cols` is the serving-layout knob: DWS tables partitioned by
+    day (`dt`) give the A17/A18 serving queries partition pruning — a
+    day-range scan touches only that day's directories instead of the full
+    table (the 100 TB analog of ClickHouse's toYYYYMMDD(stt) predicate,
+    publisher/.../ProductStatsMapper.java:12,26)."""
     w = (
         df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"))
         .outputMode("append")
     )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()

@@ -333,6 +333,29 @@ def q_mm_resize(spark, sf):
     return multimodal.resize_assets(multimodal.documents_as_assets(_t(spark, sf, "documents")))
 
 
+def q_asof_last_order(spark, sf):
+    """As-of join (union+running-window form, joins.asof_join): each event
+    enriched with the user's most recent order state at-or-before event
+    time — the point-in-time feature-store primitive. Beyond the
+    reference's bounded interval join (OrderWideApp.java:99-107)."""
+    events, orders = _t(spark, sf, "events", "orders")
+    return joins.last_order_asof(events, orders)
+
+
+def q_gmv_rollup(spark, sf):
+    """ROLLUP serving aggregate: region/nation/grand-total GMV in one pass
+    (beyond the single-grain serving SQL at ProductStatsMapper.java:12,26)."""
+    orders, customer, nation, region = _t(spark, sf, "orders", "customer", "nation", "region")
+    return relational.gmv_rollup(orders, customer, nation, region)
+
+
+def q_topn_per_nation(spark, sf):
+    """Ranked top-N per group: top-3 customers by spend within each nation
+    (row_number window after the aggregate; beyond the global top-N A17)."""
+    orders, customer, nation = _t(spark, sf, "orders", "customer", "nation")
+    return relational.topn_customers_per_nation(orders, customer, nation)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -378,6 +401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_features": q_mm_features,
         "mm_resize": q_mm_resize,
+        "asof_last_order": q_asof_last_order,
+        "gmv_rollup": q_gmv_rollup,
+        "topn_per_nation": q_topn_per_nation,
     }
 
 
@@ -827,6 +853,43 @@ def oracle_sql() -> dict[str, str]:
                    md5(text || '|224x224') AS resized_md5
             FROM documents
             WHERE doc_id % 3 IN (0, 2)""",
+        "asof_last_order": """
+            WITH day_orders AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_orderkey) AS last_order_key,
+                     max_by(o_totalprice, o_orderkey) AS last_order_price
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   COALESCE(d.last_order_key, -1) AS last_order_key,
+                   COALESCE(d.last_order_price, -1.0) AS last_order_price
+            FROM events e ASOF LEFT JOIN day_orders d
+              ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate""",
+        "gmv_rollup": f"""
+            SELECT COALESCE(r_name, 'ALL') AS region_name,
+                   COALESCE(n_name, 'ALL') AS nation_name,
+                   {MONEY.format(col='o_totalprice')} AS order_amount,
+                   COUNT(*) AS order_ct
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+        "topn_per_nation": f"""
+            WITH spend AS (
+              SELECT n_name AS nation_name, c_custkey AS cust_id,
+                     {MONEY.format(col='o_totalprice')} AS total_spend,
+                     COUNT(*) AS order_ct
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2)
+            SELECT nation_name,
+                   ROW_NUMBER() OVER (PARTITION BY nation_name
+                                      ORDER BY total_spend DESC, cust_id) AS rank,
+                   cust_id, total_spend, order_ct
+            FROM spend
+            QUALIFY rank <= 3""",
     }
 
 

@@ -53,6 +53,9 @@ HEADLINE = [
     "session_stats",
     "mm_decode",
     "mm_features",
+    "asof_last_order",
+    "gmv_rollup",
+    "topn_per_nation",
 ]
 
 

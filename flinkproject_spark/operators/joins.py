@@ -174,3 +174,98 @@ def payment_wide(events: DataFrame, hours_before: int = 24) -> DataFrame:
             K.money("order_amount").cast("double").alias("order_amount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (beyond the reference — standard warehouse/feature-store op)
+# ---------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: enrich each left row with the value columns of
+    the most recent right row for the same key at-or-before the left
+    timestamp (inclusive, matching DuckDB/kdb ASOF semantics); left rows
+    with no prior right row keep nulls.
+
+    Not in the reference's surface (its closest shape is the bounded
+    interval join, app/dwm/OrderWideApp.java:99-107); added because
+    point-in-time dimension lookup is the canonical feature-store /
+    training-data primitive.
+
+    Execution is the union+running-window form, NOT a per-key pandas
+    merge_asof and NOT a range self-join: tag both inputs, union them,
+    and carry the right values forward with `last(_v, ignorenulls) OVER
+    (PARTITION BY key ORDER BY ts, tag ROWS UNBOUNDED PRECEDING)`, then
+    keep only left rows. One shuffle + one sort on the join key — the
+    same cost as a single sort-merge join — with no candidate-pair blowup,
+    so it scales to fact-sized inputs on both sides. Right rows sort
+    before left rows on timestamp ties (tag 0 < 1) which is what makes
+    the bound inclusive. Value columns travel in ONE struct so a null
+    value INSIDE a right row is preserved rather than filled from an
+    older row. Right side must be unique per (key, ts) — pre-aggregate
+    (e.g. last order per day) to make results deterministic.
+    """
+    from pyspark.sql import Window
+
+    v_struct = F.struct(*[F.col(c) for c in value_cols]).alias("_v")
+    null_struct = F.lit(None).cast(
+        right.select(v_struct).schema["_v"].dataType
+    ).alias("_v")
+    l_tag = left.select(
+        *left.columns,
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        null_struct,
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        v_struct,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).withColumn(
+        "_vf", F.last("_v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_tag") == 1).select(
+        *left.columns, *[F.col(f"_vf.{c}").alias(c) for c in value_cols]
+    )
+
+
+def last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Point-in-time enrichment: each behavior event joined to the user's
+    most recent order state as of the event timestamp (the per-day last
+    order, keyed by highest order id). Nulls (no prior order) surface as
+    -1 sentinels so results hash identically across engines."""
+    day_orders = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_order_key"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+    )
+    enriched = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_order_key", "last_order_price"],
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        K.ts_to_str("ts").alias("ts"),
+        F.coalesce("last_order_key", F.lit(-1)).alias("last_order_key"),
+        F.coalesce("last_order_price", F.lit(-1.0)).alias("last_order_price"),
+    )

@@ -175,3 +175,73 @@ def gmv_for_day_range(orders: DataFrame, start_yyyymmdd: str, end_yyyymmdd: str)
             F.count("*").alias("order_ct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer extensions beyond A17/A18: rollup + ranked top-N per group
+# ---------------------------------------------------------------------------
+def gmv_rollup(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """GMV and order counts at region, nation, and grand-total grain in one
+    pass via ROLLUP (subtotal levels a dashboard drills through).
+
+    Beyond the reference's serving SQL (single-grain GROUP BY only —
+    publisher ProductStatsMapper.java:12,26); added because multi-grain
+    subtotals are standard serving-layer surface. ROLLUP computes all three
+    grains in one shuffle (Expand x3 before the partial aggregate) instead
+    of three scans+unions. Dim hops are broadcasts; rolled-up name levels
+    surface as 'ALL' (the dims are never null, so the sentinel is
+    unambiguous)."""
+    enriched = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        enriched.rollup("r_name", "n_name")
+        .agg(
+            K.money_sum("o_totalprice").alias("order_amount"),
+            F.count("*").alias("order_ct"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "order_amount",
+            "order_ct",
+        )
+    )
+
+
+def topn_customers_per_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, n: int = 3
+) -> DataFrame:
+    """Top-N customers by total order amount within each nation, via
+    row_number over a per-nation spend ranking (ties broken by customer id
+    for determinism).
+
+    Beyond the reference's global top-N (A17); added because ranked
+    top-N-per-group is the standard serving query Spark answers with a
+    rank window after the aggregate. The expensive shuffle is the per-
+    (nation, customer) aggregate; the rank window then repartitions only
+    the aggregated (small) result by nation. At extreme group counts the
+    window input stays bounded because aggregation precedes ranking."""
+    from pyspark.sql import Window
+
+    spend = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"), F.col("c_custkey").alias("cust_id"))
+        .agg(
+            K.money_sum("o_totalprice").alias("total_spend"),
+            F.count("*").alias("order_ct"),
+        )
+    )
+    w = Window.partitionBy("nation_name").orderBy(
+        F.desc("total_spend"), F.asc("cust_id")
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= n)
+        .select("nation_name", "rank", "cust_id", "total_spend", "order_ct")
+    )

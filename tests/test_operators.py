@@ -308,3 +308,79 @@ def test_ivf_recall_measured_against_bruteforce(tables):
     # the metric is measurable; a perfect-probe sanity check instead:
     self_rec = {r.query_id: r.recall for r in similarity.recall_at_k(exact, exact).collect()}
     assert all(v == 1.0 for v in self_rec.values())
+
+
+# --- as-of join ------------------------------------------------------------
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-05 00:00:00"), (2, 10, "2024-01-10 00:00:00"),
+         (3, 10, "2024-01-02 00:00:00"), (4, 99, "2024-01-05 00:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-03 00:00:00", 100), (10, "2024-01-05 00:00:00", 200),
+         (10, "2024-01-09 00:00:00", 300)],
+        "k long, rts string, val long",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = {r.event_id: r.val for r in joins.asof_join(
+        left, right, "user_id", "k", "ts", "rts", ["val"]).collect()}
+    assert out[1] == 200   # equal timestamps join (inclusive bound)
+    assert out[2] == 300   # latest prior row wins
+    assert out[3] is None  # nothing at-or-before -> null
+    assert out[4] is None  # unseen key -> null
+
+
+def test_asof_join_preserves_null_inside_matched_row(spark):
+    # a NULL value in the matched right row must NOT be back-filled from an
+    # older right row (the struct-carrier property)
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-09 00:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-03 00:00:00", 7), (10, "2024-01-08 00:00:00", None)],
+        "k long, rts string, val long",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    (row,) = joins.asof_join(left, right, "user_id", "k", "ts", "rts", ["val"]).collect()
+    assert row.val is None
+
+
+def test_asof_join_single_shuffle(spark, tables):
+    out = joins.last_order_asof(tables["events"], tables["orders"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    # one exchange for the day_orders pre-aggregate, one for the union+window
+    # partitioning — and crucially no join operator / candidate-pair blowup
+    import re
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("Exchange") <= 2
+    assert not any("Join" in n for n in nodes)
+
+
+# --- serving rollup + ranked top-N ------------------------------------------
+
+def test_gmv_rollup_grand_total_consistent(tables):
+    out = relational.gmv_rollup(
+        tables["orders"], tables["customer"], tables["nation"], tables["region"]
+    ).collect()
+    total = {(r.region_name, r.nation_name): r.order_amount for r in out}
+    grand = total[("ALL", "ALL")]
+    region_sum = sum(v for (r, n), v in total.items() if r != "ALL" and n == "ALL")
+    nation_sum = sum(v for (r, n), v in total.items() if n != "ALL")
+    assert abs(grand - region_sum) < 1e-6
+    assert abs(grand - nation_sum) < 1e-6
+
+
+def test_topn_per_nation_rank_bounds(tables):
+    out = relational.topn_customers_per_nation(
+        tables["orders"], tables["customer"], tables["nation"], n=3
+    ).collect()
+    by_nation: dict[str, list] = {}
+    for r in out:
+        by_nation.setdefault(r.nation_name, []).append(r)
+    for rows in by_nation.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        spends = [r.total_spend for r in sorted(rows, key=lambda r: r.rank)]
+        assert spends == sorted(spends, reverse=True)

@@ -356,6 +356,13 @@ def q_topn_per_nation(spark, sf):
     return relational.topn_customers_per_nation(orders, customer, nation)
 
 
+def q_sliding_visitor_stats(spark, sf):
+    """Sliding (hopping) windows — 2 h windows every 1 h; completes the
+    window family (tumbling A6, session, sliding) beyond the reference's
+    tumbling-only surface (SURVEY §2E)."""
+    return windows.sliding_visitor_stats(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -404,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_order": q_asof_last_order,
         "gmv_rollup": q_gmv_rollup,
         "topn_per_nation": q_topn_per_nation,
+        "sliding_visitor_stats": q_sliding_visitor_stats,
     }
 
 
@@ -890,6 +898,22 @@ def oracle_sql() -> dict[str, str]:
                    cust_id, total_spend, order_ct
             FROM spend
             QUALIFY rank <= 3""",
+        "sliding_visitor_stats": f"""
+            WITH w AS (
+              SELECT event_type, user_id, value,
+                     unnest(generate_series(
+                       TIMESTAMP '1970-01-01'
+                         + CAST(floor((epoch(ts) - 7200) / 3600) + 1 AS BIGINT) * 3600 * INTERVAL 1 SECOND,
+                       TIMESTAMP '1970-01-01'
+                         + CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * INTERVAL 1 SECOND,
+                       INTERVAL 1 HOUR)) AS wstart
+              FROM events)
+            SELECT strftime(wstart, '{FMT}') AS stt,
+                   strftime(wstart + INTERVAL 2 HOURS, '{FMT}') AS edt,
+                   event_type, COUNT(*) AS pv_ct,
+                   COUNT(DISTINCT user_id) AS uv_ct,
+                   {MONEY.format(col='value')} AS val_sum
+            FROM w GROUP BY 1, 2, 3""",
     }
 
 

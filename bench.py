@@ -56,6 +56,7 @@ HEADLINE = [
     "asof_last_order",
     "gmv_rollup",
     "topn_per_nation",
+    "sliding_visitor_stats",
 ]
 
 

@@ -192,3 +192,29 @@ def session_stats(events: DataFrame, gap_min: int = 30) -> DataFrame:
         "event_ct",
         "value_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows — beyond the reference's tumbling-only surface
+# ---------------------------------------------------------------------------
+def sliding_visitor_stats(
+    events: DataFrame, length: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Per-event-type measures over overlapping windows (each event lands in
+    length/slide windows). The reference's DWS layer is tumbling-only
+    (SURVEY §2E; 10 s windows at app/dws/VisitorStatsApp.java:139); sliding
+    windows are the standard smoothing variant and are native in Spark —
+    same single-shuffle windowed-aggregate plan as A6, with the window
+    replication factor (here 2x) paid before the partial aggregate. On a
+    streaming input the sum/count measures run unchanged under a watermark;
+    the exact distinct count is batch-only (streaming aggregation does not
+    support countDistinct — swap in approx_count_distinct there)."""
+    agg = (
+        events.groupBy(F.window("ts", length, slide), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            K.money_sum("value").alias("val_sum"),
+        )
+    )
+    return _window_bounds(agg)

@@ -384,3 +384,11 @@ def test_topn_per_nation_rank_bounds(tables):
         assert len(rows) <= 3
         spends = [r.total_spend for r in sorted(rows, key=lambda r: r.rank)]
         assert spends == sorted(spends, reverse=True)
+
+
+# --- sliding windows --------------------------------------------------------
+
+def test_sliding_windows_replicate_each_event_exactly_twice(tables):
+    out = windows.sliding_visitor_stats(tables["events"])  # 2h window, 1h slide
+    total_pv = out.agg(F.sum("pv_ct")).first()[0]
+    assert total_pv == 2 * tables["events"].count()

@@ -363,6 +363,33 @@ def q_sliding_visitor_stats(spark, sf):
     return windows.sliding_visitor_stats(_t(spark, sf, "events"))
 
 
+def q_order_value_percentiles(spark, sf):
+    """Exact distribution serving query (percentile = DuckDB quantile_cont,
+    verified bit-identical; approx_percentile is the 100 TB valve)."""
+    return relational.order_value_percentiles(_t(spark, sf, "orders"))
+
+
+def q_scd2_order_state(spark, sf):
+    """SCD2 dim-history build: per-customer daily order-state versions with
+    [valid_from, valid_to) bounds (the batch complement of asof_join;
+    reference dim sink is overwrite-in-place SCD1, DimSinkFunction.java:21-77)."""
+    orders = _t(spark, sf, "orders")
+    day_orders = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_order_key"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+    )
+    hist = routing.scd2_history(
+        day_orders, "o_custkey", "o_orderdate",
+        ["last_order_key", "last_order_price"],
+    )
+    return hist.select(
+        F.col("o_custkey").alias("cust_id"),
+        K.ts_to_str("valid_from").alias("valid_from"),
+        F.coalesce(K.ts_to_str("valid_to"), F.lit("current")).alias("valid_to"),
+        "version", "last_order_key", "last_order_price",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -412,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmv_rollup": q_gmv_rollup,
         "topn_per_nation": q_topn_per_nation,
         "sliding_visitor_stats": q_sliding_visitor_stats,
+        "order_value_percentiles": q_order_value_percentiles,
+        "scd2_order_state": q_scd2_order_state,
     }
 
 
@@ -914,6 +943,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS uv_ct,
                    {MONEY.format(col='value')} AS val_sum
             FROM w GROUP BY 1, 2, 3""",
+        "order_value_percentiles": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   quantile_cont(o_totalprice, 0.99) AS p99,
+                   COUNT(*) AS order_ct
+            FROM orders GROUP BY 1""",
+        "scd2_order_state": f"""
+            WITH day_orders AS (
+              SELECT o_custkey, o_orderdate,
+                     max(o_orderkey) AS last_order_key,
+                     max_by(o_totalprice, o_orderkey) AS last_order_price
+              FROM orders GROUP BY 1, 2)
+            SELECT o_custkey AS cust_id,
+                   strftime(o_orderdate, '{FMT}') AS valid_from,
+                   COALESCE(strftime(LEAD(o_orderdate) OVER w, '{FMT}'), 'current') AS valid_to,
+                   ROW_NUMBER() OVER w AS version,
+                   last_order_key, last_order_price
+            FROM day_orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)""",
     }
 
 

@@ -57,6 +57,8 @@ HEADLINE = [
     "gmv_rollup",
     "topn_per_nation",
     "sliding_visitor_stats",
+    "order_value_percentiles",
+    "scd2_order_state",
 ]
 
 

@@ -245,3 +245,20 @@ def topn_customers_per_nation(
         .filter(F.col("rank") <= n)
         .select("nation_name", "rank", "cust_id", "total_spend", "order_ct")
     )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 order value per order status — the serving-layer
+    distribution query (beyond the reference's sum/count-only serving SQL).
+
+    Uses Spark's exact `percentile` (linear interpolation, same convention
+    as DuckDB quantile_cont — verified bit-identical). Exact percentiles
+    sort within each group; at 100 TB swap in `approx_percentile`
+    (t-digest, single pass, no sort) — same query shape, documented
+    accuracy knob."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        F.count("*").alias("order_ct"),
+    )

@@ -149,3 +149,32 @@ def upsert_parquet(df: DataFrame, path: str, pk: str) -> None:
         merged = df
     merged.write.mode("overwrite").parquet(path + "_new")
     # atomic-ish swap left to the caller/filesystem in tests; real deployments use Delta
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension versioning (beyond the reference's SCD1 upsert)
+# ---------------------------------------------------------------------------
+def scd2_history(
+    updates: DataFrame, key: str, ts: str, attrs: list[str]
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: one row per version with [valid_from, valid_to) bounds and a
+    dense version number; the current version has valid_to = NULL.
+
+    The reference's dim sink overwrites in place (SCD1 upsert —
+    DimSinkFunction.java:21-77), losing history; SCD2 is what makes the
+    as-of join (joins.asof_join) able to reconstruct any past state.
+    One window over (key ORDER BY ts): valid_to = lead(valid_from) —
+    a single shuffle, no self-join. Input must be unique per (key, ts);
+    pre-aggregate (e.g. last change per day) to guarantee it.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts)
+    return updates.select(
+        F.col(key),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        *attrs,
+    )

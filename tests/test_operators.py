@@ -392,3 +392,35 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     out = windows.sliding_visitor_stats(tables["events"])  # 2h window, 1h slide
     total_pv = out.agg(F.sum("pv_ct")).first()[0]
     assert total_pv == 2 * tables["events"].count()
+
+
+# --- SCD2 history ------------------------------------------------------------
+
+def test_scd2_versions_tile_time_without_gaps(tables):
+    day = tables["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("k"))
+    hist = routing.scd2_history(day, "o_custkey", "o_orderdate", ["k"]).toPandas()
+    for cust, g in hist.groupby("o_custkey"):
+        g = g.sort_values("version").reset_index(drop=True)
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        # each version's valid_to equals the next version's valid_from; one open tail
+        assert g["valid_to"].isna().sum() == 1 and g["valid_to"].iloc[-1] is not g["valid_to"].notna()
+        nxt = g["valid_from"].shift(-1)
+        closed = g["valid_to"].notna()
+        assert (g.loc[closed, "valid_to"] == nxt[closed]).all()
+
+
+def test_scd2_asof_roundtrip(spark, tables):
+    # as-of join against the SCD2 source reproduces the version valid at ts
+    day = tables["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("k"))
+    hist = routing.scd2_history(day, "o_custkey", "o_orderdate", ["k"])
+    probe = tables["events"].select("event_id", "user_id", "ts").limit(200)
+    via_asof = joins.asof_join(probe, day, "user_id", "o_custkey", "ts", "o_orderdate", ["k"])
+    j = (probe.join(hist, (probe.user_id == hist.o_custkey)
+                    & (probe.ts >= hist.valid_from)
+                    & ((hist.valid_to.isNull()) | (probe.ts < hist.valid_to)), "left")
+         .select("event_id", "k"))
+    a = {r.event_id: r.k for r in via_asof.collect()}
+    b = {r.event_id: r.k for r in j.collect()}
+    assert a == b

@@ -1,0 +1,86 @@
+"""Streaming throughput benchmark — end-to-end rows/sec for the Structured
+Streaming surface (the reference is a stream processor; its jobs publish no
+numbers and run at parallelism 1 — BaseLogApp.java:35 et al.).
+
+Replays the sf events table through the file-stream harness (the Kafka
+stand-in; see streaming/replay.py) and times each streaming job from
+query start to completion (Trigger.AvailableNow, memory sink), reporting
+input rows / wall seconds. Prints ONE JSON line.
+
+Usage: python tools/bench_streaming.py [sf_dir] [chunks] [files_per_trigger]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkproject_spark import catalog  # noqa: E402
+from flinkproject_spark.session import get_spark  # noqa: E402
+from flinkproject_spark.streaming import jobs, replay, stateful  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+)
+CHUNKS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+FILES_PER_TRIGGER = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+
+def main() -> None:
+    spark = get_spark("bench-streaming")
+    events = catalog.load_table(spark, SF_DIR, "events")
+    n_rows = events.count()
+
+    stage_dir = tempfile.mkdtemp(prefix="replay_bench_")
+    try:
+        replay.stage_replay(events, stage_dir, chunks=CHUNKS)
+
+        def stream():
+            return replay.read_replay(spark, stage_dir, files_per_trigger=FILES_PER_TRIGGER)
+
+        cases = {
+            # windowed multi-measure aggregate (VisitorStatsApp shape, A6)
+            "visitor_stats": lambda: jobs.visitor_stats_stream(stream()),
+            # built-in dedup (UniqueVisitApp shape, A10 dropDuplicates form)
+            "unique_visits_dropdup": lambda: jobs.unique_visits_dropdup_stream(stream()),
+            # native session windows
+            "session_stats": lambda: jobs.session_stats_stream(stream()),
+            # custom stateful operator (applyInPandasWithState, exact A10+TTL)
+            "unique_visits_stateful": lambda: stateful.unique_visits_stream(
+                jobs.watermarked_events(stream())
+            ),
+        }
+
+        results: dict[str, dict[str, float]] = {}
+        for name, build in cases.items():
+            t0 = time.perf_counter()
+            out = replay.run_to_table(build(), output_mode="append")
+            out.count()
+            wall = time.perf_counter() - t0
+            results[name] = {
+                "sec": round(wall, 3),
+                "rows_per_sec": round(n_rows / wall),
+            }
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "streaming_replay_throughput",
+        "unit": "rows/sec",
+        "input_rows": n_rows,
+        "chunks": CHUNKS,
+        "files_per_trigger": FILES_PER_TRIGGER,
+        "jobs": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

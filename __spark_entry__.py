@@ -390,6 +390,19 @@ def q_scd2_order_state(spark, sf):
     )
 
 
+def q_a8_interval_join_outer(spark, sf):
+    """Left-outer interval join — unmatched orders surface with sentinel
+    nulls (the reference's Flink intervalJoin is inner-only)."""
+    orders, lineitem = _t(spark, sf, "orders", "lineitem")
+    return joins.interval_join_outer(orders, lineitem)
+
+
+def q_event_type_pivot(spark, sf):
+    """Pivot/crosstab serving query: per-day value sums, one column per
+    event type (explicit value list -> one conditional aggregate)."""
+    return relational.daily_event_type_pivot(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -441,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_visitor_stats": q_sliding_visitor_stats,
         "order_value_percentiles": q_order_value_percentiles,
         "scd2_order_state": q_scd2_order_state,
+        "a8_interval_join_outer": q_a8_interval_join_outer,
+        "event_type_pivot": q_event_type_pivot,
     }
 
 
@@ -963,6 +978,23 @@ def oracle_sql() -> dict[str, str]:
                    last_order_key, last_order_price
             FROM day_orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)""",
+        "a8_interval_join_outer": f"""
+            SELECT o_orderkey, strftime(o_orderdate, '{FMT}') AS o_orderdate,
+                   COALESCE(l_linenumber::BIGINT, -1) AS line_no,
+                   COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), -1.0)
+                     AS order_price
+            FROM orders LEFT JOIN lineitem
+              ON o_orderkey = l_orderkey
+             AND l_shipdate >= o_orderdate
+             AND l_shipdate <= o_orderdate + INTERVAL 7 DAYS""",
+        "event_type_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS dt,
+                   COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE), 0.0) AS view_sum,
+                   COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE), 0.0) AS click_sum,
+                   COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE), 0.0) AS signup_sum,
+                   COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0.0) AS purchase_sum,
+                   COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE), 0.0) AS error_sum
+            FROM events GROUP BY 1""",
     }
 
 

@@ -59,6 +59,8 @@ HEADLINE = [
     "sliding_visitor_stats",
     "order_value_percentiles",
     "scd2_order_state",
+    "a8_interval_join_outer",
+    "event_type_pivot",
 ]
 
 

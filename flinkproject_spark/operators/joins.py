@@ -269,3 +269,35 @@ def last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.coalesce("last_order_key", F.lit(-1)).alias("last_order_key"),
         F.coalesce("last_order_price", F.lit(-1.0)).alias("last_order_price"),
     )
+
+
+def interval_join_outer(
+    orders: DataFrame, lineitem: DataFrame, days_before: int = 0, days_after: int = 7
+) -> DataFrame:
+    """Left-outer interval join: every order, with its line details when
+    they ship inside [o_orderdate - days_before, o_orderdate + days_after]
+    (inclusive), else nulls.
+
+    The reference's interval joins are inner-only (Flink intervalJoin —
+    app/dwm/OrderWideApp.java:99-107 — drops unmatched keys silently);
+    the outer form is what "orders with no shipment in the window" late-
+    fact analysis needs, and in Structured Streaming the same expression
+    runs as a watermarked stream-stream left-outer join (nulls emitted
+    once the watermark closes the interval). Same plan as the inner form:
+    the equi-key drives one shuffle, the range predicate filters
+    post-probe."""
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate >= F.date_add(orders.o_orderdate, -days_before))
+            & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, days_after)),
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            K.ts_to_str("o_orderdate").alias("o_orderdate"),
+            F.coalesce(F.col("l_linenumber").cast("bigint"), F.lit(-1)).alias("line_no"),
+            F.coalesce(K.money("l_extendedprice").cast("double"), F.lit(-1.0)).alias("order_price"),
+        )
+    )

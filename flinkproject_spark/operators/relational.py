@@ -262,3 +262,25 @@ def order_value_percentiles(orders: DataFrame) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
         F.count("*").alias("order_ct"),
     )
+
+
+def daily_event_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-day crosstab: one column per event type with summed values — the
+    dashboard pivot the reference's serving layer reshapes driver-side
+    (SugarController.java:36-52 builds {brand: amount} maps by hand).
+
+    Spark `pivot` with an EXPLICIT type list: passing the values avoids the
+    extra distinct-collection job, keeps the plan static for streaming
+    reuse, and compiles to one conditional aggregate (single shuffle) —
+    the form that survives any fact-table scale."""
+    types = ["view", "click", "signup", "purchase", "error"]
+    return (
+        events.withColumn("dt", F.to_date("ts"))
+        .groupBy("dt")
+        .pivot("event_type", types)
+        .agg(K.money_sum("value"))
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            *[F.coalesce(t, F.lit(0.0)).alias(f"{t}_sum") for t in types],
+        )
+    )

@@ -424,3 +424,19 @@ def test_scd2_asof_roundtrip(spark, tables):
     a = {r.event_id: r.k for r in via_asof.collect()}
     b = {r.event_id: r.k for r in j.collect()}
     assert a == b
+
+
+# --- outer interval join + pivot ---------------------------------------------
+
+def test_interval_join_outer_keeps_unmatched_orders(tables):
+    out = joins.interval_join_outer(tables["orders"], tables["lineitem"])
+    assert out.select("o_orderkey").distinct().count() == tables["orders"].count()
+    assert out.filter("line_no = -1").count() > 0  # some orders ship nothing in-window
+
+
+def test_pivot_preserves_total_value(tables):
+    piv = relational.daily_event_type_pivot(tables["events"])
+    cols = [c for c in piv.columns if c.endswith("_sum")]
+    total = piv.select(sum(F.col(c) for c in cols).alias("t")).agg(F.sum("t")).first()[0]
+    expected = tables["events"].select(K.money_sum("value")).first()[0]
+    assert abs(total - expected) < 1e-6

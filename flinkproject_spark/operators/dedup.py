@@ -196,16 +196,19 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
         "doc_id", F.explode(tokens("text")).alias("t")
     )
     hashed = toks.select("doc_id", K.hash32(F.col("t")).alias("h"))
+    # bit b is set when set-count > half the tokens: sum the raw bit (branch-
+    # free arithmetic, not a CASE over +-1 — same sign test since
+    # sum(+-1) > 0  <=>  2*sum(bit) > n) in 32 parallel integer aggregates.
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         for b in range(bits)
     ]
-    summed = hashed.groupBy("doc_id").agg(*bit_aggs)
+    summed = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_aggs)
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sig = term if sig is None else sig + term
     return summed.select("doc_id", sig.alias("simhash"))
 

@@ -255,3 +255,22 @@ def unique_visits_dropdup_stream(events: DataFrame, delay: str = DEFAULT_DELAY) 
     return drop_heartbeats(deduped).select(
         "event_id", K.ts_to_str("ts").alias("ts"), "user_id", "dt", "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows, streaming form — windows.sliding_visitor_stats
+# with the streaming-legal exact distinct (size(collect_set), per A7)
+# ---------------------------------------------------------------------------
+def sliding_visitor_stats_stream(
+    events: DataFrame,
+    length: str = "2 hours",
+    slide: str = "1 hour",
+    delay: str = DEFAULT_DELAY,
+) -> DataFrame:
+    ev = watermarked_events(events, delay)
+    agg = ev.groupBy(F.window("ts", length, slide), "event_type").agg(
+        F.count("*").alias("pv_ct"),
+        F.size(F.collect_set("user_id")).cast("bigint").alias("uv_ct"),
+        K.money_sum("value").alias("val_sum"),
+    )
+    return windows._window_bounds(agg)

@@ -476,3 +476,10 @@ def test_end_to_end_log_warehouse_stream(spark, events, tmp_path):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     # dirty channel saw the corrupted rows
     assert b_dirty.count() == events.filter(F.col("event_id") % 13 == 0).count()
+
+
+def test_sliding_visitor_stats_stream_matches_batch(spark, events, staged):
+    got = replay.run_to_table(jobs.sliding_visitor_stats_stream(_stream(spark, staged)))
+    want = windows.sliding_visitor_stats(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

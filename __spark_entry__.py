@@ -403,6 +403,18 @@ def q_event_type_pivot(spark, sf):
     return relational.daily_event_type_pivot(_t(spark, sf, "events"))
 
 
+def q_dedup_survivors(spark, sf):
+    """LEFT ANTI join applying exact-dedup results: the filtered corpus
+    with only canonical docs (the reference has no anti joins — SURVEY §2E)."""
+    return dedup.dedup_survivors(_t(spark, sf, "documents"))
+
+
+def q_running_spend(spark, sf):
+    """Cumulative per-customer spend (running-total window function;
+    deterministic ROWS frame ordered by date then order id)."""
+    return relational.customer_running_spend(_t(spark, sf, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -456,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_state": q_scd2_order_state,
         "a8_interval_join_outer": q_a8_interval_join_outer,
         "event_type_pivot": q_event_type_pivot,
+        "dedup_survivors": q_dedup_survivors,
+        "running_spend": q_running_spend,
     }
 
 
@@ -995,6 +1009,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0.0) AS purchase_sum,
                    COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE), 0.0) AS error_sum
             FROM events GROUP BY 1""",
+        "dedup_survivors": """
+            WITH g AS (
+              SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+                     COUNT(*) AS dup_ct
+              FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM g
+              WHERE g.dup_ct > 1 AND g.content_md5 = md5(d.text)
+                AND d.doc_id != g.keeper_id)""",
+        "running_spend": f"""
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '{FMT}') AS o_orderdate,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER w AS DOUBLE) AS running_spend,
+                   ROW_NUMBER() OVER w AS order_seq
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING)""",
     }
 
 

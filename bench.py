@@ -61,6 +61,8 @@ HEADLINE = [
     "scd2_order_state",
     "a8_interval_join_outer",
     "event_type_pivot",
+    "dedup_survivors",
+    "running_spend",
 ]
 
 

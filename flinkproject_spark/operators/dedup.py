@@ -366,3 +366,29 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
     return embeddings.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
         cell_pairs, "vec_a bigint, vec_b bigint, cosine double"
     )
+
+
+def dedup_survivors(documents: DataFrame) -> DataFrame:
+    """Apply exact dedup: keep only each content group's canonical doc —
+    the LEFT ANTI join that turns dedup *detection* into an actual
+    filtered corpus (the step a 100 TB training pipeline runs after
+    exact_dedup; the reference has no anti joins at all — SURVEY §2E).
+
+    The duplicate-loser set (dup groups minus keepers) is a small fraction
+    of the corpus, so the anti join broadcasts it in practice; the plan
+    stays a single scan of documents plus the dedup aggregate."""
+    losers = (
+        exact_dedup(documents)
+        .filter(F.col("dup_ct") > 1)
+        .select(F.col("content_md5").alias("dup_md5"), "keeper_id")
+    )
+    with_md5 = documents.select("doc_id", "lang", F.md5("text").alias("content_md5"))
+    return (
+        with_md5.join(
+            losers,
+            (with_md5.content_md5 == losers.dup_md5)
+            & (with_md5.doc_id != losers.keeper_id),
+            "left_anti",
+        )
+        .select("doc_id", "lang")
+    )

@@ -284,3 +284,28 @@ def daily_event_type_pivot(events: DataFrame) -> DataFrame:
             *[F.coalesce(t, F.lit(0.0)).alias(f"{t}_sum") for t in types],
         )
     )
+
+
+def customer_running_spend(orders: DataFrame) -> DataFrame:
+    """Cumulative spend per customer in order-date order — the running-
+    total window function surface the reference lacks entirely (no ranking
+    or cumulative windows — SURVEY §2E).
+
+    One shuffle+sort on the customer key (same cost as any sort-merge
+    stage); rows within a frame accumulate with the exact decimal sum. The
+    frame is ROWS-based with a deterministic (date, orderkey) order so
+    same-day orders accumulate in a reproducible sequence."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        K.ts_to_str("o_orderdate").alias("o_orderdate"),
+        F.sum(K.money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )

@@ -440,3 +440,26 @@ def test_pivot_preserves_total_value(tables):
     total = piv.select(sum(F.col(c) for c in cols).alias("t")).agg(F.sum("t")).first()[0]
     expected = tables["events"].select(K.money_sum("value")).first()[0]
     assert abs(total - expected) < 1e-6
+
+
+# --- anti-join survivors + running totals ------------------------------------
+
+def test_dedup_survivors_drop_planted_duplicate(spark, tables):
+    docs = tables["documents"].limit(20)
+    clone = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 700000)
+    out = dedup.dedup_survivors(docs.unionByName(clone))
+    assert out.count() == 20  # clone dropped, original (lower id) kept
+    assert out.filter(F.col("doc_id") == 700000 + docs.first()["doc_id"]).count() == 0
+
+
+def test_running_spend_monotone_and_final_equals_total(tables):
+    rs = relational.customer_running_spend(tables["orders"]).toPandas()
+    for cust, g in rs.groupby("o_custkey"):
+        g = g.sort_values("order_seq")
+        assert (g["running_spend"].diff().dropna() >= 0).all()
+    totals = rs.sort_values("order_seq").groupby("o_custkey").last()["running_spend"]
+    expect = (
+        tables["orders"].groupBy("o_custkey").agg(K.money_sum("o_totalprice").alias("t")).toPandas()
+        .set_index("o_custkey")["t"]
+    )
+    assert (totals.sort_index().round(2) == expect.sort_index().round(2)).all()

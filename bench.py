@@ -22,6 +22,9 @@ from flinkproject_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Representative warm-up + ordering prefix; bench runs EVERY queries() entry
+# (this list first, then any remaining contract queries in declaration
+# order), so each claimed operator gets a recorded timing.
 HEADLINE = [
     "province_stats",
     "product_stats",
@@ -81,7 +84,7 @@ def main() -> None:
         materialize(qs[warm](spark, SF_DIR))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + [q for q in qs if q not in HEADLINE]:
         t0 = time.perf_counter()
         materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -72,7 +72,11 @@ def interval_join_orders_lineitem(
 # A9 — chained broadcast dimension enrichment (OrderWide shape)
 # ---------------------------------------------------------------------------
 def order_wide(
-    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    broadcast_growing_dims: bool = True,
 ) -> DataFrame:
     """OrderWide assembly: fact ⋈ user dim ⋈ province dim chain.
 
@@ -82,9 +86,18 @@ def order_wide(
     merges when dimInfo != null — i.e. left-outer semantics).
     customer=DIM_USER_INFO, nation+region=DIM_BASE_PROVINCE two-level
     hierarchy (FIXTURES.md §2.4).
+
+    Scale note: nation/region are BOUNDED dims (25/5 rows at any scale) —
+    always hinted. customer GROWS with the dataset; the hint is correct up
+    to executor-memory-sized dims (every test SF, and any real deployment
+    where the user dim fits in a few GB). Past that, pass
+    ``broadcast_growing_dims=False``: the un-hinted join lets AQE pick
+    broadcast when the runtime size allows and fall back to a shuffled hash
+    join (or the bucketed layout in operators/scale.py) when it doesn't.
     """
+    cust = F.broadcast(customer) if broadcast_growing_dims else customer
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        orders.join(cust, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
         .select(
@@ -104,14 +117,24 @@ def order_wide(
 
 
 def product_wide(
-    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, nation: DataFrame
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    broadcast_growing_dims: bool = True,
 ) -> DataFrame:
     """ProductStats-side dim chain: sku -> part dim, supplier -> nation dim
     (reference: app/dws/ProductStatsApp.java:266-328 — 4 chained async dim
-    joins become broadcast left joins)."""
+    joins become broadcast left joins).
+
+    part/supplier grow with the dataset — same hint policy as
+    :func:`order_wide` (see its scale note); nation is bounded, always
+    hinted."""
+    p = F.broadcast(part) if broadcast_growing_dims else part
+    s = F.broadcast(supplier) if broadcast_growing_dims else supplier
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
+        lineitem.join(p, lineitem.l_partkey == part.p_partkey, "left")
+        .join(s, lineitem.l_suppkey == supplier.s_suppkey, "left")
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left")
         .select(
             "l_orderkey",

@@ -463,3 +463,16 @@ def test_running_spend_monotone_and_final_equals_total(tables):
         .set_index("o_custkey")["t"]
     )
     assert (totals.sort_index().round(2) == expect.sort_index().round(2)).all()
+
+
+def test_order_wide_unhinted_dims_still_join_correctly(spark, tables):
+    # the at-scale form (no broadcast hint on the growing customer dim; AQE
+    # chooses the strategy at runtime) must produce identical rows
+    hinted = joins.order_wide(tables["orders"], tables["customer"],
+                              tables["nation"], tables["region"])
+    unhinted = joins.order_wide(tables["orders"], tables["customer"],
+                                tables["nation"], tables["region"],
+                                broadcast_growing_dims=False)
+    cols = hinted.columns
+    assert sorted(map(tuple, hinted.select(cols).collect())) == \
+           sorted(map(tuple, unhinted.select(cols).collect()))

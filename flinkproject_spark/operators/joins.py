@@ -47,13 +47,19 @@ def interval_join_orders_lineitem(
     The equi-key (l_orderkey = o_orderkey) drives the shuffle; the range
     predicate is evaluated post-probe, so this is a plain shuffled hash/merge
     join, NOT a cartesian range join.
+
+    The bounds use timestamp INTERVAL arithmetic, not date_add: date_add
+    truncates to DATE, which both shifts semantics for intra-day timestamps
+    and defeats StreamingJoinHelper's state-watermark extraction — with
+    intervals the streaming form of this join evicts state as the watermark
+    advances instead of buffering forever.
     """
     return (
         orders.join(
             lineitem,
             (orders.o_orderkey == lineitem.l_orderkey)
-            & (lineitem.l_shipdate >= F.date_add(orders.o_orderdate, -days_before))
-            & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, days_after)),
+            & (lineitem.l_shipdate >= orders.o_orderdate - F.expr(f"INTERVAL {days_before} DAYS"))
+            & (lineitem.l_shipdate <= orders.o_orderdate + F.expr(f"INTERVAL {days_after} DAYS")),
         )
         .select(
             "o_orderkey",
@@ -313,8 +319,8 @@ def interval_join_outer(
         orders.join(
             lineitem,
             (orders.o_orderkey == lineitem.l_orderkey)
-            & (lineitem.l_shipdate >= F.date_add(orders.o_orderdate, -days_before))
-            & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, days_after)),
+            & (lineitem.l_shipdate >= orders.o_orderdate - F.expr(f"INTERVAL {days_before} DAYS"))
+            & (lineitem.l_shipdate <= orders.o_orderdate + F.expr(f"INTERVAL {days_after} DAYS")),
             "left",
         )
         .select(

@@ -152,9 +152,13 @@ def interval_join_stream(
     join state to interval width + watermark delay. Inner-join matches emit
     eagerly (no watermark wait), so replay output equals the batch join.
 
-    Replay note: both sides' heartbeat sentinels share key -1 and could
-    pair; callers filter `o_orderkey != -1` post-join (the operator output
-    carries the key).
+    Replay note: heartbeat sentinels (key -1) must be dropped from the
+    BATCH output, never in the streaming plan — a deterministic filter on
+    the join key pushes through the join and the EventTimeWatermark into
+    the scan (the sharp edge documented at module level), silently removing
+    the heartbeat before it can advance the watermark. The inner join then
+    still matches (eager emission) but state stops evicting; the outer
+    variant loses its null emissions entirely.
     """
     o = orders_stream.withColumn(
         "o_orderdate", F.col("o_orderdate").cast("timestamp")
@@ -164,9 +168,7 @@ def interval_join_stream(
     ).withWatermark("l_shipdate", delay)
     from flinkproject_spark.operators.joins import interval_join_orders_lineitem
 
-    return interval_join_orders_lineitem(o, l, days_after=days_after).filter(
-        F.col("o_orderkey") != -1
-    )
+    return interval_join_orders_lineitem(o, l, days_after=days_after)
 
 
 # ---------------------------------------------------------------------------
@@ -274,3 +276,30 @@ def sliding_visitor_stats_stream(
         K.money_sum("value").alias("val_sum"),
     )
     return windows._window_bounds(agg)
+
+
+def interval_join_outer_stream(
+    orders_stream: DataFrame,
+    lineitem_stream: DataFrame,
+    days_after: int = 7,
+    delay: str = "1 day",
+) -> DataFrame:
+    """Left-outer interval join as two watermarked streams: matches emit
+    eagerly; unmatched orders emit with nulls once the watermark passes the
+    interval end (the global watermark is the min across inputs, so both
+    replay heartbeats must land). Column-compatible with
+    operators.joins.interval_join_outer.
+
+    Sentinel rows are NOT filtered here — see interval_join_stream's replay
+    note: an in-plan key filter would push into the scan and suppress the
+    heartbeat, and outer-join null emissions depend on the final watermark.
+    Callers drop key -1 rows from the batch output."""
+    o = orders_stream.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    ).withWatermark("o_orderdate", delay)
+    l = lineitem_stream.withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    ).withWatermark("l_shipdate", delay)
+    from flinkproject_spark.operators.joins import interval_join_outer
+
+    return interval_join_outer(o, l, days_after=days_after)

@@ -221,7 +221,7 @@ def test_interval_join_two_streams_matches_batch(spark, sf_dir, orders_staged, t
 
     got = replay.run_to_table(
         jobs.interval_join_stream(_stream(spark, orders_staged), _stream(spark, li_path))
-    )
+    ).filter("o_orderkey != -1")
     want = interval_join_orders_lineitem(
         catalog.load_table(spark, sf_dir, "orders"), lineitem
     )
@@ -481,5 +481,20 @@ def test_end_to_end_log_warehouse_stream(spark, events, tmp_path):
 def test_sliding_visitor_stats_stream_matches_batch(spark, events, staged):
     got = replay.run_to_table(jobs.sliding_visitor_stats_stream(_stream(spark, staged)))
     want = windows.sliding_visitor_stats(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_interval_join_outer_stream_matches_batch(spark, sf_dir, orders_staged, tmp_path_factory):
+    lineitem = catalog.load_table(spark, sf_dir, "lineitem")
+    li_path = str(tmp_path_factory.mktemp("replay") / "lineitem_outer")
+    replay.stage_replay(lineitem, li_path, order_col="l_shipdate", tiebreak="l_orderkey",
+                        chunks=6, heartbeat_keys=("l_orderkey",))
+    from flinkproject_spark.operators.joins import interval_join_outer
+
+    got = replay.run_to_table(
+        jobs.interval_join_outer_stream(_stream(spark, orders_staged), _stream(spark, li_path))
+    ).filter("o_orderkey != -1")
+    want = interval_join_outer(catalog.load_table(spark, sf_dir, "orders"), lineitem)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -55,6 +55,8 @@ def main() -> None:
             "unique_visits_stateful": lambda: stateful.unique_visits_stream(
                 jobs.watermarked_events(stream())
             ),
+            # stream-stream interval self-join (PaymentWide shape, A8)
+            "payment_wide_join": lambda: jobs.payment_wide_stream(stream()),
         }
 
         results: dict[str, dict[str, float]] = {}

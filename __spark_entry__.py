@@ -415,6 +415,15 @@ def q_running_spend(spark, sf):
     return relational.customer_running_spend(_t(spark, sf, "orders"))
 
 
+def q_product_stats_approx(spark, sf):
+    """ProductStats with approx_count_distinct (HLL++) — the 100 TB valve
+    for A7's exact distinct, benchmarked against the exact twin.
+    Intentionally oracle-less: sketch estimates are engine-specific; the
+    unit test bounds relative error vs the exact operator instead, and the
+    driver's rows-only check pins the group cardinality."""
+    return windows.product_stats_approx(_t(spark, sf, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -470,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "dedup_survivors": q_dedup_survivors,
         "running_spend": q_running_spend,
+        "product_stats_approx": q_product_stats_approx,
     }
 
 

@@ -66,6 +66,7 @@ HEADLINE = [
     "event_type_pivot",
     "dedup_survivors",
     "running_spend",
+    "product_stats_approx",
 ]
 
 

@@ -476,3 +476,16 @@ def test_order_wide_unhinted_dims_still_join_correctly(spark, tables):
     cols = hinted.columns
     assert sorted(map(tuple, hinted.select(cols).collect())) == \
            sorted(map(tuple, unhinted.select(cols).collect()))
+
+
+def test_product_stats_approx_error_bounded(tables):
+    exact = windows.product_stats(tables["lineitem"]).select("stt", "sku_id", "order_ct").toPandas()
+    approx = windows.product_stats_approx(tables["lineitem"]).select("stt", "sku_id", "order_ct").toPandas()
+    m = exact.merge(approx, on=["stt", "sku_id"], suffixes=("_e", "_a"))
+    assert len(m) == len(exact) == len(approx)  # identical group sets
+    diff = (m["order_ct_a"] - m["order_ct_e"]).abs()
+    rel = diff / m["order_ct_e"]
+    # rsd=0.05; tiny groups (2-3 distinct) can be off by one hash collision,
+    # so bound: within 1 absolutely OR within 10% relatively
+    assert ((diff <= 1) | (rel <= 0.10)).all()
+    assert rel.quantile(0.99) <= 0.10

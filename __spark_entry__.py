@@ -415,6 +415,12 @@ def q_running_spend(spark, sf):
     return relational.customer_running_spend(_t(spark, sf, "orders"))
 
 
+def q_sim_topk_ivf_nprobe(spark, sf):
+    """Multi-probe IVF ANN: rank cells by query->centroid cosine, probe the
+    top 2 — the recall knob over the single-cell IVF tier."""
+    return similarity.cosine_topk_ivf_nprobe(_t(spark, sf, "embeddings"), QUERY_IDS)
+
+
 def q_product_stats_approx(spark, sf):
     """ProductStats with approx_count_distinct (HLL++) — the 100 TB valve
     for A7's exact distinct, benchmarked against the exact twin.
@@ -480,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "running_spend": q_running_spend,
         "product_stats_approx": q_product_stats_approx,
+        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
     }
 
 
@@ -608,6 +615,45 @@ SELECT query_id,
        neighbor_id, cosine
 FROM scored
 QUALIFY rank <= 10
+"""
+
+
+def _topk_nprobe_sql(nprobe: int = 2, k: int = 10) -> str:
+    qids = ", ".join(str(i) for i in QUERY_IDS)
+    qc_dot = _DOT.format(a="q.embedding", b="c.cent")
+    qn = _NORM.format(a="q.embedding")
+    cent_n = _NORM.format(a="c.cent")
+    dot = _DOT.format(a="p.q_emb", b="c.embedding")
+    pn = _NORM.format(a="p.q_emb")
+    cn = _NORM.format(a="c.embedding")
+    return f"""
+WITH dims AS (
+  SELECT label, t.i AS dim, (embedding[t.i])::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label, array_agg(m ORDER BY dim) AS cent FROM (
+    SELECT label, dim, SUM(v) / COUNT(*) AS m FROM dims GROUP BY 1, 2)
+  GROUP BY label
+), probes AS (
+  SELECT q.vec_id AS query_id, c.label, q.embedding AS q_emb,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(({qc_dot}) / (({qn}) * ({cent_n})), 6) DESC, c.label
+         ) AS crank
+  FROM embeddings q, cent c
+  WHERE q.vec_id IN ({qids})
+  QUALIFY crank <= {nprobe}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(({dot}) / (({pn}) * ({cn})), 6) AS cosine
+  FROM probes p JOIN embeddings c
+    ON c.label = p.label AND c.vec_id <> p.query_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= {k}
 """
 
 
@@ -840,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
+        "sim_topk_ivf_nprobe": _topk_nprobe_sql(),
         "text_token_stats": """
             SELECT doc_id, lang, source,
                    len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_survivors",
     "running_spend",
     "product_stats_approx",
+    "sim_topk_ivf_nprobe",
 ]
 
 

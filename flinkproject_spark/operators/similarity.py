@@ -230,3 +230,56 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
              / F.col("n_exact").cast("double")).alias("recall"),
         )
     )
+
+
+def cosine_topk_ivf_nprobe(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """ANN top-k probing the `nprobe` nearest cells by query->centroid
+    cosine — the real IVF search loop (cosine_topk_ivf's single stored
+    cell is the nprobe=1 degenerate case) and the standard recall knob:
+    more probes, more candidates, higher recall, same per-cell cost.
+
+    Plan shape: queries x centroids is a tiny broadcast cross join ranked
+    per query; the probe list then broadcast-joins the collection on cell
+    id, so the only big-data work is a partition-prunable scan of the
+    probed cells (collection stored partitioned by cell at scale)."""
+    e = with_norm(embeddings)
+    cents = label_centroids(embeddings).select("label", F.col("centroid").alias("cent"))
+    cents = cents.withColumn("cent_norm", F.sqrt(_dot("cent", "cent")))
+    queries = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qc = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "cell_cos",
+        F.round(_dot("q_emb", "cent") / (F.col("q_norm") * F.col("cent_norm")), 6),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("label"))
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "label", "q_emb", "q_norm")
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_cell"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            cands,
+            (F.col("label") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

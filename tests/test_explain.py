@@ -22,8 +22,10 @@ from tests.conftest import SF_DIR
 
 # The brute-force ANN baseline intentionally broadcasts the tiny query-vector
 # set against every row (BroadcastNestedLoopJoin) — it exists as the recall
-# oracle for the IVF path, which is the at-scale variant.
-BNLJ_ALLOWED = {"sim_topk_bruteforce"}
+# oracle for the IVF path, which is the at-scale variant. The multi-probe IVF
+# cross-joins the tiny query set against the tiny centroid table to rank
+# cells — also an intentional small-x-small BNL.
+BNLJ_ALLOWED = {"sim_topk_bruteforce", "sim_topk_ivf_nprobe"}
 
 
 def _plan(spark, name: str) -> str:

@@ -489,3 +489,12 @@ def test_product_stats_approx_error_bounded(tables):
     # so bound: within 1 absolutely OR within 10% relatively
     assert ((diff <= 1) | (rel <= 0.10)).all()
     assert rel.quantile(0.99) <= 0.10
+
+
+def test_ivf_nprobe_recall_at_least_single_cell(tables):
+    exact = similarity.cosine_topk_bruteforce(tables["embeddings"], [0, 1, 2], k=10)
+    one = similarity.cosine_topk_ivf(tables["embeddings"], [0, 1, 2], k=10)
+    two = similarity.cosine_topk_ivf_nprobe(tables["embeddings"], [0, 1, 2], k=10, nprobe=2)
+    r1 = similarity.recall_at_k(one, exact).agg(F.avg("recall")).first()[0]
+    r2 = similarity.recall_at_k(two, exact).agg(F.avg("recall")).first()[0]
+    assert r2 >= r1  # more probes never hurt recall

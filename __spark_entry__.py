@@ -78,7 +78,10 @@ def q_a4_split_routes(spark, sf):
 
 def q_a5_union_streams(spark, sf):
     u = relational.union_measure_streams(_t(spark, sf, "events"))
-    return u.select("user_id", K.ts_to_str("ts").alias("ts"), "pv_ct", "uv_ct", "sv_ct")
+    return u.select(
+        "user_id", K.ts_to_str("ts").alias("ts"),
+        *[F.col(c).cast("bigint").alias(c) for c in ("pv_ct", "uv_ct", "sv_ct")],
+    )
 
 
 def q_a6_visitor_stats(spark, sf):

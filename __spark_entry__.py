@@ -88,6 +88,10 @@ def q_a6_visitor_stats(spark, sf):
     return windows.visitor_stats(_t(spark, sf, "events"))
 
 
+def q_a6_visitor_stats_4d(spark, sf):
+    return windows.visitor_stats_4d(_t(spark, sf, "events"))
+
+
 def q_a7_window_distinct(spark, sf):
     return windows.window_distinct_users(_t(spark, sf, "events"))
 
@@ -441,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_split_routes": q_a4_split_routes,
         "a5_union_streams": q_a5_union_streams,
         "a6_visitor_stats": q_a6_visitor_stats,
+        "a6_visitor_stats_4d": q_a6_visitor_stats_4d,
         "a7_window_distinct": q_a7_window_distinct,
         "a8_interval_join": q_a8_interval_join,
         "a8_payment_wide": q_a8_payment_wide,
@@ -712,12 +717,35 @@ def oracle_sql() -> dict[str, str]:
                    strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)
                             + INTERVAL '10 minutes', '{FMT}') AS edt,
                    event_type,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS pv_ct,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS uv_ct,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS sv_ct,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
                    {MONEY.format(col='value')} AS dur_sum
             FROM events
             GROUP BY 1, 2, 3""",
+        "a6_visitor_stats_4d": f"""
+            WITH enriched AS (
+              SELECT ts, event_type, value,
+                     CAST(user_id % 5 AS BIGINT) AS ar,
+                     CASE CAST(json_extract_string(props, '$.k') AS INTEGER) % 3
+                          WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'
+                          ELSE 'social' END AS ch,
+                     CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 25)
+                          AS BIGINT) AS vc,
+                     CAST(CASE WHEN CAST(ts AS DATE)
+                                    = MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                               THEN 1 ELSE 0 END AS BIGINT) AS is_new
+              FROM events)
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP), '{FMT}') AS stt,
+                   strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)
+                            + INTERVAL '10 minutes', '{FMT}') AS edt,
+                   ar, ch, vc, is_new,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+                   {MONEY.format(col='value')} AS dur_sum
+            FROM enriched
+            GROUP BY 1, 2, 3, 4, 5, 6""",
         "a7_window_distinct": f"""
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '{FMT}') AS stt,
                    strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)

@@ -66,6 +66,57 @@ def visitor_stats(events: DataFrame, duration: str = TEN_MIN) -> DataFrame:
     return _window_bounds(agg)
 
 
+def visitor_stats_4d(events: DataFrame, duration: str = TEN_MIN) -> DataFrame:
+    """VisitorStatsApp with the reference's FULL composite key: the Flink job
+    keys by FOUR dimensions (ar, ch, is_new, vc —
+    app/dws/VisitorStatsApp.java:127-138, keyBy at :129-137) and emits the
+    VisitorStats bean contract (bean/VisitorStats.java:11-36).
+
+    Dimension derivation over the synthetic events table (each maps to a
+    page-log field the reference extracts from common.{ar,ch,is_new,vc}):
+      ar      — area/province id: user_id % 5
+      ch      — channel: props.k % 3 -> organic|paid|social
+      vc      — version code: floor(props.k / 25)  (0..3)
+      is_new  — state-corrected first-visit flag (the UniqueVisitApp-style
+                keyed state): 1 on the user's FIRST active day, else 0 —
+                computed with a min-date window over user_id, the batch twin
+                of the reference's per-key ValueState date check.
+
+    Plan: one shuffle for the per-user min-date window, one for the
+    (window x 4-dim) aggregate with map-side partial aggregation. At 100 TB
+    is_new comes from the persisted a11 user-dim instead of the inline
+    window (broadcast or bucketed join) — the inline form keeps this
+    self-contained and oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    first_day = F.min(F.to_date("ts")).over(Window.partitionBy("user_id"))
+    enriched = events.select(
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("user_id") % 5).cast("bigint").alias("ar"),
+        F.when(k % 3 == 0, "organic")
+        .when(k % 3 == 1, "paid")
+        .otherwise("social")
+        .alias("ch"),
+        F.floor(k / 25).cast("bigint").alias("vc"),
+        F.when(F.to_date("ts") == first_day, 1).otherwise(0).cast("bigint").alias("is_new"),
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", duration), "ar", "ch", "vc", "is_new")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("pv_ct"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("uv_ct"),
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("sv_ct"),
+            K.money_sum("value").alias("dur_sum"),
+        )
+    )
+    return _window_bounds(agg)
+
+
 # ---------------------------------------------------------------------------
 # A6 + A7 — windowed aggregate with exact distinct counts (ProductStats shape)
 # ---------------------------------------------------------------------------

@@ -11,6 +11,19 @@ import __spark_entry__ as entrymod
 from tools.verify_local import canonicalize, compare
 
 
+def test_compare_rejects_int_float_family_mismatch():
+    """Regression for round-1 a6: DuckDB HUGEINT materializes as float64 while
+    Spark emits bigint; the driver hash is dtype-family sensitive, so the local
+    gate must fail that pairing even when values are numerically equal."""
+    a = pd.DataFrame({"k": ["x", "y"], "ct": pd.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"k": ["x", "y"], "ct": pd.array([1.0, 2.0], dtype="float64")})
+    err = compare("dtype_probe", a, b)
+    assert err is not None and "dtype family" in err
+    # same family, different width: allowed (driver normalizes widths)
+    c = pd.DataFrame({"k": ["x", "y"], "ct": pd.array([1, 2], dtype="int32")})
+    assert compare("dtype_probe", a, c) is None
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

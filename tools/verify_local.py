@@ -47,12 +47,39 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family used for driver-strict comparison.
+
+    The driver's value hash distinguishes int from float (e.g. DuckDB
+    HUGEINT materializing as float64 vs Spark bigint broke a6 in round 1),
+    but not integer widths. Mirror exactly that strictness here.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
     if len(spark_df) != len(duck_df):
         return f"row count: spark={len(spark_df)} duck={len(duck_df)}"
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
     if sc != dc:
         return f"columns: spark={sc} duck={dc}"
+    fam_mismatch = [
+        (c, dtype_family(spark_df[c]), dtype_family(duck_df[c]))
+        for c in sc
+        if dtype_family(spark_df[c]) != dtype_family(duck_df[c])
+    ]
+    if fam_mismatch:
+        return "dtype family: " + ", ".join(
+            f"{c}: spark={a} duck={b}" for c, a, b in fam_mismatch
+        )
     a, b = canonicalize(spark_df), canonicalize(duck_df)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

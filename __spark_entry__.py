@@ -312,6 +312,23 @@ def q_a19_udtf_lateral(spark, sf):
     """)
 
 
+def q_a19_udtf_subword(spark, sf):
+    """A19/D — subword keyword counts through the 1->N `split_subwords`
+    UDTF + LATERAL: each input word fans out into multiple pieces (the IK
+    analyzer's multi-token emission, KeywordUtil.java:13-35), so output
+    rows exceed input tokens — the actual point of a UDTF."""
+    session.configure(spark)
+    catalog.register_views(spark, sf, ("documents",))
+    text.register_split_subwords(spark)
+    return spark.sql("""
+        SELECT piece AS keyword, COUNT(*) AS ct, 'search' AS source
+        FROM documents, LATERAL split_subwords(text)
+        GROUP BY piece
+        ORDER BY ct DESC, keyword
+        LIMIT 100
+    """)
+
+
 def q_session_stats(spark, sf):
     """Session windows (native F.session_window) — an engine addition beyond
     the reference's tumbling-only surface (SURVEY §2E)."""
@@ -460,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_gmv_day_range": q_a18_gmv_day_range,
         "a19_keyword_stats": q_a19_keyword_stats,
         "a19_udtf_lateral": q_a19_udtf_lateral,
+        "a19_udtf_subword": q_a19_udtf_subword,
         "a20_sql_province_stats": q_a20_sql_province_stats,
         "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
         "province_stats": q_province_stats,
@@ -854,6 +872,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT keyword, COUNT(*) AS ct, 'search' AS source FROM (
               SELECT unnest(string_split(text, ' ')) AS keyword FROM documents)
             GROUP BY keyword
+            ORDER BY ct DESC, keyword LIMIT 100""",
+        "a19_udtf_subword": """
+            WITH w AS (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+            p AS (
+              SELECT substring(word, 3 * i + 1, 3) AS piece
+              FROM w, unnest(generate_series(0,
+                     CAST(ceil(len(word) / 3.0) AS BIGINT) - 1)) AS u(i)
+              WHERE word <> '')
+            SELECT piece AS keyword, COUNT(*) AS ct, 'search' AS source
+            FROM p GROUP BY piece
             ORDER BY ct DESC, keyword LIMIT 100""",
         "a19_udtf_lateral": """
             SELECT keyword, COUNT(*) AS ct, 'search' AS source FROM (

@@ -134,21 +134,55 @@ def routed_counts(tables: dict[str, DataFrame], rules: tuple[RouteRule, ...] = D
     return out
 
 
-def upsert_parquet(df: DataFrame, path: str, pk: str) -> None:
+UPSERT_BUCKETS = 64
+
+
+def upsert_parquet(df: DataFrame, path: str, pk: str, n_buckets: int = UPSERT_BUCKETS) -> None:
     """B6 — dim upsert sink (Phoenix `upsert into` at DimSinkFunction.java:68-77).
 
-    Parquet has no MERGE; last-writer-wins per pk via read-union-dedup and
-    partition overwrite. On Delta this is a one-line MERGE INTO; the engine
-    keeps the same call signature.
+    Parquet has no MERGE, so the table is laid out partitioned by
+    `pk_bucket = pmod(xxhash64(pk), n_buckets)` and each upsert batch
+    rewrites ONLY the buckets its keys hash into, via dynamic partition
+    overwrite — O(batch x table/n_buckets) per micro-batch instead of the
+    O(table) full-table rewrite. Within a touched bucket the incoming row
+    wins over the stored one (last-writer-wins per pk, deterministic via an
+    explicit priority rank, not dropDuplicates order). On Delta this whole
+    function is a one-line MERGE INTO; the call signature is kept so the
+    sink swaps without touching callers.
+
+    At 100 TB: n_buckets scales with dim size (buckets ~ dim_bytes /
+    executor-comfortable-rewrite-size); the touched-bucket list collected to
+    the driver is bounded by n_buckets, never by data.
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
+    bucket = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_buckets)).alias("pk_bucket")
+    incoming = df.withColumn("pk_bucket", bucket)
     try:
         existing = spark.read.parquet(path)
-        merged = df.unionByName(existing, allowMissingColumns=True).dropDuplicates([pk])
     except Exception:
-        merged = df
-    merged.write.mode("overwrite").parquet(path + "_new")
-    # atomic-ish swap left to the caller/filesystem in tests; real deployments use Delta
+        incoming.write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
+        return
+    touched = [r[0] for r in incoming.select("pk_bucket").distinct().collect()]
+    current = existing.filter(F.col("pk_bucket").isin(touched)).select(*incoming.columns)
+    ranked = (
+        incoming.withColumn("_prio", F.lit(1))
+        .unionByName(current.withColumn("_prio", F.lit(0)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(pk).orderBy(F.desc("_prio"))),
+        )
+    )
+    merged = ranked.filter(F.col("_rn") == 1).drop("_prio", "_rn")
+    # break lineage from the files about to be overwritten (self-overwrite guard)
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pk_bucket")
+        .parquet(path)
+    )
 
 
 # ---------------------------------------------------------------------------

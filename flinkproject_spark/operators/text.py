@@ -192,6 +192,33 @@ def register_split_words(spark) -> None:
     spark.udtf.register("split_words", SplitWords)
 
 
+def register_split_subwords(spark, width: int = 3) -> None:
+    """Register `split_subwords`: a UDTF with REAL 1->N fan-out per word —
+    the segmentation analog of the reference's IK analyzer, which emits
+    MULTIPLE tokens per input phrase (utils/KeywordUtil.java:13-35 loops the
+    Lexeme iterator; function/SplitFunction.java:12-29 collect()s each).
+
+    The corpus here is plain lowercase ASCII, so the deterministic stand-in
+    for dictionary segmentation is fixed-width character chunking: each
+    whitespace word yields ceil(len/width) pieces ("customer" -> cus, tom,
+    er). One input word -> several output rows through LATERAL — the
+    expansion path a UDTF exists for, exercised for real (unlike the 1->1
+    `split_words`). Engine-portable: the oracle reproduces it with
+    substring + generate_series.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, piece string, wpos int, ppos int")
+    class SplitSubwords:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    for j in range(0, len(w), width):
+                        yield (w, w[j : j + width], i, j // width)
+
+    spark.udtf.register("split_subwords", SplitSubwords)
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish token counting (north star: whitespace + a BPE-ish regex)
 # ---------------------------------------------------------------------------

@@ -3,6 +3,7 @@ down (plan shape, edge cases, determinism)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -394,6 +395,50 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- B6 dim upsert sink ------------------------------------------------------
+
+def test_upsert_parquet_rewrites_only_touched_buckets(spark, tables, tmp_path):
+    import os
+
+    def bucket_files(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("pk_bucket="):
+                full = os.path.join(path, d)
+                out[d] = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+        return out
+
+    path = str(tmp_path / "dim_customer")
+    base = tables["customer"].select("c_custkey", "c_name", "c_mktsegment")
+    routing.upsert_parquet(base, path, "c_custkey", n_buckets=8)
+    before = bucket_files(path)
+    assert len(before) == 8
+
+    delta = spark.createDataFrame(
+        [(1, "UPDATED NAME", "SEG-X"), (999999, "BRAND NEW", "SEG-Y")],
+        "c_custkey bigint, c_name string, c_mktsegment string",
+    )
+    routing.upsert_parquet(delta, path, "c_custkey", n_buckets=8)
+    after = bucket_files(path)
+
+    touched = {
+        f"pk_bucket={r[0]}"
+        for r in delta.select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(8))
+        ).distinct().collect()
+    }
+    for d in before:
+        if d in touched:
+            assert before[d] != after[d], f"{d} should have been rewritten"
+        else:
+            assert before[d] == after[d], f"{d} rewritten despite no keys in it"
+
+    merged = spark.read.parquet(path)
+    assert merged.count() == base.count() + 1  # one new pk, one updated in place
+    assert merged.filter("c_custkey = 1").first().c_name == "UPDATED NAME"
+    assert merged.filter("c_custkey = 999999").first().c_name == "BRAND NEW"
+
+
 # --- SCD2 history ------------------------------------------------------------
 
 def test_scd2_versions_tile_time_without_gaps(tables):
@@ -404,7 +449,7 @@ def test_scd2_versions_tile_time_without_gaps(tables):
         g = g.sort_values("version").reset_index(drop=True)
         assert list(g["version"]) == list(range(1, len(g) + 1))
         # each version's valid_to equals the next version's valid_from; one open tail
-        assert g["valid_to"].isna().sum() == 1 and g["valid_to"].iloc[-1] is not g["valid_to"].notna()
+        assert g["valid_to"].isna().sum() == 1 and pd.isna(g["valid_to"].iloc[-1])
         nxt = g["valid_from"].shift(-1)
         closed = g["valid_to"].notna()
         assert (g.loc[closed, "valid_to"] == nxt[closed]).all()
@@ -489,6 +534,31 @@ def test_product_stats_approx_error_bounded(tables):
     # so bound: within 1 absolutely OR within 10% relatively
     assert ((diff <= 1) | (rel <= 0.10)).all()
     assert rel.quantile(0.99) <= 0.10
+
+
+def test_udtf_subword_fans_out_one_to_many(spark, tables):
+    """The split_subwords UDTF must emit MORE rows than input tokens — the
+    1->N lateral expansion that is the point of a UDTF (the reference's IK
+    analyzer emits multiple tokens per word, KeywordUtil.java:13-35)."""
+    text.register_split_subwords(spark)
+    docs = tables["documents"]
+    docs.createOrReplaceTempView("udtf_docs")
+    n_pieces = spark.sql(
+        "SELECT COUNT(*) FROM udtf_docs, LATERAL split_subwords(text)"
+    ).first()[0]
+    n_words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    ).count()
+    assert n_pieces > n_words
+    # pieces reassemble exactly into their source words
+    bad = spark.sql("""
+        SELECT word FROM (
+          SELECT word, concat_ws('', sort_array(collect_list(struct(ppos, piece))).piece) AS joined
+          FROM (SELECT * FROM udtf_docs, LATERAL split_subwords(text))
+          GROUP BY doc_id, wpos, word
+        ) WHERE joined <> word
+    """).count()
+    assert bad == 0
 
 
 def test_ivf_nprobe_recall_at_least_single_cell(tables):

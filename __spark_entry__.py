@@ -139,6 +139,10 @@ def q_a12_bounce(spark, sf):
     return state.detect_bounces(_t(spark, sf, "events"))
 
 
+def q_a12_bounce_strict(spark, sf):
+    return state.detect_bounces_strict(_t(spark, sf, "events"))
+
+
 def q_a13_sessionize(spark, sf):
     out = state.sessionize(_t(spark, sf, "events"))
     return out.select(
@@ -471,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
         "a12_bounce": q_a12_bounce,
+        "a12_bounce_strict": q_a12_bounce_strict,
         "a13_sessionize": q_a13_sessionize,
         "a15_route_config": q_a15_route_config,
         "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
@@ -833,6 +838,25 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             WHERE (prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800)
               AND (next_ts IS NULL OR date_diff('second', ts, next_ts) > 600)""",
+        "a12_bounce_strict": f"""
+            WITH flagged AS (
+              SELECT event_id, ts, user_id, event_type,
+                     lag(ts) OVER w AS prev_ts, lead(ts) OVER w AS next_ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS is_entry
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            e2 AS (
+              SELECT *, lead(is_entry)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_is_entry
+              FROM flagged)
+            SELECT event_id, strftime(ts, '{FMT}') AS ts, user_id, event_type
+            FROM e2
+            WHERE is_entry = 1
+              AND ((next_is_entry = 1 AND date_diff('second', ts, next_ts) <= 600)
+                OR next_ts IS NULL
+                OR date_diff('second', ts, next_ts) > 600)""",
         "a13_sessionize": f"""
             WITH flagged AS (
               SELECT event_id, ts, user_id, event_type, value,

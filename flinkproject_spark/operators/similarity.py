@@ -76,6 +76,35 @@ def cosine_topk_bruteforce(
     )
 
 
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-batch partial top-k pruning — NARROW (no shuffle): each Arrow
+    batch keeps only its own per-query top-k of the already-scored
+    (query_id, neighbor_id, cosine) triples, so the global ranking window's
+    exchange carries O(batches * Q * k) 3-column rows instead of every
+    scored candidate (and never the embedding payload). A batch's top-k is
+    a superset of its contribution to the global top-k, so the final
+    window over the pruned set is exact."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    return scored.select("query_id", "neighbor_id", "cosine").mapInPandas(
+        prune, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:
@@ -83,7 +112,10 @@ def cosine_topk_ivf(
 
     Same ranking contract as the brute-force tier; candidates are
     cell-pruned before scoring. At 100 TB the collection is stored
-    partitioned by cell, so the probe is a partition-pruned scan."""
+    partitioned by cell, so the probe is a partition-pruned scan.
+    Scoring is JVM-side; a narrow per-batch partial top-k then prunes
+    candidates before the global per-query rank (see _partial_topk), so
+    the one shuffle is O(batches * Q * k), not O(cell population)."""
     e = with_norm(embeddings)
     queries = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -106,9 +138,10 @@ def cosine_topk_ivf(
         )
         .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6))
     )
+    pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -195,6 +228,10 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     aggregate per (label, dim) — partial aggregation runs map-side, no
     per-group vector materialization (a collect_list per label would bound
     group size by executor memory; this doesn't).
+
+    Production shape: train ONCE on a sample and persist the (tiny)
+    centroid table; recomputing per query invocation — as the self-contained
+    oracle queries here do — is wasteful at scale.
     """
     exploded = embeddings.select(
         "label", F.posexplode("embedding").alias("dim", "v")
@@ -277,9 +314,10 @@ def cosine_topk_ivf_nprobe(
         )
         .withColumn("cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6))
     )
+    pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

@@ -105,6 +105,58 @@ def detect_bounces(events: DataFrame, session_gap_min: int = 30, bounce_gap_min:
     )
 
 
+def detect_bounces_strict(
+    events: DataFrame, session_gap_min: int = 30, bounce_gap_min: int = 10
+) -> DataFrame:
+    """A12 with the reference's CEP branches kept SEPARATE — the literal
+    strict-contiguity pattern (app/dwm/UserJumpDetailApp.java:68-92):
+
+      begin(entry).next(entry).within(bounce_gap)   [.next() = strict]
+
+    - match branch: an entry whose immediately-next event is ANOTHER entry
+      inside the bounce window -> emit the first (the CEP select);
+    - timeout branch: an entry with NO next event inside the bounce window
+      -> emit it (the timeout side-output);
+    - abort: a non-entry next event inside the window kills the match
+      attempt (strict contiguity) -> NOT a bounce.
+
+    With gap-derived entries and session_gap >= bounce_gap the match branch
+    is provably empty (an entry's gap exceeds the session gap, hence the
+    bounce window), so this collapses to `detect_bounces`'s single
+    next-too-late-or-missing predicate — the equivalence is pinned by a
+    property test over generated sessions (tests/test_properties.py) and a
+    whole-table equality test; with bounce_gap > session_gap the two
+    genuinely diverge (also pinned).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = session_gap_min * 60
+    bounce_s = bounce_gap_min * 60
+    flagged = (
+        events.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.lag("ts").over(w).alias("prev_ts"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .withColumn(
+            "is_entry",
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s),
+        )
+        .withColumn("next_is_entry", F.lead("is_entry").over(w))
+    )
+    next_diff = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    matched = F.col("next_is_entry") & (next_diff <= bounce_s)
+    timed_out = F.col("next_ts").isNull() | (next_diff > bounce_s)
+    return (
+        flagged.filter("is_entry")
+        .filter(matched | timed_out)
+        .select("event_id", K.ts_to_str("ts").alias("ts"), "user_id", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (generalization of A12's session-entry notion)
 # ---------------------------------------------------------------------------

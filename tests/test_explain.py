@@ -101,6 +101,24 @@ def test_windowed_aggs_partial_aggregate(plans, name):
     assert "Exchange" in p
 
 
+@pytest.mark.parametrize("name", ["sim_topk_ivf", "sim_topk_ivf_nprobe"])
+def test_ivf_partial_topk_prunes_before_global_rank(plans, name):
+    """The IVF scale path must prune candidates with the narrow per-batch
+    partial top-k (MapInPandas) BEFORE the global per-query ranking window,
+    so the window's exchange carries O(batches*Q*k) 3-column rows, not every
+    scored cell member with its embedding payload."""
+    p = plans[name]
+    assert "MapInPandas" in p, f"{name} lost the partial top-k pruning stage"
+    # the pruning stage must sit below the ranking Window in the plan tree:
+    # formatted explain lists children before parents, so MapInPandas's node
+    # number must be smaller than the Window's
+    import re
+
+    nodes = {m.group(2): int(m.group(1))
+             for m in re.finditer(r"\((\d+)\) (\w+)", p)}
+    assert nodes["MapInPandas"] < nodes["Window"], f"{name}: pruning not upstream of rank"
+
+
 def test_whole_stage_codegen_on_scan_paths(plans):
     """Narrow-transform queries must stay inside whole-stage codegen
     (no interpreted expression islands on the hot path)."""

@@ -395,6 +395,36 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- A12 strict-contiguity bounce twin ---------------------------------------
+
+def test_bounce_strict_equals_simple_on_real_events(tables):
+    """Bridge for the property-test equivalence: at the default parameters
+    (session_gap 30 min >= bounce_gap 10 min) the strict CEP twin and the
+    single-predicate operator agree on the whole events table."""
+    a = {r.event_id for r in state.detect_bounces(tables["events"]).collect()}
+    b = {r.event_id for r in state.detect_bounces_strict(tables["events"]).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bounce_strict_diverges_outside_precondition(spark):
+    """With bounce_gap > session_gap the CEP match branch becomes reachable:
+    an entry followed by another entry inside the bounce window is a bounce
+    under strict semantics but not under the simple predicate — mirrors
+    bounce_models_diverge in test_properties.py on the actual operators."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 7, "view"), (2, t0 + timedelta(seconds=700), 7, "view")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    simple = {r.event_id for r in
+              state.detect_bounces(df, session_gap_min=10, bounce_gap_min=20).collect()}
+    strict = {r.event_id for r in
+              state.detect_bounces_strict(df, session_gap_min=10, bounce_gap_min=20).collect()}
+    assert strict == {1, 2} and simple == {2}
+
+
 # --- B6 dim upsert sink ------------------------------------------------------
 
 def test_upsert_parquet_rewrites_only_touched_buckets(spark, tables, tmp_path):

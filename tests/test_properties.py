@@ -46,6 +46,70 @@ def test_money_sum_is_exact_decimal_sum(spark, vals):
     assert got == want
 
 
+# ---------------------------------------------------------------------------
+# A12 bounce semantics: the single next-too-late-or-missing predicate is
+# equivalent to the reference's strict-contiguity CEP (match branch + timeout
+# branch, UserJumpDetailApp.java:68-92) whenever session_gap >= bounce_gap.
+# Pure-Python models mirror the two operators' window expressions exactly;
+# tests/test_operators.py bridges the models to the Spark operators on real
+# data.
+# ---------------------------------------------------------------------------
+
+def _entries(ts: list[int], gap_s: int) -> list[bool]:
+    return [i == 0 or ts[i] - ts[i - 1] > gap_s for i in range(len(ts))]
+
+
+def bounce_simple_model(ts: list[int], gap_s: int, bounce_s: int) -> set[int]:
+    e = _entries(ts, gap_s)
+    return {
+        i for i in range(len(ts))
+        if e[i] and (i == len(ts) - 1 or ts[i + 1] - ts[i] > bounce_s)
+    }
+
+
+def bounce_strict_model(ts: list[int], gap_s: int, bounce_s: int) -> set[int]:
+    e = _entries(ts, gap_s)
+    out = set()
+    for i in range(len(ts)):
+        if not e[i]:
+            continue
+        last = i == len(ts) - 1
+        timed_out = last or ts[i + 1] - ts[i] > bounce_s
+        matched = not last and e[i + 1] and ts[i + 1] - ts[i] <= bounce_s
+        if timed_out or matched:
+            out.add(i)
+    return out
+
+
+@st.composite
+def _session_case(draw):
+    gap_s = draw(st.integers(min_value=10, max_value=3600))
+    bounce_s = draw(st.integers(min_value=1, max_value=gap_s))  # valid regime
+    gaps = draw(st.lists(st.integers(min_value=1, max_value=2 * gap_s), max_size=30))
+    ts, t = [0], 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    return ts, gap_s, bounce_s
+
+
+@settings(max_examples=300, deadline=None)
+@given(_session_case())
+def test_bounce_strict_equivalent_when_session_gap_dominates(case):
+    ts, gap_s, bounce_s = case
+    assert bounce_simple_model(ts, gap_s, bounce_s) == bounce_strict_model(ts, gap_s, bounce_s)
+
+
+def test_bounce_models_diverge_when_bounce_gap_exceeds_session_gap():
+    # entry at t=0; next event 700 s later is ITSELF an entry (gap > 600)
+    # and inside the 1200 s bounce window: the CEP match branch fires
+    # (strict => bounce) while the simple predicate sees a next event in
+    # time (=> no bounce). The equivalence precondition is necessary.
+    ts, gap_s, bounce_s = [0, 700], 600, 1200
+    assert bounce_strict_model(ts, gap_s, bounce_s) == {0, 1}
+    assert bounce_simple_model(ts, gap_s, bounce_s) == {1}
+
+
 @settings(**SETTINGS)
 @given(st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=2, max_size=16))
 def test_cosine_kernel_self_similarity(spark, vec):

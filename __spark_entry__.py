@@ -31,6 +31,7 @@ from flinkproject_spark.operators import (
     multimodal,
     relational,
     routing,
+    sampling,
     similarity,
     state,
     text,
@@ -458,6 +459,35 @@ def q_product_stats_approx(spark, sf):
     return windows.product_stats_approx(_t(spark, sf, "lineitem"))
 
 
+# Corpus-composition parameters (shared by Spark query + oracle)
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+SAMPLE_DEFAULT = 0.1
+TOKEN_BUDGET = 20_000
+
+
+def q_corpus_sample(spark, sf):
+    """Deterministic per-source stratified sampling (hash-Bernoulli) — the
+    corpus up/down-weighting step of a training-data pipeline."""
+    docs = _t(spark, sf, "documents")
+    out = sampling.stratified_sample(docs, SAMPLE_RATES, default_rate=SAMPLE_DEFAULT)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_token_budget_pack(spark, sf):
+    """Quality-first greedy packing under a token budget."""
+    return sampling.token_budget_pack(_t(spark, sf, "documents"), TOKEN_BUDGET)
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style top-ngram repetition features."""
+    return text.repetition_scores(_t(spark, sf, "documents"))
+
+
+def q_cluster_assign(spark, sf):
+    """Nearest-centroid assignment over the embedding collection."""
+    return similarity.cluster_assign(_t(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -518,6 +548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_spend": q_running_spend,
         "product_stats_approx": q_product_stats_approx,
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
+        "corpus_sample": q_corpus_sample,
+        "token_budget_pack": q_token_budget_pack,
+        "text_repetition": q_text_repetition,
+        "cluster_assign": q_cluster_assign,
     }
 
 
@@ -1171,7 +1205,78 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS UNBOUNDED PRECEDING)""",
+        "corpus_sample": _corpus_sample_sql(),
+        "token_budget_pack": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, source,
+                     len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens,
+                     least(len(string_split_regex(text, '\\s+'))::DOUBLE / 100.0, 1.0) * 0.5
+                       + (len(list_distinct(string_split_regex(text, '\\s+')))::DOUBLE
+                          / len(string_split_regex(text, '\\s+'))::DOUBLE) * 0.5
+                       AS quality_score
+              FROM documents)
+            SELECT doc_id, lang, source, n_tokens, quality_score,
+                   CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_tokens
+            FROM scored
+            QUALIFY cum_tokens <= {TOKEN_BUDGET}""",
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS x FROM documents),
+            grams AS (
+              SELECT doc_id, x[i] || ' ' || x[i+1] AS gram
+              FROM toks, unnest(generate_series(1, len(x) - 1)) AS u(i)
+              WHERE len(x) >= 2),
+            per AS (SELECT doc_id, gram, COUNT(*) AS ct FROM grams GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(MAX(ct) AS BIGINT) AS top_ct,
+                   CAST(SUM(ct) AS BIGINT) AS total_ngrams,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+                   CAST(MAX(ct) AS DOUBLE) / CAST(SUM(ct) AS DOUBLE) AS top_ngram_ratio,
+                   CAST(COUNT(*) AS DOUBLE) / CAST(SUM(ct) AS DOUBLE) AS ngram_diversity
+            FROM per GROUP BY doc_id""",
+        "cluster_assign": _cluster_assign_sql(),
     }
+
+
+def _corpus_sample_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    draw = duck_hash64("'corpus-v1:' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * SAMPLE_MOD)}" for s, r in SAMPLE_RATES.items()
+    )
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE ({draw}) % {SAMPLE_MOD} <
+              CASE source {whens} ELSE {int(SAMPLE_DEFAULT * SAMPLE_MOD)} END"""
+
+
+def _cluster_assign_sql() -> str:
+    dot = _DOT.format(a="e.embedding", b="c.cent")
+    en = _NORM.format(a="e.embedding")
+    cn = _NORM.format(a="c.cent")
+    return f"""
+        WITH dims AS (
+          SELECT label, t.i AS dim, (embedding[t.i])::DOUBLE AS v
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        ), cent AS (
+          SELECT label, array_agg(m ORDER BY dim) AS cent FROM (
+            SELECT label, dim, SUM(v) / COUNT(*) AS m FROM dims GROUP BY 1, 2)
+          GROUP BY label
+        ), scored AS (
+          SELECT e.vec_id, e.label::BIGINT AS label, c.label::BIGINT AS c_label,
+                 round(({dot}) / (({en}) * ({cn})), 6) AS cos
+          FROM embeddings e, cent c
+        )
+        SELECT vec_id, label, c_label AS assigned_label, cos AS cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, c_label) AS rn
+          FROM scored)
+        WHERE rn = 1"""
 
 
 def _province_stats_sql() -> str:

@@ -93,9 +93,15 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline_query_set_total",
+        # full_query_set_total = sum over EVERY queries() entry — the same
+        # semantics BENCH_r01's 60.2 s number had (it also summed all
+        # queries); renamed so the metric says what it measures. The
+        # fixed-subset headline_total tracks round-over-round trends even
+        # as new queries join the contract.
+        "metric": "full_query_set_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "headline_total": round(sum(timings[q] for q in HEADLINE), 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

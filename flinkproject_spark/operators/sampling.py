@@ -1,0 +1,101 @@
+"""Corpus sampling & selection operators (north-star training-data surface).
+
+A pre-training data pipeline doesn't just filter and dedup — it *composes* a
+corpus: per-source sampling rates (up/down-weighting), and a token budget
+filled with the highest-quality documents first. These operators provide
+both, deterministically:
+
+- sampling decisions are HASH-based (keep iff h(doc) mod M < rate*M), not
+  RNG-based, so the same document always gets the same verdict across runs,
+  engines, and cluster sizes — the property that makes corpus builds
+  reproducible and incremental (re-running over a grown corpus keeps all
+  prior decisions). Spark's `df.sample`/`sampleBy` are seeded per-partition
+  and change results under repartitioning; these don't.
+- selection order is a total order (score desc, doc_id), so the packed
+  corpus is unique and oracle-checkable.
+
+No reference analog (the Flink app has no sampling surface); this extends
+SURVEY.md §2's north-star block alongside dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+
+SAMPLE_MOD = 1_000_000  # rate resolution: 1e-6
+
+
+def _keep_hash(key_col: str, salt: str) -> F.Column:
+    """Deterministic per-document draw in [0, SAMPLE_MOD): md5-based so the
+    DuckDB oracle reproduces it bit-identically (K.duck_hash64 twin)."""
+    return K.hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % SAMPLE_MOD
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "corpus-v1",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a document iff its
+    hash draw falls under its stratum's rate (`sampleBy`'s contract, made
+    reproducible).
+
+    Scale shape: one narrow filter over the scan — no shuffle, no state;
+    the rate map compiles into the predicate (broadcast-free). Pushdown:
+    the stratum filter is a plain comparison chain, so Catalyst keeps the
+    scan pruned to selected strata when rates are 0 elsewhere.
+    """
+    draw = _keep_hash(key_col, salt)
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(stratum_col) == s
+        thresh = F.lit(int(r * SAMPLE_MOD))
+        rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+    rate = rate.otherwise(F.lit(int(default_rate * SAMPLE_MOD))) if rate is not None \
+        else F.lit(int(default_rate * SAMPLE_MOD))
+    return documents.filter(draw < rate)
+
+
+def token_budget_pack(documents: DataFrame, budget_tokens: int) -> DataFrame:
+    """Greedy quality-first corpus packing: rank documents by quality score
+    (desc, doc_id tiebreak), take the maximal prefix whose cumulative token
+    count stays within `budget_tokens`.
+
+    Quality = the text.quality_scores composite (length + diversity);
+    tokens = whitespace tokens — both computed inline so the operator is
+    self-contained.
+
+    Scale note: the exact prefix-sum needs a GLOBAL order (single-reducer
+    window) — fine up to ~10^8 docs of metadata (the window input is 3
+    columns, not text). The 100 TB form is two-phase: bucket docs into
+    quality bands, aggregate per-band token totals (tiny), pick whole bands
+    greedily on the driver, and run the exact window only inside the one
+    boundary band. Same result, shuffle bounded by band size.
+    """
+    x = F.split("text", r"\s+")
+    n_tok = F.size(x).cast("double")
+    uniq = F.size(F.array_distinct(x)).cast("double")
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(x).cast("bigint").alias("n_tokens"),
+        (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + (uniq / n_tok) * F.lit(0.5)
+        ).alias("quality_score"),
+    )
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score", "cum_tokens")
+    )

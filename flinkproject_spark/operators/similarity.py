@@ -251,6 +251,43 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def cluster_assign(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for every vector — the IVF 'assign' step
+    as a standalone operator (one k-means Lloyd half-iteration; also the
+    embedding-space classifier a pipeline uses to route documents to
+    domain buckets).
+
+    Plan: the centroid table is tiny (one row per label) -> broadcast cross
+    join, rank per vector, keep the argmax. The big side is scanned once,
+    never shuffled on data: the argmax is a struct-max AGGREGATE over the
+    N x C scored rows grouped by vec_id — partial-aggregating map-side, so
+    the exchange carries one pre-reduced row per vector, not a global
+    window sort over all scored pairs.
+    """
+    e = with_norm(embeddings)
+    cents = label_centroids(embeddings).select(
+        F.col("label").alias("c_label"), F.col("centroid").alias("cent")
+    )
+    cents = cents.withColumn("cent_norm", F.sqrt(_dot("cent", "cent")))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(_dot("emb", "cent") / (F.col("norm") * F.col("cent_norm")), 6).alias("cos"),
+    )
+    # max_by with a (cos, -c_label) struct: highest cosine, lowest label on
+    # ties — a partial-aggregating argmax, no global window sort
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("c_label")).alias("neg_label"))).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        (-F.col("b.neg_label")).cast("bigint").alias("assigned_label"),
+        F.col("b.cos").alias("cosine"),
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact ground truth —
     the metric that justifies a cell-probe parameter choice. Both inputs use

@@ -115,6 +115,37 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition filter features: the share of a document's
+    word n-grams taken by its single most frequent n-gram (high = loops,
+    boilerplate, keyword stuffing) plus the distinct-ngram diversity.
+
+    All-integer counts divided with explicit double casts — exact across
+    engines. Plan: explode n-grams -> two-level aggregate; both aggregates
+    partial-aggregate map-side, shuffle keyed by doc_id (+gram) only.
+    """
+    d = with_tokens(documents)
+    grams = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("x"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("ct"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.max("ct").alias("top_ct"),
+        F.sum("ct").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("top_ct").cast("bigint").alias("top_ct"),
+        F.col("total").cast("bigint").alias("total_ngrams"),
+        F.col("n_distinct").cast("bigint").alias("distinct_ngrams"),
+        (F.col("top_ct").cast("double") / F.col("total").cast("double")
+         ).alias("top_ngram_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("total").cast("double")
+         ).alias("ngram_diversity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # language identification (marker-lexicon heuristic)
 # ---------------------------------------------------------------------------

@@ -107,6 +107,43 @@ def start_routed_cdc_sink(
     )
 
 
+def idempotent_parquet_writer(base_path: str) -> Callable[[DataFrame, int], None]:
+    """B2/B5 — batchId-keyed idempotent foreachBatch writer: micro-batch N
+    always lands in `{base_path}/batch_id=N`, written with overwrite, so a
+    REPLAYED micro-batch (crash after write, before the checkpoint commit)
+    rewrites its own directory instead of appending duplicates.
+
+    This is Spark's answer to the reference's transactional Kafka producer
+    (utils/MyKafkaUtil.java:29-38, EXACTLY_ONCE semantic): checkpointed
+    offsets make batch ids and their contents deterministic on replay, and
+    the deterministic-target overwrite makes the write idempotent — end to
+    end exactly-once OUTPUT without a transaction log. The delta vs the
+    reference: readers see a replayed batch's directory swap non-atomically
+    (Kafka transactions hide in-flight data until commit); Delta/Iceberg
+    close that gap with `txnAppId/txnVersion`-style commits keyed the same
+    way. Downstream reads get `batch_id` as a partition column; drop it for
+    value comparisons."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+
+    return fn
+
+
+def start_idempotent_parquet_sink(
+    df: DataFrame,
+    base_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Wire a stream into the batchId-idempotent writer (exactly-once output)."""
+    return (
+        df.writeStream.foreachBatch(idempotent_parquet_writer(base_path))
+        .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:
     """B11 — the `.print()` debug sink (BaseLogApp.java:132-134)."""
     return df.writeStream.format("console").option("numRows", rows).start()

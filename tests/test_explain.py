@@ -25,7 +25,7 @@ from tests.conftest import SF_DIR
 # oracle for the IVF path, which is the at-scale variant. The multi-probe IVF
 # cross-joins the tiny query set against the tiny centroid table to rank
 # cells — also an intentional small-x-small BNL.
-BNLJ_ALLOWED = {"sim_topk_bruteforce", "sim_topk_ivf_nprobe"}
+BNLJ_ALLOWED = {"sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign"}
 
 
 def _plan(spark, name: str) -> str:

@@ -9,7 +9,9 @@ import pytest
 
 from flinkproject_spark import catalog
 from flinkproject_spark import functions as K
-from flinkproject_spark.operators import dedup, joins, relational, routing, similarity, state, text, windows
+from flinkproject_spark.operators import (
+    dedup, joins, relational, routing, sampling, similarity, state, text, windows,
+)
 
 
 @pytest.fixture(scope="module")
@@ -393,6 +395,64 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     out = windows.sliding_visitor_stats(tables["events"])  # 2h window, 1h slide
     total_pv = out.agg(F.sum("pv_ct")).first()[0]
     assert total_pv == 2 * tables["events"].count()
+
+
+# --- corpus sampling & packing ----------------------------------------------
+
+def test_stratified_sample_deterministic_and_stratum_exact(tables):
+    docs = tables["documents"]
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = sampling.stratified_sample(docs, rates, default_rate=0.2)
+    b = sampling.stratified_sample(docs, rates, default_rate=0.2)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    assert ids_a == sorted(r.doc_id for r in b.select("doc_id").collect())
+    per = {r.source: r.ct for r in
+           a.groupBy("source").agg(F.count("*").alias("ct")).collect()}
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert per.get("src0") == n_src0      # rate 1.0 keeps everything
+    assert "src2" not in per              # rate 0.0 keeps nothing
+    assert 0 < per.get("src1", 0) < docs.filter("source = 'src1'").count()
+
+
+def test_stratified_sample_decisions_survive_corpus_growth(spark, tables):
+    """The reproducibility property that motivates hash-based sampling: a
+    document's keep/drop verdict must not change when the corpus around it
+    grows (Spark's rng-based sample() breaks this under repartitioning)."""
+    docs = tables["documents"]
+    rates = {"src0": 0.5}
+    half = sampling.stratified_sample(docs.limit(200), rates)
+    full = sampling.stratified_sample(docs, rates)
+    kept_half = {r.doc_id for r in half.select("doc_id").collect()}
+    kept_full = {r.doc_id for r in full.select("doc_id").collect()}
+    sub_ids = {r.doc_id for r in docs.limit(200).select("doc_id").collect()}
+    assert kept_half == kept_full & sub_ids
+
+
+def test_token_budget_pack_is_maximal_quality_prefix(tables):
+    budget = 20_000
+    out = sampling.token_budget_pack(tables["documents"], budget).toPandas()
+    assert (out["cum_tokens"] <= budget).all()
+    ordered = out.sort_values(["quality_score", "doc_id"], ascending=[False, True])
+    assert list(ordered["doc_id"]) == list(out.sort_values("cum_tokens")["doc_id"])
+    # maximality: the next-best excluded doc would not have fit
+    total_docs = tables["documents"].count()
+    if len(out) < total_docs:
+        big = sampling.token_budget_pack(tables["documents"], budget * 1000).toPandas()
+        nxt = big.sort_values("cum_tokens").iloc[len(out)]
+        assert out["cum_tokens"].max() + nxt["n_tokens"] > budget
+
+
+def test_cluster_assign_covers_every_vector_once(tables):
+    emb = tables["embeddings"]
+    out = similarity.cluster_assign(emb)
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    # sanity: assignment correlates with the stored label well above the
+    # 1/n_labels random baseline (the synthetic labels are noisy, not
+    # tight geometric clusters — ~37% agreement at sf0.001)
+    n_labels = emb.select("label").distinct().count()
+    agree = out.filter("label = assigned_label").count() / out.count()
+    assert agree > 2.0 / n_labels
 
 
 # --- A12 strict-contiguity bounce twin ---------------------------------------

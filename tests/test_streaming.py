@@ -304,6 +304,68 @@ def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+# --- B2/B5 exactly-once output: batchId-idempotent sink under replay --------
+
+def test_idempotent_sink_no_double_write_on_replay(spark, events, staged, tmp_path):
+    """Crash-after-write-before-commit simulation: run the stream to
+    completion, delete the newest checkpoint commit marker (the write
+    happened, the commit didn't), restart. Structured Streaming re-delivers
+    that micro-batch with the SAME batch id and contents; the batchId-keyed
+    idempotent writer must overwrite its own output rather than append a
+    duplicate — the engine's answer to the reference's transactional Kafka
+    producer (MyKafkaUtil.java:29-38)."""
+    base = str(tmp_path / "idem")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    calls: list[int] = []  # foreachBatch runs on the driver
+
+    idem = sinks.idempotent_parquet_writer(base)
+
+    def fn(batch, batch_id):
+        calls.append(batch_id)
+        idem(batch, batch_id)
+        batch.write.mode("append").parquet(audit)  # naive sink, for contrast
+
+    def run():
+        q = (
+            replay.read_replay(spark, staged)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    run()
+    total = events.count() + 1  # + heartbeat sentinel row
+    assert spark.read.parquet(base).count() == total
+    first_run_calls = list(calls)
+
+    last_commit = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )[-1]
+    os.remove(f"{ckpt}/commits/{last_commit}")
+    crc = f"{ckpt}/commits/.{last_commit}.crc"  # stale checksum blocks re-commit
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+
+    replayed = calls[len(first_run_calls):]
+    assert int(last_commit) in replayed  # the batch really was re-delivered
+    # idempotent sink: exact original contents, no duplicates
+    got = spark.read.parquet(base)
+    assert got.count() == total
+    want = {r.event_id for r in events.collect()}
+    got_ids = [r.event_id for r in replay.drop_heartbeats(got).collect()]
+    assert len(got_ids) == len(want) and set(got_ids) == want
+    # the naive append sink double-wrote the replayed batch — the contrast
+    # that proves the replay carried rows
+    assert spark.read.parquet(audit).count() > total
+
+
 # --- late-data semantics (SURVEY §2E): eviction-based late drop -------------
 
 def test_late_data_semantics_eviction_based(spark, tmp_path):

@@ -66,6 +66,36 @@ def visitor_stats(events: DataFrame, duration: str = TEN_MIN) -> DataFrame:
     return _window_bounds(agg)
 
 
+def with_visitor_dims(df: DataFrame) -> DataFrame:
+    """Attach the (ar, ch, vc) page-log dimensions (shared by the batch and
+    streaming 4-dim VisitorStats; is_new is the stateful fourth dim each
+    form derives its own way)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        df.withColumn("ar", (F.col("user_id") % 5).cast("bigint"))
+        .withColumn(
+            "ch",
+            F.when(k % 3 == 0, "organic").when(k % 3 == 1, "paid").otherwise("social"),
+        )
+        .withColumn("vc", F.floor(k / 25).cast("bigint"))
+    )
+
+
+def visitor_4d_agg(df: DataFrame, duration: str = TEN_MIN) -> DataFrame:
+    """The (window x ar x ch x vc x is_new) measure aggregate over a frame
+    that already carries the four dims — one shuffle, map-side partials."""
+    agg = (
+        df.groupBy(F.window("ts", duration), "ar", "ch", "vc", "is_new")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("pv_ct"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("uv_ct"),
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("sv_ct"),
+            K.money_sum("value").alias("dur_sum"),
+        )
+    )
+    return _window_bounds(agg)
+
+
 def visitor_stats_4d(events: DataFrame, duration: str = TEN_MIN) -> DataFrame:
     """VisitorStatsApp with the reference's FULL composite key: the Flink job
     keys by FOUR dimensions (ar, ch, is_new, vc —
@@ -90,31 +120,12 @@ def visitor_stats_4d(events: DataFrame, duration: str = TEN_MIN) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    k = F.get_json_object("props", "$.k").cast("int")
     first_day = F.min(F.to_date("ts")).over(Window.partitionBy("user_id"))
-    enriched = events.select(
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        (F.col("user_id") % 5).cast("bigint").alias("ar"),
-        F.when(k % 3 == 0, "organic")
-        .when(k % 3 == 1, "paid")
-        .otherwise("social")
-        .alias("ch"),
-        F.floor(k / 25).cast("bigint").alias("vc"),
-        F.when(F.to_date("ts") == first_day, 1).otherwise(0).cast("bigint").alias("is_new"),
+    enriched = with_visitor_dims(events).withColumn(
+        "is_new",
+        F.when(F.to_date("ts") == first_day, 1).otherwise(0).cast("bigint"),
     )
-    agg = (
-        enriched.groupBy(F.window("ts", duration), "ar", "ch", "vc", "is_new")
-        .agg(
-            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("pv_ct"),
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("uv_ct"),
-            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("sv_ct"),
-            K.money_sum("value").alias("dur_sum"),
-        )
-    )
-    return _window_bounds(agg)
+    return visitor_4d_agg(enriched, duration)
 
 
 # ---------------------------------------------------------------------------

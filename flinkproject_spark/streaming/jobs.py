@@ -56,6 +56,25 @@ def visitor_stats_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataF
     return windows.visitor_stats(watermarked_events(events, delay))
 
 
+def visitor_stats_4d_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:
+    """The reference's FULL 4-dim VisitorStats as a streaming pipeline
+    (VisitorStatsApp.java:127-168): stateful is_new enrichment
+    (keyed first-day state, the BaseLogApp correction) CHAINED into the
+    (window x ar x ch x vc x is_new) aggregate — two stateful operators in
+    one query, which Spark supports in append mode with the watermark
+    re-declared on the enriched output's event-time column.
+
+    The heartbeat advances the global watermark at the source node even
+    though the state fn drops the sentinel row, so every real window closes
+    during replay.
+    """
+    from flinkproject_spark.streaming import stateful
+
+    wm = watermarked_events(events, delay)
+    enriched = stateful.enrich_is_new_stream(wm).withWatermark("ts", delay)
+    return windows.visitor_4d_agg(windows.with_visitor_dims(enriched))
+
+
 # ---------------------------------------------------------------------------
 # A7 — windowed exact distinct users, streaming-legal form
 # ---------------------------------------------------------------------------

@@ -95,6 +95,60 @@ def fix_is_new_flag_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_is_new_stream(events: DataFrame) -> DataFrame:
+    """A11 as an ENRICHMENT (not a projection): every event passes through
+    with its full payload plus `is_new` = 1 while the event falls on its
+    user's first active day — the stateful fourth dimension the streaming
+    4-dim VisitorStats needs (VisitorStatsApp keys on the state-corrected
+    is_new, app/dws/VisitorStatsApp.java:127-138).
+
+    `ts` stays a TIMESTAMP so a downstream `withWatermark` + windowed
+    aggregate can chain onto the output (Spark's multiple-stateful-operator
+    pipeline); state is one date string per user.
+    """
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        pdf = _ordered(pdfs)
+        if not len(pdf):
+            return
+        if key[0] == HEARTBEAT_ID:
+            # the sentinel must PASS THROUGH: the downstream windowed agg
+            # re-derives its watermark from this operator's OUTPUT event
+            # times, and dropping the heartbeat here would hold that
+            # watermark at the last real event forever (final windows would
+            # never close). Its far-future window itself never emits.
+            flags = pd.Series([0] * len(pdf), dtype="int64")
+        else:
+            first_dt = state.get[0] if state.exists else None
+            dts = pdf["ts"].dt.strftime("%Y-%m-%d")
+            if first_dt is None:
+                first_dt = dts.iloc[0]
+            state.update((first_dt,))
+            flags = (dts == first_dt).astype("int64")
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "user_id": pdf["user_id"],
+                "event_type": pdf["event_type"],
+                "value": pdf["value"],
+                "props": pdf["props"],
+                "is_new": flags,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string, is_new bigint"
+        ),
+        stateStructType="first_dt string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # A10 + A14 — per-day dedup with TTL state eviction
 # ---------------------------------------------------------------------------

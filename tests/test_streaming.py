@@ -67,6 +67,15 @@ def test_visitor_stats_stream_matches_batch(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_visitor_stats_4d_stream_matches_batch(spark, events, staged):
+    """Two chained stateful operators (is_new enrichment -> 4-dim windowed
+    agg) must reproduce the oracle-checked batch twin exactly on replay."""
+    out = replay.run_to_table(jobs.visitor_stats_4d_stream(_stream(spark, staged)))
+    want = windows.visitor_stats_4d(events)
+    cols = want.columns
+    assert _sorted_rows(out, cols) == _sorted_rows(want, cols)
+
+
 def test_window_distinct_stream_matches_batch(spark, events, staged):
     got = replay.run_to_table(jobs.window_distinct_users_stream(_stream(spark, staged)))
     want = windows.window_distinct_users(events)

@@ -488,6 +488,27 @@ def q_cluster_assign(spark, sf):
     return similarity.cluster_assign(_t(spark, sf, "embeddings"))
 
 
+def q_dedup_incremental(spark, sf):
+    """Steady-state dedup: a new batch admitted against the persisted
+    corpus content index (doc_id % 3 == 0 plays the already-ingested
+    corpus; the rest is the incoming batch)."""
+    docs = _t(spark, sf, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup(new_batch, dedup.content_index(existing))
+
+
+def q_sim_quantize(spark, sf):
+    """int8 symmetric quantization audit (per-vector scale + reconstruction
+    cosine)."""
+    return similarity.quantization_report(_t(spark, sf, "embeddings"))
+
+
+def q_text_entropy(spark, sf):
+    """Character-distribution Shannon entropy per document."""
+    return text.char_entropy(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -552,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_pack": q_token_budget_pack,
         "text_repetition": q_text_repetition,
         "cluster_assign": q_cluster_assign,
+        "dedup_incremental": q_dedup_incremental,
+        "sim_quantize": q_sim_quantize,
+        "text_entropy": q_text_entropy,
     }
 
 
@@ -1237,6 +1261,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE) / CAST(SUM(ct) AS DOUBLE) AS ngram_diversity
             FROM per GROUP BY doc_id""",
         "cluster_assign": _cluster_assign_sql(),
+        "dedup_incremental": """
+            WITH newb AS (
+              SELECT doc_id, lang, md5(text) AS content_md5,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents WHERE doc_id % 3 <> 0),
+            idx AS (
+              SELECT DISTINCT md5(text) AS content_md5
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT doc_id, lang FROM newb
+            WHERE rn = 1
+              AND content_md5 NOT IN (SELECT content_md5 FROM idx)""",
+        "sim_quantize": _quantize_sql(),
+        "text_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+              FROM documents),
+            per AS (SELECT doc_id, c, COUNT(*) AS ct FROM chars GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+                     SUM(ct::DOUBLE * log2(ct::DOUBLE)) AS s
+              FROM per GROUP BY doc_id)
+            SELECT doc_id, n AS n_chars_counted, distinct_chars,
+                   round(log2(n::DOUBLE) - s / n::DOUBLE, 6) AS entropy
+            FROM agg""",
     }
 
 
@@ -1277,6 +1327,26 @@ def _cluster_assign_sql() -> str:
                                        ORDER BY cos DESC, c_label) AS rn
           FROM scored)
         WHERE rn = 1"""
+
+
+def _quantize_sql() -> str:
+    dot = _DOT.format(a="d.embedding", b="d.deq")
+    en = _NORM.format(a="d.embedding")
+    dn = _NORM.format(a="d.deq")
+    return f"""
+        WITH p AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0
+                   AS scale
+          FROM embeddings),
+        d AS (
+          SELECT vec_id, scale, embedding,
+                 list_transform(embedding,
+                                v -> round(v::DOUBLE / scale, 0) * scale) AS deq
+          FROM p)
+        SELECT vec_id, round(scale, 6) AS scale,
+               round(({dot}) / (({en}) * ({dn})), 6) AS recon_cosine
+        FROM d"""
 
 
 def _province_stats_sql() -> str:

@@ -392,3 +392,43 @@ def dedup_survivors(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new batch vs persisted corpus index
+# ---------------------------------------------------------------------------
+def content_index(documents: DataFrame) -> DataFrame:
+    """The persisted side of incremental dedup: one row per distinct content
+    hash already ingested. In production this table is written bucketed on
+    content_md5 (scale.write_bucketed) so every future anti-join against it
+    is co-located — pay the shuffle once at ingest, never at dedup time."""
+    return documents.select(F.md5("text").alias("content_md5")).distinct()
+
+
+def incremental_dedup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Admit only documents whose content is BOTH new within this batch
+    (lowest doc_id wins intra-batch) and absent from the persisted corpus
+    index — the steady-state form of exact dedup for a pipeline that
+    ingests continuously (a full-corpus re-dedup per batch is O(corpus);
+    this is O(batch) plus one anti-join against the index).
+
+    Plan: intra-batch winners via a (content_md5) aggregate, then LEFT ANTI
+    against the index. Both sides hash-partition on content_md5; with the
+    index stored bucketed on that key the anti-join is exchange-free on
+    the index side.
+    """
+    batch_winners = (
+        new_docs.select("doc_id", "lang", F.md5("text").alias("content_md5"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_md5").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        batch_winners.join(index, "content_md5", "left_anti")
+        .select("doc_id", "lang")
+    )

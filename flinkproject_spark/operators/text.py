@@ -273,3 +273,32 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
         (F.size(pieces).cast("double") / F.size(F.split("text", r"\s+")).cast("double")
          ).alias("bpe_per_word"),
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    cheap statistical quality filter that catches mojibake, base64 blobs,
+    and repeated-character padding (very low or very high entropy).
+
+    Algebraic form log2(n) - sum(ct*log2(ct))/n avoids a second pass for
+    the total: two chained aggregates, both partial-aggregating, keyed by
+    doc_id(+char). Cross-engine: identical regexp char extraction and the
+    same double ops; entropy rounded to 6 decimals to absorb libm ulps.
+    """
+    chars = documents.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("c")
+    )
+    per = chars.groupBy("doc_id", "c").agg(F.count("*").alias("ct"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("ct").alias("n"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("ct").cast("double") * F.log2(F.col("ct").cast("double"))).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_counted"),
+        F.col("distinct_chars").cast("bigint").alias("distinct_chars"),
+        F.round(
+            F.log2(F.col("n").cast("double")) - F.col("s") / F.col("n").cast("double"), 6
+        ).alias("entropy"),
+    )

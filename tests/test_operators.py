@@ -397,6 +397,23 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- incremental dedup -------------------------------------------------------
+
+def test_incremental_dedup_covers_exactly_the_new_content(tables):
+    docs = tables["documents"]
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 3 != 0)
+    admitted = dedup.incremental_dedup(new_batch, dedup.content_index(existing))
+    adm_ids = {r.doc_id for r in admitted.select("doc_id").collect()}
+    md5 = lambda df: {r.m for r in df.select(F.md5("text").alias("m")).collect()}
+    adm_md5 = md5(docs.filter(F.col("doc_id").isin(adm_ids)))
+    # admitted content is disjoint from the index, unique within the batch,
+    # and together with the index covers the full corpus's content set
+    assert len(adm_md5) == len(adm_ids)
+    assert adm_md5.isdisjoint(md5(existing))
+    assert adm_md5 | md5(existing) == md5(docs)
+
+
 # --- corpus sampling & packing ----------------------------------------------
 
 def test_stratified_sample_deterministic_and_stratum_exact(tables):

@@ -307,7 +307,11 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
 
 
 def cosine_topk_ivf_nprobe(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10, nprobe: int = 2
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the `nprobe` nearest cells by query->centroid
     cosine — the real IVF search loop (cosine_topk_ivf's single stored
@@ -317,9 +321,15 @@ def cosine_topk_ivf_nprobe(
     Plan shape: queries x centroids is a tiny broadcast cross join ranked
     per query; the probe list then broadcast-joins the collection on cell
     id, so the only big-data work is a partition-prunable scan of the
-    probed cells (collection stored partitioned by cell at scale)."""
+    probed cells (collection stored partitioned by cell at scale).
+
+    `centroids`: pass the persisted quantizer table (label_centroids
+    output, trained once on a sample) — the production shape; when None
+    the quantizer is recomputed from the collection, the self-contained
+    oracle form."""
     e = with_norm(embeddings)
-    cents = label_centroids(embeddings).select("label", F.col("centroid").alias("cent"))
+    cents = (centroids if centroids is not None else label_centroids(embeddings)
+             ).select("label", F.col("centroid").alias("cent"))
     cents = cents.withColumn("cent_norm", F.sqrt(_dot("cent", "cent")))
     queries = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),

@@ -119,6 +119,30 @@ def test_ivf_partial_topk_prunes_before_global_rank(plans, name):
     assert nodes["MapInPandas"] < nodes["Window"], f"{name}: pruning not upstream of rank"
 
 
+def test_corpus_sample_prunes_text_column(plans):
+    """The sampling predicate hashes doc_id only and the output carries no
+    text — the scan must not read the corpus's heaviest column."""
+    import re
+
+    p = plans["corpus_sample"]
+    scan = next(s for s in re.split(r"\n\(\d+\) ", p)
+                if "documents.parquet" in s and "ReadSchema" in s)
+    assert "text" not in scan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_sim_quantize_is_shuffle_free(plans):
+    """Quantization audit is one narrow pass over the collection — any
+    Exchange here would be a scale bug."""
+    assert "Exchange" not in plans["sim_quantize"]
+
+
+@pytest.mark.parametrize("name", ["text_entropy", "text_repetition"])
+def test_two_level_aggregates_partial_aggregate(plans, name):
+    p = plans[name]
+    assert p.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "Exchange" in p
+
+
 def test_whole_stage_codegen_on_scan_paths(plans):
     """Narrow-transform queries must stay inside whole-stage codegen
     (no interpreted expression islands on the hot path)."""

@@ -668,6 +668,17 @@ def test_udtf_subword_fans_out_one_to_many(spark, tables):
     assert bad == 0
 
 
+def test_ivf_nprobe_precomputed_centroids_identical(tables):
+    """Train-once-persist (the production quantizer shape) must give the
+    same answers as the self-contained recompute form."""
+    emb = tables["embeddings"]
+    cents = similarity.label_centroids(emb)
+    a = similarity.cosine_topk_ivf_nprobe(emb, [0, 1, 2], k=10)
+    b = similarity.cosine_topk_ivf_nprobe(emb, [0, 1, 2], k=10, centroids=cents)
+    cols = a.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_ivf_nprobe_recall_at_least_single_cell(tables):
     exact = similarity.cosine_topk_bruteforce(tables["embeddings"], [0, 1, 2], k=10)
     one = similarity.cosine_topk_ivf(tables["embeddings"], [0, 1, 2], k=10)

@@ -509,6 +509,23 @@ def q_text_entropy(spark, sf):
     return text.char_entropy(_t(spark, sf, "documents"))
 
 
+def q_dedup_normalized(spark, sf):
+    """Near-exact dedup over canonicalized text."""
+    return dedup.normalized_exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_corpus_cube(spark, sf):
+    """All (lang x source) corpus slices + marginals in one CUBE pass."""
+    return text.corpus_cube(_t(spark, sf, "documents"))
+
+
+def q_corpus_by_cluster(spark, sf):
+    """Cross-modal quality rollup per embedding cluster (documents joined
+    to embeddings on the shared id)."""
+    documents, embeddings = _t(spark, sf, "documents", "embeddings")
+    return sampling.corpus_quality_by_cluster(documents, embeddings)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -576,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "sim_quantize": q_sim_quantize,
         "text_entropy": q_text_entropy,
+        "dedup_normalized": q_dedup_normalized,
+        "corpus_cube": q_corpus_cube,
+        "corpus_by_cluster": q_corpus_by_cluster,
     }
 
 
@@ -1287,6 +1307,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_chars_counted, distinct_chars,
                    round(log2(n::DOUBLE) - s / n::DOUBLE, 6) AS entropy
             FROM agg""",
+        "dedup_normalized": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+                   MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
+            FROM documents GROUP BY 1""",
+        "corpus_cube": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                     AS total_tokens
+            FROM documents
+            GROUP BY CUBE (lang, source)""",
+        "corpus_by_cluster": """
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens,
+                     least(len(string_split_regex(text, '\\s+'))::DOUBLE / 100.0,
+                           1.0) * 0.5
+                       + (len(list_distinct(string_split_regex(text, '\\s+')))::DOUBLE
+                          / len(string_split_regex(text, '\\s+'))::DOUBLE) * 0.5
+                       AS quality_score
+              FROM documents)
+            SELECT e.label::BIGINT AS label,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+                   round(SUM(q.quality_score) / COUNT(*)::DOUBLE, 6) AS avg_quality
+            FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+            GROUP BY 1""",
     }
 
 

@@ -432,3 +432,27 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
         batch_winners.join(index, "content_md5", "left_anti")
         .select("doc_id", "lang")
     )
+
+
+def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
+    """Near-exact dedup: canonicalize text (lowercase, strip non-alnum,
+    collapse whitespace) BEFORE hashing — the cheap pass that catches
+    trivially-edited copies (case changes, punctuation, reflowed spaces)
+    that byte-exact dedup misses but MinHash is overkill for.
+
+    Same output contract and plan shape as exact_dedup: one hash-groupBy,
+    no text comparison; the canonicalization is three codegen'd string
+    kernels fused into the scan projection.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        documents.select("doc_id", F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_ct"))
+    )

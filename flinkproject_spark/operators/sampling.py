@@ -99,3 +99,42 @@ def token_budget_pack(documents: DataFrame, budget_tokens: int) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", "lang", "source", "n_tokens", "quality_score", "cum_tokens")
     )
+
+
+def corpus_quality_by_cluster(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal corpus audit: join the text table to its embedding-space
+    cluster (doc_id = vec_id) and roll up quality per cluster — the view
+    that tells a pipeline which embedding domains carry low-quality text
+    (prune the cluster, not individual docs).
+
+    Join key is the shared id; at 100 TB both sides are bucketed on it so
+    the join is co-located, and the per-cluster rollup is one partial-
+    aggregating shuffle keyed by label.
+    """
+    x = F.split("text", r"\s+")
+    n_tok = F.size(x).cast("double")
+    uniq = F.size(F.array_distinct(x)).cast("double")
+    q = documents.select(
+        "doc_id",
+        F.size(x).cast("bigint").alias("n_tokens"),
+        (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + (uniq / n_tok) * F.lit(0.5)
+        ).alias("quality_score"),
+    )
+    j = q.join(
+        embeddings.select(F.col("vec_id").alias("doc_id"),
+                          F.col("label").cast("bigint").alias("label")),
+        "doc_id",
+    )
+    agg = j.groupBy("label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("quality_score").alias("qsum"),
+    )
+    return agg.select(
+        "label",
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.col("qsum") / F.col("n_docs").cast("double"), 6).alias("avg_quality"),
+    )

@@ -302,3 +302,27 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             F.log2(F.col("n").cast("double")) - F.col("s") / F.col("n").cast("double"), 6
         ).alias("entropy"),
     )
+
+
+def corpus_cube(documents: DataFrame) -> DataFrame:
+    """Corpus audit over ALL (lang x source) slices at once: CUBE grouping
+    emits per-pair, per-lang, per-source, and grand-total rows in ONE
+    aggregate pass (one shuffle; each input row expands into its 4
+    grouping sets map-side, then partial-aggregates). NULL grouping keys
+    are surfaced as 'ALL' so every engine and the driver hash agree on
+    the marginals' identity.
+    """
+    d = with_tokens(documents)
+    per_doc = d.select(
+        "lang", "source", F.size("x").cast("bigint").alias("n_tokens")
+    )
+    agg = per_doc.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return agg.select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+    )

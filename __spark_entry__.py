@@ -526,6 +526,21 @@ def q_corpus_by_cluster(spark, sf):
     return sampling.corpus_quality_by_cluster(documents, embeddings)
 
 
+def q_corpus_pipeline(spark, sf):
+    """The end-to-end training-corpus build (plans/corpus.py): exact-dedup
+    winners -> quality gate -> deterministic stratified sample -> token-
+    budget packing, one Catalyst plan."""
+    from flinkproject_spark.plans import corpus
+
+    return corpus.build_training_corpus(
+        _t(spark, sf, "documents"),
+        min_quality=0.5,
+        rates=SAMPLE_RATES,
+        default_rate=0.5,
+        budget_tokens=10_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -596,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "corpus_cube": q_corpus_cube,
         "corpus_by_cluster": q_corpus_by_cluster,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1336,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(q.quality_score) / COUNT(*)::DOUBLE, 6) AS avg_quality
             FROM q JOIN embeddings e ON q.doc_id = e.vec_id
             GROUP BY 1""",
+        "corpus_pipeline": _corpus_pipeline_sql(),
     }
 
 
@@ -1376,6 +1393,38 @@ def _cluster_assign_sql() -> str:
                                        ORDER BY cos DESC, c_label) AS rn
           FROM scored)
         WHERE rn = 1"""
+
+
+def _corpus_pipeline_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    draw = duck_hash64("'corpus-v1:' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * SAMPLE_MOD)}" for s, r in SAMPLE_RATES.items()
+    )
+    toks = "string_split_regex(text, '\\s+')"
+    return f"""
+        WITH keepers AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        scored AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 len({toks})::BIGINT AS n_tokens,
+                 least(len({toks})::DOUBLE / 100.0, 1.0) * 0.5
+                   + (len(list_distinct({toks}))::DOUBLE
+                      / len({toks})::DOUBLE) * 0.5 AS quality_score
+          FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+        gated AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        sampled AS (
+          SELECT * FROM gated
+          WHERE ({draw}) % {SAMPLE_MOD} <
+                CASE source {whens} ELSE {int(0.5 * SAMPLE_MOD)} END)
+        SELECT doc_id, lang, source, n_tokens, quality_score,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
+        FROM sampled
+        QUALIFY cum_tokens <= 10000"""
 
 
 def _quantize_sql() -> str:

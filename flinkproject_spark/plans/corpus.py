@@ -57,15 +57,7 @@ def build_training_corpus(
     ).filter(F.col("quality_score") >= min_quality)
 
     if rates:
-        draw = sampling._keep_hash("doc_id", "corpus-v1")
-        rate = None
-        for s, r in rates.items():
-            t = F.lit(int(r * sampling.SAMPLE_MOD))
-            rate = F.when(F.col("source") == s, t) if rate is None else rate.when(
-                F.col("source") == s, t
-            )
-        rate = rate.otherwise(F.lit(int(default_rate * sampling.SAMPLE_MOD)))
-        scored = scored.filter(draw < rate)
+        scored = sampling.stratified_sample(scored, rates, default_rate=default_rate)
 
     w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

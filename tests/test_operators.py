@@ -459,6 +459,19 @@ def test_token_budget_pack_is_maximal_quality_prefix(tables):
         assert out["cum_tokens"].max() + nxt["n_tokens"] > budget
 
 
+def test_token_budget_pack_banded_equals_exact(tables):
+    """The two-phase banded form (the 100 TB path: whole bands picked from
+    driver-side metadata, exact window only inside the boundary band) must
+    produce the IDENTICAL packed corpus, including cum_tokens."""
+    docs = tables["documents"]
+    for budget in (3, 5_000, 20_000, 10**9):
+        exact = sampling.token_budget_pack(docs, budget).toPandas()
+        banded = sampling.token_budget_pack_banded(docs, budget).toPandas()
+        exact = exact.sort_values("doc_id").reset_index(drop=True)
+        banded = banded.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(exact, banded, check_dtype=False)
+
+
 def test_cluster_assign_covers_every_vector_once(tables):
     emb = tables["embeddings"]
     out = similarity.cluster_assign(emb)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from flinkproject_spark import catalog, session
 from flinkproject_spark import functions as K
 from flinkproject_spark.operators import (
+    analytics,
     dedup,
     joins,
     multimodal,
@@ -541,6 +542,16 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    """Ordered view->click->purchase conversion funnel per user."""
+    return analytics.funnel(_t(spark, sf, "events"))
+
+
+def q_retention_cohorts(spark, sf):
+    """First-active-day cohorts x day-offset distinct active users."""
+    return analytics.retention_cohorts(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_project_orders": q_a1_project_orders,
@@ -612,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "corpus_by_cluster": q_corpus_by_cluster,
         "corpus_pipeline": q_corpus_pipeline,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -1353,6 +1366,44 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN embeddings e ON q.doc_id = e.vec_id
             GROUP BY 1""",
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "funnel": f"""
+            WITH w1 AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS s0_ts
+              FROM events),
+            w2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0_ts
+                                 THEN ts END)
+                        OVER (PARTITION BY user_id) AS s1_ts
+              FROM w1),
+            w3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1_ts
+                                 THEN ts END)
+                        OVER (PARTITION BY user_id) AS s2_ts
+              FROM w2)
+            SELECT user_id,
+                   COALESCE(strftime(MIN(s0_ts), '{FMT}'), 'never') AS s0_ts,
+                   COALESCE(strftime(MIN(s1_ts), '{FMT}'), 'never') AS s1_ts,
+                   COALESCE(strftime(MIN(s2_ts), '{FMT}'), 'never') AS s2_ts,
+                   CAST(CASE WHEN MIN(s2_ts) IS NOT NULL THEN 3
+                             WHEN MIN(s1_ts) IS NOT NULL THEN 2
+                             WHEN MIN(s0_ts) IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM w3 GROUP BY user_id""",
+        "retention_cohorts": """
+            WITH e AS (
+              SELECT user_id,
+                     MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                       AS cohort_day,
+                     date_diff('day',
+                               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                               CAST(ts AS DATE)) AS day_offset
+              FROM events)
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_dt,
+                   CAST(day_offset AS BIGINT) AS day_offset,
+                   COUNT(DISTINCT user_id) AS active_users
+            FROM e GROUP BY 1, 2""",
     }
 
 

@@ -1,0 +1,86 @@
+"""User-behavior analytics operators over the events stream (engine
+additions in the reference's own domain — its DWS layer serves visitor and
+product stats; funnels and retention cohorts are the two serving tables
+every such warehouse grows next).
+
+Both are single-shuffle-per-stage window/aggregate compositions, fully
+SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flinkproject_spark import functions as K
+
+NEVER = "never"
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered-step conversion funnel per user: the first `steps[0]` event,
+    the first `steps[1]` strictly after it, the first `steps[2]` after
+    that, ... `funnel_stage` = number of steps reached.
+
+    Plan: one shuffle on user_id, then a chain of window-min passes over
+    the SAME partitioning (no further exchanges — each min conditions on
+    the previous stage's timestamp column), then the per-user aggregate
+    rides the same partitioning. Null stage timestamps surface as the
+    'never' sentinel for hash-stable cross-engine output.
+    """
+    w = Window.partitionBy("user_id")
+    df = events
+    stage_cols = []
+    prev = None
+    for i, s in enumerate(steps):
+        col = f"s{i}_ts"
+        cond = F.col("event_type") == s
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        df = df.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
+        stage_cols.append(col)
+        prev = col
+    agg = df.groupBy("user_id").agg(
+        *[F.min(c).alias(c) for c in stage_cols],
+    )
+    stage = None
+    for i, col in enumerate(reversed(stage_cols)):
+        n = len(stage_cols) - i
+        cond = F.col(col).isNotNull()
+        stage = F.when(cond, n) if stage is None else stage.when(cond, n)
+    stage = stage.otherwise(0)
+    return agg.select(
+        "user_id",
+        *[
+            F.coalesce(K.ts_to_str(c), F.lit(NEVER)).alias(c)
+            for c in stage_cols
+        ],
+        stage.cast("bigint").alias("funnel_stage"),
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    distinctly per day-offset of later activity — the (cohort, offset) ->
+    active_users matrix behind every retention curve.
+
+    Plan: per-user first-day via a window over user_id (one shuffle), then
+    one partial-aggregating shuffle on (cohort, offset) with an exact
+    distinct (swap approx_count_distinct at the 100 TB tier).
+    """
+    w = Window.partitionBy("user_id")
+    first_day = F.min(F.to_date("ts")).over(w)
+    enriched = events.select(
+        "user_id",
+        first_day.alias("cohort_day"),
+        F.datediff(F.to_date("ts"), first_day).alias("day_offset"),
+    )
+    return (
+        enriched.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_dt"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "active_users",
+        )
+    )

@@ -397,6 +397,37 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- funnel / retention analytics --------------------------------------------
+
+def test_funnel_stages_are_ordered_and_monotone(tables):
+    from flinkproject_spark.operators import analytics
+
+    out = analytics.funnel(tables["events"]).toPandas()
+    assert out["funnel_stage"].between(0, 3).all()
+    reached = out[out["funnel_stage"] == 3]
+    assert len(reached) > 0
+    # stage timestamps strictly increase along the funnel
+    assert (reached["s0_ts"] < reached["s1_ts"]).all()
+    assert (reached["s1_ts"] < reached["s2_ts"]).all()
+    # stage k reached implies stage k-1 reached (never sentinel order)
+    s2 = out[out["funnel_stage"] >= 2]
+    assert (s2["s0_ts"] != "never").all() and (s2["s1_ts"] != "never").all()
+
+
+def test_retention_cohort_day_zero_equals_cohort_size(tables):
+    from flinkproject_spark.operators import analytics
+
+    out = analytics.retention_cohorts(tables["events"]).toPandas()
+    ev = tables["events"].toPandas()
+    first = ev.assign(d=ev["ts"].dt.date).groupby("user_id")["d"].min()
+    day0 = out[out["day_offset"] == 0].set_index("cohort_dt")["active_users"]
+    want = first.astype(str).value_counts()
+    assert day0.sort_index().to_dict() == want.sort_index().to_dict()
+    # retention never exceeds the cohort's size
+    m = out.merge(day0.rename("size"), left_on="cohort_dt", right_index=True)
+    assert (m["active_users"] <= m["size"]).all()
+
+
 # --- incremental dedup -------------------------------------------------------
 
 def test_incremental_dedup_covers_exactly_the_new_content(tables):

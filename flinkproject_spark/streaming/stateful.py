@@ -279,3 +279,74 @@ def detect_bounces_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel as a keyed state machine (analytics.funnel's twin)
+# ---------------------------------------------------------------------------
+def funnel_stream(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Per-user funnel state machine: state = the first timestamp of each
+    reached stage (stage i+1 only advances on an event strictly after
+    stage i); every micro-batch that changes a user's state emits the
+    user's CURRENT funnel row (update semantics — the serving table's
+    upsert stream). Replay test pins: last emission per user == the
+    oracle-checked batch funnel row.
+
+    State is `len(steps)` epoch-microsecond slots — O(1) per user; no
+    timers (a funnel never un-advances), so NoTimeout.
+    """
+    n = len(steps)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if key[0] == HEARTBEAT_ID:
+            return
+        pdf = _ordered(pdfs)
+        if not len(pdf):
+            return
+        slots = list(state.get) if state.exists else [None] * n
+        changed = not state.exists
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        for i in range(len(pdf)):
+            et = pdf["event_type"].iloc[i]
+            t = int(ts_us.iloc[i])
+            for s_idx, s_name in enumerate(steps):
+                if et != s_name or slots[s_idx] is not None:
+                    continue
+                if s_idx == 0 or (
+                    slots[s_idx - 1] is not None and t > slots[s_idx - 1]
+                ):
+                    slots[s_idx] = t
+                    changed = True
+        state.update(tuple(slots))
+        if not changed:
+            return
+        stage = 0
+        for s_idx in range(n):
+            if slots[s_idx] is not None:
+                stage = s_idx + 1
+            else:
+                break
+        out = {"user_id": pd.Series([key[0]], dtype="int64")}
+        for s_idx in range(n):
+            v = slots[s_idx]
+            out[f"s{s_idx}_ts"] = [
+                pd.Timestamp(v * 1_000, unit="ns").strftime(_TS_FMT)
+                if v is not None
+                else "never"
+            ]
+        out["funnel_stage"] = pd.Series([stage], dtype="int64")
+        yield pd.DataFrame(out)
+
+    slot_schema = ", ".join(f"s{i} bigint" for i in range(n))
+    out_schema = "user_id bigint, " + ", ".join(
+        f"s{i}_ts string" for i in range(n)
+    ) + ", funnel_stage bigint"
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=slot_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

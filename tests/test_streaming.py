@@ -67,6 +67,30 @@ def test_visitor_stats_stream_matches_batch(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_funnel_stream_final_state_matches_batch(spark, events, staged):
+    """Update-mode funnel state machine: the last emission per user (the
+    serving table's upsert) must equal the oracle-checked batch funnel.
+    Stage strictly increases across a user's emissions, so max-stage row =
+    final state."""
+    from flinkproject_spark.operators import analytics
+
+    out = replay.run_to_table(
+        stateful.funnel_stream(_stream(spark, staged)), output_mode="update"
+    )
+    pdf = out.toPandas()
+    final = (
+        pdf.sort_values("funnel_stage").groupby("user_id").tail(1)
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        analytics.funnel(events).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(final[want.columns], want, check_dtype=False)
+
+
 def test_visitor_stats_4d_stream_matches_batch(spark, events, staged):
     """Two chained stateful operators (is_new enrichment -> 4-dim windowed
     agg) must reproduce the oracle-checked batch twin exactly on replay."""

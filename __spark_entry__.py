@@ -542,6 +542,23 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def q_text_chunks(spark, sf):
+    """Sliding-window document chunking (40-token chunks, 10 overlap)."""
+    return text.chunk_documents(_t(spark, sf, "documents"))
+
+
+def q_corpus_split(spark, sf):
+    """Deterministic train/val/test assignment (leakage-safe hash split)."""
+    out = sampling.assign_split(_t(spark, sf, "documents"))
+    return out.select("doc_id", "lang", "source", "split")
+
+
+def q_corpus_pack(spark, sf):
+    """Distributed greedy sequence packing into 512-token bins across 8
+    independent lanes."""
+    return sampling.pack_sequences(_t(spark, sf, "documents"))
+
+
 def q_funnel(spark, sf):
     """Ordered view->click->purchase conversion funnel per user."""
     return analytics.funnel(_t(spark, sf, "events"))
@@ -625,6 +642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "text_chunks": q_text_chunks,
+        "corpus_split": q_corpus_split,
+        "corpus_pack": q_corpus_pack,
     }
 
 
@@ -1404,6 +1424,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(day_offset AS BIGINT) AS day_offset,
                    COUNT(DISTINCT user_id) AS active_users
             FROM e GROUP BY 1, 2""",
+        "text_chunks": """
+            WITH d AS (
+              SELECT doc_id, lang, string_split_regex(text, '\\s+') AS x,
+                     len(string_split_regex(text, '\\s+')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang, x, n, i AS chunk_id, i * 30 AS start
+              FROM d, unnest(generate_series(0,
+                     CAST(greatest((greatest(n - 10, 1) + 29) // 30, 1)
+                          AS BIGINT) - 1)) AS u(i))
+            SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(x[start + 1 : start + 40], ' ') AS chunk_text,
+                   CAST(least(n - start, 40) AS BIGINT) AS chunk_len
+            FROM s""",
+        "corpus_split": _corpus_split_sql(),
+        "corpus_pack": _corpus_pack_sql(),
     }
 
 
@@ -1476,6 +1512,44 @@ def _corpus_pipeline_sql() -> str:
                  AS cum_tokens
         FROM sampled
         QUALIFY cum_tokens <= 10000"""
+
+
+def _corpus_split_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    h = duck_hash64("'split-v1:' || CAST(doc_id AS VARCHAR)")
+    draw = f"({h}) % {SAMPLE_MOD}"
+    t_train = int(0.9 * SAMPLE_MOD)
+    t_val = int(0.95 * SAMPLE_MOD)
+    return f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN {draw} < {t_train} THEN 'train'
+                    WHEN {draw} < {t_val} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+
+
+def _corpus_pack_sql(capacity: int = 512, n_buckets: int = 8) -> str:
+    from flinkproject_spark.functions import duck_hash64
+
+    h = duck_hash64("'pack:' || CAST(doc_id AS VARCHAR)")
+    bucket = f"({h}) % {n_buckets}"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, source,
+                 len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens,
+                 {bucket} AS bucket
+          FROM documents),
+        c AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(bucket * 4294967296 + ((cum - n_tokens) // {capacity})
+                    AS BIGINT) AS bin_id
+        FROM c"""
 
 
 def _quantize_sql() -> str:

@@ -207,3 +207,65 @@ def corpus_quality_by_cluster(documents: DataFrame, embeddings: DataFrame) -> Da
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.col("qsum") / F.col("n_docs").cast("double"), 6).alias("avg_quality"),
     )
+
+
+def assign_split(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the hash draw falls into
+    cumulative weight intervals, so a document's split NEVER changes as
+    the corpus grows or repartitions (the leakage-safety property: a val
+    doc can never drift into train on a rebuild). Narrow projection, no
+    shuffle."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    draw = _keep_hash(key_col, salt)
+    expr, acc = None, 0.0
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt
+        t = F.lit(int(acc * SAMPLE_MOD))
+        expr = F.when(draw < t, name) if expr is None else expr.when(draw < t, name)
+    last = items[-1][0]
+    expr = expr.otherwise(last) if expr is not None else F.lit(last)
+    return documents.withColumn("split", expr)
+
+
+def pack_sequences(
+    documents: DataFrame, capacity_tokens: int = 512, n_buckets: int = 8
+) -> DataFrame:
+    """Distributed greedy sequence packing: assign each document to a
+    fixed-capacity training bin. Documents are hash-scattered across
+    `n_buckets` independent packing lanes; within a lane the running token
+    total fills bins contiguously (a document lands in the bin where its
+    first token falls, so bins can overflow by at most one document — the
+    standard streaming-fill compromise that keeps packing embarrassingly
+    parallel: no global sequential pass, one window per lane).
+
+    bin_id is globally unique as bucket * 2^32 + local_bin. At 100 TB the
+    lane count scales with the cluster; the per-lane window input is
+    3 integer columns, never text.
+    """
+    d = _quality_scored(documents).select("doc_id", "lang", "source", "n_tokens")
+    d = d.withColumn(
+        "bucket",
+        F.pmod(
+            K.hash64(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+            F.lit(n_buckets),
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    local_bin = F.floor((F.col("cum") - F.col("n_tokens")) / capacity_tokens)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "bucket",
+        (F.col("bucket") * F.lit(2**32) + local_bin).cast("bigint").alias("bin_id"),
+    )

@@ -326,3 +326,48 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
         "n_docs",
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 40, overlap: int = 10
+) -> DataFrame:
+    """Sliding-window document chunking — the tokenize-and-split step that
+    turns raw documents into training-example candidates: chunks of
+    `chunk_tokens` tokens starting every `stride = chunk_tokens - overlap`
+    tokens; the final chunk may be short. n_chunks =
+    max(1, ceil((n - overlap) / stride)) so every token is covered and
+    every chunk past the first shares `overlap` tokens with its
+    predecessor.
+
+    Pure JVM: one explode over a transform(sequence(...)) of start
+    offsets, slice + concat_ws for the chunk text — narrow (no shuffle),
+    scales linearly with corpus size.
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "chunk_tokens must exceed overlap"
+    d = with_tokens(documents).withColumn("n", F.size("x"))
+    starts = (
+        f"transform(sequence(0, int(greatest((greatest(n - {overlap}, 1) "
+        f"+ {stride} - 1) div {stride}, 1)) - 1), i -> i * {stride})"
+    )
+    out = (
+        d.select(
+            "doc_id",
+            "lang",
+            "n",
+            F.posexplode(F.expr(starts)).alias("chunk_id", "start"),
+            F.col("x"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("x"), F.col("start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.col("n") - F.col("start"), F.lit(chunk_tokens))
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+    return out

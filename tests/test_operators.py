@@ -397,6 +397,49 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- chunking / packing / split ----------------------------------------------
+
+def test_chunk_documents_covers_every_token(tables):
+    docs = tables["documents"]
+    chunks = text.chunk_documents(docs, chunk_tokens=40, overlap=10).toPandas()
+    n_tok = {r.doc_id: r.n for r in
+             docs.select("doc_id", F.size(F.split("text", r"\s+")).alias("n")).collect()}
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        # stride spacing, full coverage, correct tail length
+        ends = g["chunk_id"] * 30 + g["chunk_len"]
+        assert ends.iloc[-1] == n_tok[doc_id]
+        assert (g["chunk_len"].iloc[:-1] == 40).all()
+        # overlap: consecutive chunks share 10 tokens
+        if len(g) > 1:
+            a = g["chunk_text"].iloc[0].split(" ")
+            b = g["chunk_text"].iloc[1].split(" ")
+            assert a[30:] == b[:10]
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(tables):
+    out = sampling.pack_sequences(tables["documents"], capacity_tokens=512,
+                                  n_buckets=8).toPandas()
+    assert out["bucket"].between(0, 7).all()
+    for bin_id, g in out.groupby("bin_id"):
+        # a bin overflows by at most its final straddling document
+        assert g["n_tokens"].sum() < 512 + g["n_tokens"].max() + 1
+    # within a lane, bins fill in doc_id order (no interleaving)
+    for bucket, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        assert g["bin_id"].is_monotonic_increasing
+
+
+def test_assign_split_stable_and_proportional(tables):
+    docs = tables["documents"]
+    a = sampling.assign_split(docs).select("doc_id", "split").toPandas()
+    b = sampling.assign_split(docs).select("doc_id", "split").toPandas()
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    frac = (a["split"] == "train").mean()
+    assert 0.84 <= frac <= 0.96  # 0.9 +- sampling noise at n=500
+
+
 # --- funnel / retention analytics --------------------------------------------
 
 def test_funnel_stages_are_ordered_and_monotone(tables):

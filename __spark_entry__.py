@@ -238,6 +238,18 @@ def q_dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_dedup(_t(spark, sf, "documents"))
 
 
+def q_dedup_minhash_xx(spark, sf):
+    """MinHash+LSH on the xxhash64 fast path — the production hash tier
+    (same plan shape as dedup_minhash_lsh, no md5 string round-trip).
+    Rows-only by design: xxhash64 is not reproducible outside Spark, so
+    this entry exists for the BENCH evidence of the documented scale
+    valve; pair-level semantics are covered by the md5 oracle twin and a
+    unit test comparing candidate-structure invariants."""
+    return dedup.minhash_lsh_dedup(
+        _t(spark, sf, "documents"), hash_fn=dedup.xxhash64_mod
+    )
+
+
 def q_dedup_simhash(spark, sf):
     out = dedup.simhash_near_dups(_t(spark, sf, "documents"))
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
@@ -600,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_stats": q_product_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_xx": q_dedup_minhash_xx,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_blocked": q_dedup_ngram_blocked,
         "dedup_embedding": q_dedup_embedding,

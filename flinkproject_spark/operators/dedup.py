@@ -175,13 +175,25 @@ def minhash_lsh_dedup(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    hash_fn: HashFn | None = None,
 ) -> DataFrame:
-    """Full pipeline: shingle -> minhash -> LSH candidates -> Jaccard verify."""
+    """Full pipeline: shingle -> minhash -> LSH candidates -> Jaccard verify.
+
+    `hash_fn` threads through to the shingle hash: md5-based (default,
+    oracle-reproducible) or xxhash64 (the production fast path — see
+    xxhash64_mod)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n)
+    sigs = minhash_signatures(documents, num_hashes, n, hash_fn=hash_fn)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     shingled = shingle_docs(documents.withColumn("x", tokens("text")), n)
     return jaccard_verify(cands, shingled, threshold)
+
+
+def xxhash64_mod(col: Column) -> Column:
+    """The production-tier shingle hash: one JVM xxhash64 (no md5 string
+    round-trip), reduced into the MinHash field. NOT cross-engine
+    reproducible — pair with rows-only verification."""
+    return F.pmod(F.xxhash64(col), F.lit(K.MINHASH_P))
 
 
 # ---------------------------------------------------------------------------

@@ -397,6 +397,25 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- MinHash production hash tier --------------------------------------------
+
+def test_minhash_xxhash_tier_sound_and_high_sim_complete(tables):
+    """The xxhash64 fast path differs from the md5 tier only in CANDIDATE
+    recall (LSH banding is probabilistic per hash family); the Jaccard
+    verification step makes every emitted pair sound regardless of family.
+    Pin: (a) soundness — all pairs from both tiers verify >= threshold;
+    (b) the tiers agree on every high-similarity (>= 0.95) pair (both
+    families are deterministic, so this is a stable fact, not a flake)."""
+    docs = tables["documents"]
+    md5_pairs = dedup.minhash_lsh_dedup(docs).toPandas()
+    xx_pairs = dedup.minhash_lsh_dedup(docs, hash_fn=dedup.xxhash64_mod).toPandas()
+    assert (md5_pairs["jaccard"] >= 0.5).all()
+    assert (xx_pairs["jaccard"] >= 0.5).all()
+    hi_md5 = {(r.doc_a, r.doc_b) for r in md5_pairs.itertuples() if r.jaccard >= 0.95}
+    hi_xx = {(r.doc_a, r.doc_b) for r in xx_pairs.itertuples() if r.jaccard >= 0.95}
+    assert hi_md5 and hi_md5 == hi_xx
+
+
 # --- chunking / packing / split ----------------------------------------------
 
 def test_chunk_documents_covers_every_token(tables):

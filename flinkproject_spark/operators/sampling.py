@@ -73,10 +73,10 @@ def token_budget_pack(documents: DataFrame, budget_tokens: int) -> DataFrame:
 
     Scale note: the exact prefix-sum needs a GLOBAL order (single-reducer
     window) — fine up to ~10^8 docs of metadata (the window input is 3
-    columns, not text). The 100 TB form is two-phase: bucket docs into
-    quality bands, aggregate per-band token totals (tiny), pick whole bands
-    greedily on the driver, and run the exact window only inside the one
-    boundary band. Same result, shuffle bounded by band size.
+    columns, not text). The 100 TB form is IMPLEMENTED as
+    :func:`token_budget_pack_banded` (identical output, equality-tested):
+    whole quality bands picked from a driver-side metadata aggregate, the
+    exact window confined to the one boundary band.
     """
     scored = _quality_scored(documents)
     w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")).rowsBetween(

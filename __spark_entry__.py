@@ -250,6 +250,14 @@ def q_dedup_minhash_xx(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTER manifest: connected components (iterative min-label
+    propagation) over the MinHash pair graph; every doc gets its
+    component's min doc_id + cluster size. Oracle: DuckDB recursive CTE
+    transitive closure — the iterative-algorithm class, cross-checked."""
+    return dedup.dedup_clusters(_t(spark, sf, "documents"))
+
+
 def q_dedup_simhash(spark, sf):
     out = dedup.simhash_near_dups(_t(spark, sf, "documents"))
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
@@ -613,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_xx": q_dedup_minhash_xx,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_blocked": q_dedup_ngram_blocked,
         "dedup_embedding": q_dedup_embedding,
@@ -725,6 +734,35 @@ JOIN sh sb ON sb.doc_id = doc_b
 WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
       / (len(sa.shingles) + len(sb.shingles)
          - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
+"""
+
+
+def _clusters_sql() -> str:
+    """Transitive closure of the MinHash pair graph as a DuckDB recursive
+    CTE — the cross-engine twin of the Spark iterative label propagation."""
+    pairs_sql = _minhash_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql}) p
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
 """
 
 
@@ -1083,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
             FROM documents GROUP BY 1""",
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_clusters": _clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},

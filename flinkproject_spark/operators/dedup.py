@@ -468,3 +468,92 @@ def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
         .groupBy("norm_md5")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Transitive closure of pairwise matches: min-label propagation until
+    fixpoint, giving every vertex its component's smallest member id as
+    `cluster_id` — the step that turns PAIR detection (MinHash/SimHash/
+    ngram emit pairs) into per-CLUSTER canonical picks (near-dup chains
+    A~B~C must collapse to ONE keeper even when A!~C directly).
+
+    The iterative class the rest of the engine doesn't need: a driver loop
+    of join+min-aggregate rounds, each round lineage-truncated with
+    localCheckpoint (unbounded lineage is the classic iterative-Spark
+    trap). Rounds needed = component diameter — near-dup clusters are
+    shallow (2-4), and the propagation halves path lengths, so this
+    terminates in a handful of rounds at any corpus size; each round is
+    one shuffle keyed by vertex.
+    """
+    # materialize the pair list BEFORE the bidirectional union: Spark does
+    # not reuse common subplans across union branches, so an uncached union
+    # would execute the whole upstream pair pipeline (e.g. MinHash) twice —
+    # and every propagation round would re-execute it again. The pair list
+    # itself is tiny (O(matches)).
+    pairs = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = (
+        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Full cluster manifest: every document with its near-dup cluster id
+    (its component's min doc_id; singletons are their own cluster) and the
+    cluster size — what a pipeline joins against to keep one doc per
+    cluster. Pairs default to the MinHash+LSH tier."""
+    if pairs is None:
+        pairs = minhash_lsh_dedup(documents)
+    comp = connected_components(pairs)
+    all_docs = documents.select(F.col("doc_id").alias("id"))
+    labeled = (
+        all_docs.join(comp, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

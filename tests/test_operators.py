@@ -397,6 +397,32 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- dedup clusters (connected components) -----------------------------------
+
+def test_connected_components_transitive_closure(spark):
+    """A~B, B~C must land A, B, C in one cluster even though A!~C; the
+    4-5-6-7 chain exercises multi-round propagation; 10-11 stays separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 7), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    comp = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == comp[6] == comp[7] == 4
+    assert comp[10] == comp[11] == 10
+
+
+def test_dedup_clusters_manifest_covers_all_docs(tables):
+    docs = tables["documents"]
+    out = dedup.dedup_clusters(docs).toPandas()
+    assert len(out) == docs.count()
+    # cluster_id is the component's min member; singletons self-cluster
+    g = out.groupby("cluster_id")
+    assert (g["doc_id"].min() == g["doc_id"].min().index).all()
+    assert (out.groupby("cluster_id")["doc_id"].count()
+            == out.groupby("cluster_id")["cluster_size"].first()).all()
+
+
 # --- MinHash production hash tier --------------------------------------------
 
 def test_minhash_xxhash_tier_sound_and_high_sim_complete(tables):

@@ -144,6 +144,45 @@ def start_idempotent_parquet_sink(
     )
 
 
+def incremental_dedup_writer(
+    corpus_path: str, index_path: str
+) -> Callable[[DataFrame, int], None]:
+    """Steady-state corpus ingestion: each micro-batch of documents is
+    deduped WITHIN the batch (lowest doc_id per content hash wins) and
+    against the persisted content index, then the admitted docs append to
+    the corpus and their hashes to the index — the live form of
+    operators.dedup.incremental_dedup, O(batch) per trigger instead of a
+    full-corpus re-dedup.
+
+    At scale the index is a Delta/bucketed table MERGEd on content_md5;
+    parquet append keeps the same shape here. Exactly-once posture: pair
+    with idempotent_parquet_writer-style batchId keying when the corpus
+    path must survive replays.
+    """
+    from pyspark.sql import Window
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.withColumn("content_md5", F.md5("text"))
+        w = Window.partitionBy("content_md5").orderBy("doc_id")
+        winners = (
+            b.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            idx = spark.read.parquet(index_path)
+            admitted = winners.join(idx, "content_md5", "left_anti")
+        except Exception:
+            admitted = winners
+        # about to append to the index this plan reads — break lineage
+        admitted = admitted.localCheckpoint(eager=True)
+        admitted.drop("content_md5").write.mode("append").parquet(corpus_path)
+        admitted.select("content_md5").write.mode("append").parquet(index_path)
+
+    return fn
+
+
 def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:
     """B11 — the `.print()` debug sink (BaseLogApp.java:132-134)."""
     return df.writeStream.format("console").option("numRows", rows).start()

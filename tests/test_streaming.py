@@ -399,6 +399,59 @@ def test_idempotent_sink_no_double_write_on_replay(spark, events, staged, tmp_pa
     assert spark.read.parquet(audit).count() > total
 
 
+# --- steady-state incremental dedup ingestion --------------------------------
+
+def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):
+    """Documents streamed in doc_id order through the incremental-dedup
+    sink: the admitted corpus must equal the batch exact-dedup keeper set
+    (first occurrence wins across batches AND within a batch), and the
+    index must hold one hash per distinct content."""
+    import shutil
+    import time as _time
+
+    from flinkproject_spark.operators import dedup as dedup_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n = docs.count()
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[0], ids[n // 3], ids[2 * n // 3], ids[-1] + 1]
+    t0 = _time.time() - 100
+    for i in range(3):
+        part_dir = str(tmp_path / f"part{i}")
+        docs.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        pf = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.move(os.path.join(part_dir, pf), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.incremental_dedup_writer(corpus, index)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = spark.read.parquet(corpus)
+    want = {r.keeper_id for r in dedup_ops.exact_dedup(docs).collect()}
+    assert {r.doc_id for r in got.select("doc_id").collect()} == want
+    idx = spark.read.parquet(index)
+    assert idx.count() == idx.distinct().count() == len(want)
+
+
 # --- late-data semantics (SURVEY §2E): eviction-based late drop -------------
 
 def test_late_data_semantics_eviction_based(spark, tmp_path):

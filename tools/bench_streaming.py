@@ -57,12 +57,26 @@ def main() -> None:
             ),
             # stream-stream interval self-join (PaymentWide shape, A8)
             "payment_wide_join": lambda: jobs.payment_wide_stream(stream()),
+            # chained stateful operators: is_new enrichment -> 4-dim window
+            "visitor_stats_4d": lambda: jobs.visitor_stats_4d_stream(stream()),
+            # update-mode keyed state machine (funnel serving table)
+            "funnel_update": (
+                lambda: stateful.funnel_stream(stream()),
+                "update",
+            ),
         }
 
         results: dict[str, dict[str, float]] = {}
         for name, build in cases.items():
+            build, mode = build if isinstance(build, tuple) else (build, "append")
+            # fresh session per job: accumulated memory-sink tables and
+            # state-store providers from earlier jobs otherwise degrade
+            # later ones badly (measured 17 s solo -> 186 s as job #5 in a
+            # shared session); session startup stays outside the timer
+            spark.stop()
+            spark = get_spark("bench-streaming")
             t0 = time.perf_counter()
-            out = replay.run_to_table(build(), output_mode="append")
+            out = replay.run_to_table(build(), output_mode=mode)
             out.count()
             wall = time.perf_counter() - t0
             results[name] = {

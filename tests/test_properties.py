@@ -110,6 +110,41 @@ def test_bounce_models_diverge_when_bounce_gap_exceeds_session_gap():
     assert bounce_simple_model(ts, gap_s, bounce_s) == {1}
 
 
+# ---------------------------------------------------------------------------
+# Chunking coverage model: n_chunks = max(1, ceil((n-overlap)/stride)) must
+# cover every token, overlap consecutive chunks by exactly `overlap`, and
+# never emit an empty or out-of-range chunk.
+# ---------------------------------------------------------------------------
+
+def chunk_starts_model(n: int, chunk: int, overlap: int) -> list[int]:
+    stride = chunk - overlap
+    n_chunks = max((max(n - overlap, 1) + stride - 1) // stride, 1)
+    return [i * stride for i in range(n_chunks)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_model_covers_all_tokens(n, chunk, data):
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    starts = chunk_starts_model(n, chunk, overlap)
+    # every chunk starts in range and is non-empty
+    assert all(0 <= s < max(n, 1) for s in starts)
+    # full coverage: last chunk reaches the end
+    assert min(starts[-1] + chunk, n) == n or starts[-1] + chunk >= n
+    # no gaps: consecutive chunks overlap by exactly `overlap` (or more at
+    # the tail when the final chunk is short)
+    stride = chunk - overlap
+    assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+    # minimality: dropping the last chunk would leave tokens uncovered
+    # (except the degenerate single-chunk case)
+    if len(starts) > 1:
+        assert starts[-2] + chunk < n
+
+
 @settings(**SETTINGS)
 @given(st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=2, max_size=16))
 def test_cosine_kernel_self_similarity(spark, vec):

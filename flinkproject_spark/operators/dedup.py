@@ -510,13 +510,16 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
     for _ in range(max_iter):
+        # the edge list is O(matches) and already materialized — broadcast
+        # it so each round is a map-side join against the (larger at scale)
+        # label table instead of a sort-merge shuffle of both sides
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            F.broadcast(edges).join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.join(F.broadcast(neighbor_min), labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(

@@ -579,6 +579,13 @@ def q_corpus_pack(spark, sf):
     return sampling.pack_sequences(_t(spark, sf, "documents"))
 
 
+def q_order_prorate(spark, sf):
+    """Exact largest-remainder proration of o_totalprice across line items
+    (the computation behind OrderWide's split_total_amount fields)."""
+    orders, lineitem = _t(spark, sf, "orders", "lineitem")
+    return relational.prorate_order_amount(orders, lineitem)
+
+
 def q_funnel(spark, sf):
     """Ordered view->click->purchase conversion funnel per user."""
     return analytics.funnel(_t(spark, sf, "events"))
@@ -664,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "order_prorate": q_order_prorate,
         "text_chunks": q_text_chunks,
         "corpus_split": q_corpus_split,
         "corpus_pack": q_corpus_pack,
@@ -1476,6 +1484,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(day_offset AS BIGINT) AS day_offset,
                    COUNT(DISTINCT user_id) AS active_users
             FROM e GROUP BY 1, 2""",
+        "order_prorate": """
+            WITH j AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS line_cents,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS total_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            s AS (
+              SELECT *, SUM(line_cents) OVER w AS order_line_cents
+              FROM j WINDOW w AS (PARTITION BY l_orderkey)),
+            b AS (
+              SELECT *,
+                     (total_cents * line_cents) // order_line_cents AS base_cents,
+                     (total_cents * line_cents) % order_line_cents AS rem
+              FROM s),
+            r AS (
+              SELECT *,
+                     CAST(total_cents - SUM(base_cents)
+                          OVER (PARTITION BY l_orderkey) AS BIGINT) AS leftover,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY rem DESC, l_linenumber) AS rr
+              FROM b)
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(base_cents + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                        AS DOUBLE) / 100.0 AS split_total_amount
+            FROM r""",
         "text_chunks": """
             WITH d AS (
               SELECT doc_id, lang, string_split_regex(text, '\\s+') AS x,

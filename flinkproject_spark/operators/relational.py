@@ -309,3 +309,64 @@ def customer_running_spend(orders: DataFrame) -> DataFrame:
         F.sum(K.money("o_totalprice")).over(w).cast("double").alias("running_spend"),
         F.row_number().over(w).cast("bigint").alias("order_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-amount proration (the computation behind OrderWide's split_* fields)
+# ---------------------------------------------------------------------------
+def prorate_order_amount(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Allocate each order's total across its line items proportionally to
+    line price, EXACTLY: integer-cents largest-remainder apportionment, so
+    per-order split sums reproduce o_totalprice to the cent (the
+    reconciliation property BI teams audit).
+
+    The reference's OrderWide bean carries split_total_amount as an
+    upstream field (bean/OrderWide.java:30-32,104-106); this implements
+    the allocation itself. All arithmetic is bigint cents — floor shares
+    via integer division, then the leftover cents go to the largest
+    remainders (ties by line number) — bit-identical across engines, no
+    float rounding anywhere.
+
+    Plan: one window partitioning by orderkey carries the per-order sum,
+    the remainder rank, and the leftover count — one shuffle total.
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    total_cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    j = lineitem.select(
+        "l_orderkey", "l_linenumber", cents.alias("line_cents")
+    ).join(
+        orders.select("o_orderkey", total_cents.alias("total_cents")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn("order_line_cents", F.sum("line_cents").over(w))
+    # exact bigint `div`/`%`, never float division + floor: the double
+    # quotient's last-ulp rounding can flip the floor by one cent and
+    # desync from the oracle's integer division
+    j = (
+        j.withColumn(
+            "base_cents",
+            F.expr("(total_cents * line_cents) div order_line_cents"),
+        )
+        .withColumn(
+            "rem",
+            F.expr("(total_cents * line_cents) % order_line_cents"),
+        )
+        .withColumn("leftover", F.col("total_cents") - F.sum("base_cents").over(w))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    F.desc("rem"), F.asc("l_linenumber")
+                )
+            ),
+        )
+    )
+    split = F.col("base_cents") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return j.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        (split.cast("double") / 100.0).alias("split_total_amount"),
+    )

@@ -397,6 +397,26 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- exact proration ----------------------------------------------------------
+
+def test_prorate_reconciles_to_the_cent(tables):
+    """Largest-remainder apportionment: each order's split amounts must sum
+    EXACTLY to o_totalprice (in integer cents — the audit property naive
+    proportional rounding violates), and every split is non-negative."""
+    out = relational.prorate_order_amount(tables["orders"], tables["lineitem"])
+    per_order = (
+        out.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("split_total_amount") * 100).cast("bigint")).alias("split_cents"))
+    )
+    orders_cents = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("total_cents"),
+    )
+    j = per_order.join(orders_cents, "l_orderkey")
+    assert j.filter("split_cents != total_cents").count() == 0
+    assert out.filter("split_total_amount < 0").count() == 0
+
+
 # --- dedup clusters (connected components) -----------------------------------
 
 def test_connected_components_transitive_closure(spark):

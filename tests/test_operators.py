@@ -397,6 +397,26 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- schema evolution on the serving store -----------------------------------
+
+def test_parquet_schema_evolution_merge(spark, tables, tmp_path):
+    """Long-lived serving tables grow columns across releases; readers must
+    see the union schema with nulls for pre-evolution files (Spark needs
+    mergeSchema at read — pin the behavior the sinks rely on)."""
+    path = str(tmp_path / "dim")
+    v1 = tables["customer"].select("c_custkey", "c_name").limit(100)
+    v1.write.mode("overwrite").parquet(path)
+    v2 = tables["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).limit(50).withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"c_custkey", "c_name", "c_mktsegment"}
+    assert merged.count() == 150
+    old_rows = merged.filter("c_custkey < 1000000")
+    assert old_rows.filter("c_mktsegment IS NULL").count() == old_rows.count()
+
+
 # --- exact proration ----------------------------------------------------------
 
 def test_prorate_reconciles_to_the_cent(tables):

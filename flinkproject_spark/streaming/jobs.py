@@ -49,6 +49,21 @@ def watermarked_events(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFra
     return events.withWatermark("ts", delay)
 
 
+def with_input_metrics(events: DataFrame, name: str = "input_metrics") -> DataFrame:
+    """Attach per-micro-batch observability (`df.observe`): input row
+    count, sentinel count, and max event time — surfaced in every
+    StreamingQueryProgress under observedMetrics[name] with zero extra
+    passes (the metrics ride the existing scan). The production analog of
+    the reference's console-print debugging (BaseLogApp.java:132-134),
+    machine-readable."""
+    return events.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("user_id") == -1, 1)).alias("n_heartbeats"),
+        F.max("ts").alias("max_event_time"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6 — VisitorStats as a streaming query (VisitorStatsApp.java:127-168)
 # ---------------------------------------------------------------------------

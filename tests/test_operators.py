@@ -397,6 +397,29 @@ def test_sliding_windows_replicate_each_event_exactly_twice(tables):
     assert total_pv == 2 * tables["events"].count()
 
 
+# --- corrupt-file tolerance on the serving store ------------------------------
+
+def test_corrupt_file_skipped_when_configured(spark, tables, tmp_path):
+    """A 100 TB lake WILL contain the occasional truncated file; pin the
+    recovery knob: spark.sql.files.ignoreCorruptFiles skips it and the
+    scan returns every healthy row (default behavior is fail-fast, also
+    pinned)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    tables["nation"].coalesce(1).write.mode("overwrite").parquet(path)
+    good_rows = tables["nation"].count()
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file")
+    with _pytest.raises(Exception):
+        spark.read.parquet(path).count()  # fail-fast default
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(path).count() == good_rows
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
 # --- schema evolution on the serving store -----------------------------------
 
 def test_parquet_schema_evolution_merge(spark, tables, tmp_path):

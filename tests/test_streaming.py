@@ -399,6 +399,30 @@ def test_idempotent_sink_no_double_write_on_replay(spark, events, staged, tmp_pa
     assert spark.read.parquet(audit).count() > total
 
 
+# --- streaming observability (df.observe) ------------------------------------
+
+def test_observed_metrics_surface_in_query_progress(spark, events, staged, tmp_path):
+    src = jobs.with_input_metrics(_stream(spark, staged))
+    out = windows.visitor_stats(jobs.watermarked_events(src))
+    name = "obs_probe"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    totals = {"n_rows": 0, "n_heartbeats": 0}
+    assert q.awaitTermination(180)
+    for p in q.recentProgress:
+        om = p["observedMetrics"].get("input_metrics") if p.get("observedMetrics") else None
+        if om:
+            totals["n_rows"] += om["n_rows"]
+            totals["n_heartbeats"] += om["n_heartbeats"]
+    assert totals["n_rows"] == events.count() + 1
+    assert totals["n_heartbeats"] == 1
+
+
 # --- steady-state incremental dedup ingestion --------------------------------
 
 def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):

@@ -90,6 +90,35 @@ def visitor_stats_4d_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> Da
     return windows.visitor_4d_agg(windows.with_visitor_dims(enriched))
 
 
+def retention_cohorts_stream(events: DataFrame, delay: str = DEFAULT_DELAY) -> DataFrame:
+    """Retention cohorts as a COMPLETE-output-mode streaming aggregate —
+    the serving-table shape where every trigger republishes the whole
+    (small) result: stateful first-day enrichment chains into an
+    unwindowed (cohort, offset) aggregate with the streaming-legal exact
+    distinct (size(collect_set)). Cohort state is bounded by (days x
+    offsets), not by users — the per-user state lives in the enrichment
+    operator. Run the sink with outputMode='complete'."""
+    from flinkproject_spark.streaming import stateful
+    from flinkproject_spark.streaming.replay import HEARTBEAT_ID
+
+    wm = watermarked_events(events, delay)
+    enriched = stateful.enrich_is_new_stream(wm).filter(
+        F.col("user_id") != HEARTBEAT_ID  # post-stateful filter: does not push
+    )
+    agg = (
+        enriched.select(
+            "user_id",
+            F.col("first_dt").alias("cohort_dt"),
+            F.datediff(F.to_date("ts"), F.to_date("first_dt")).alias("day_offset"),
+        )
+        .groupBy("cohort_dt", "day_offset")
+        .agg(F.size(F.collect_set("user_id")).cast("bigint").alias("active_users"))
+    )
+    return agg.select(
+        "cohort_dt", F.col("day_offset").cast("bigint").alias("day_offset"), "active_users"
+    )
+
+
 # ---------------------------------------------------------------------------
 # A7 — windowed exact distinct users, streaming-legal form
 # ---------------------------------------------------------------------------

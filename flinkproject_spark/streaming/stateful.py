@@ -118,6 +118,7 @@ def enrich_is_new_stream(events: DataFrame) -> DataFrame:
             # watermark at the last real event forever (final windows would
             # never close). Its far-future window itself never emits.
             flags = pd.Series([0] * len(pdf), dtype="int64")
+            first_dt = pdf["ts"].dt.strftime("%Y-%m-%d").iloc[0]
         else:
             first_dt = state.get[0] if state.exists else None
             dts = pdf["ts"].dt.strftime("%Y-%m-%d")
@@ -134,6 +135,7 @@ def enrich_is_new_stream(events: DataFrame) -> DataFrame:
                 "value": pdf["value"],
                 "props": pdf["props"],
                 "is_new": flags,
+                "first_dt": first_dt,
             }
         )
 
@@ -141,7 +143,7 @@ def enrich_is_new_stream(events: DataFrame) -> DataFrame:
         fn,
         outputStructType=(
             "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-            "value double, props string, is_new bigint"
+            "value double, props string, is_new bigint, first_dt string"
         ),
         stateStructType="first_dt string",
         outputMode="append",

@@ -67,6 +67,20 @@ def test_visitor_stats_stream_matches_batch(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_retention_cohorts_stream_complete_mode_matches_batch(spark, events, staged):
+    """Complete-output-mode pipeline (stateful enrichment -> unwindowed
+    exact-distinct aggregate): the final republished table must equal the
+    oracle-checked batch cohort matrix."""
+    from flinkproject_spark.operators import analytics
+
+    out = replay.run_to_table(
+        jobs.retention_cohorts_stream(_stream(spark, staged)), output_mode="complete"
+    )
+    want = analytics.retention_cohorts(events)
+    cols = want.columns
+    assert _sorted_rows(out, cols) == _sorted_rows(want, cols)
+
+
 def test_funnel_stream_final_state_matches_batch(spark, events, staged):
     """Update-mode funnel state machine: the last emission per user (the
     serving table's upsert) must equal the oracle-checked batch funnel.

@@ -597,7 +597,43 @@ def q_retention_cohorts(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the round driver verifies the first 50
+    # entries against the DuckDB oracles.  Queries whose correctness has
+    # never been driver-recorded come FIRST (the 27 round-2 additions /
+    # rotations, per VERDICT r02), followed by any new round-3 queries;
+    # long-green rows with CORRECTNESS_r01/r02 evidence back-fill the tail.
     return {
+        # -- never driver-verified (round-2 additions, positions 51-77 in r02)
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "order_prorate": q_order_prorate,
+        "text_chunks": q_text_chunks,
+        "corpus_split": q_corpus_split,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
+        "token_budget_pack": q_token_budget_pack,
+        "text_repetition": q_text_repetition,
+        "text_entropy": q_text_entropy,
+        "cluster_assign": q_cluster_assign,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_normalized": q_dedup_normalized,
+        "sim_quantize": q_sim_quantize,
+        "corpus_cube": q_corpus_cube,
+        "corpus_by_cluster": q_corpus_by_cluster,
+        "corpus_pipeline": q_corpus_pipeline,
+        "event_type_pivot": q_event_type_pivot,
+        "dedup_survivors": q_dedup_survivors,
+        "running_spend": q_running_spend,
+        "product_stats_approx": q_product_stats_approx,
+        # -- driver-green in r01 but rotated out of r02's first 50
+        "topn_per_nation": q_topn_per_nation,
+        "sliding_visitor_stats": q_sliding_visitor_stats,
+        "order_value_percentiles": q_order_value_percentiles,
+        "scd2_order_state": q_scd2_order_state,
+        "a8_interval_join_outer": q_a8_interval_join_outer,
+        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
+        # -- round-3 additions slot in here (inside the verified window)
+        # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
         "a3_explode_words": q_a3_explode_words,
@@ -648,33 +684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "asof_last_order": q_asof_last_order,
         "gmv_rollup": q_gmv_rollup,
-        "topn_per_nation": q_topn_per_nation,
-        "sliding_visitor_stats": q_sliding_visitor_stats,
-        "order_value_percentiles": q_order_value_percentiles,
-        "scd2_order_state": q_scd2_order_state,
-        "a8_interval_join_outer": q_a8_interval_join_outer,
-        "event_type_pivot": q_event_type_pivot,
-        "dedup_survivors": q_dedup_survivors,
-        "running_spend": q_running_spend,
-        "product_stats_approx": q_product_stats_approx,
-        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
-        "corpus_sample": q_corpus_sample,
-        "token_budget_pack": q_token_budget_pack,
-        "text_repetition": q_text_repetition,
-        "cluster_assign": q_cluster_assign,
-        "dedup_incremental": q_dedup_incremental,
-        "sim_quantize": q_sim_quantize,
-        "text_entropy": q_text_entropy,
-        "dedup_normalized": q_dedup_normalized,
-        "corpus_cube": q_corpus_cube,
-        "corpus_by_cluster": q_corpus_by_cluster,
-        "corpus_pipeline": q_corpus_pipeline,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "order_prorate": q_order_prorate,
-        "text_chunks": q_text_chunks,
-        "corpus_split": q_corpus_split,
-        "corpus_pack": q_corpus_pack,
     }
 
 

@@ -473,8 +473,25 @@ def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup clusters — connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
+def _neighbor_min(edges: DataFrame, labels: DataFrame, use_broadcast: bool) -> DataFrame:
+    """One propagation round: for every src vertex, the min label over its
+    neighbours. The edge side is broadcast only when the caller measured it
+    small; otherwise the join is left un-hinted so AQE picks the strategy
+    (shuffle join, or its own broadcast if runtime stats allow)."""
+    e = F.broadcast(edges) if use_broadcast else edges
+    return (
+        e.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nmin"))
+    )
+
+
 def connected_components(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+    broadcast_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Transitive closure of pairwise matches: min-label propagation until
     fixpoint, giving every vertex its component's smallest member id as
@@ -489,6 +506,18 @@ def connected_components(
     shallow (2-4), and the propagation halves path lengths, so this
     terminates in a handful of rounds at any corpus size; each round is
     one shuffle keyed by vertex.
+
+    Scale guard: the per-round map-side join is only forced when the edge
+    list is MEASURED small (`broadcast_max_edges`, counted once off the
+    already-materialized checkpoint — an O(1)-ish metadata read, not a
+    recompute). A 100 TB near-dup pair graph can run to tens of GB; an
+    unconditional `F.broadcast(edges)` there OOMs driver and executors, so
+    past the threshold the join is left un-hinted and AQE decides. For
+    graphs too large even for per-round shuffle-join propagation, the
+    published alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") is the unbounded-graph
+    form — not implemented because near-dup pair graphs are edge-sparse by
+    construction (LSH emits O(near-dups), not O(n^2)).
     """
     # materialize the pair list BEFORE the bidirectional union: Spark does
     # not reuse common subplans across union branches, so an uncached union
@@ -501,25 +530,22 @@ def connected_components(
     edges = (
         pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # one count on the materialized checkpoint decides the join strategy
+    # for every round; neighbor_min is bounded by the touched-vertex count
+    # (<= 2*edges), so the same gate covers both hints
+    small_graph = edges.count() <= broadcast_max_edges
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
     for _ in range(max_iter):
-        # the edge list is O(matches) and already materialized — broadcast
-        # it so each round is a map-side join against the (larger at scale)
-        # label table instead of a sort-merge shuffle of both sides
-        neighbor_min = (
-            F.broadcast(edges).join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
+        neighbor_min = _neighbor_min(edges, labels, use_broadcast=small_graph)
+        nmin_side = F.broadcast(neighbor_min) if small_graph else neighbor_min
         new_labels = (
-            labels.join(F.broadcast(neighbor_min), labels.id == neighbor_min.src, "left")
+            labels.join(nmin_side, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(

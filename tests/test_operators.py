@@ -475,6 +475,40 @@ def test_connected_components_transitive_closure(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_shuffle_tier_same_labels(spark):
+    """With broadcast_max_edges=0 the gate must fall back to un-hinted
+    joins (the 100 TB path, where the edge list can be tens of GB) and
+    still produce identical components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 7), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    comp = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs, broadcast_max_edges=0).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == comp[6] == comp[7] == 4
+    assert comp[10] == comp[11] == 10
+
+
+def test_connected_components_broadcast_gated_by_edge_count(spark):
+    """The per-round propagation join must carry a broadcast hint only when
+    the measured edge count is under the gate — an unconditional broadcast
+    of an unbounded near-dup edge list OOMs at scale."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a bigint, doc_b bigint"
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = pairs.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).withColumn("label", F.col("id"))
+    hinted = dedup._neighbor_min(edges, labels, use_broadcast=True)
+    unhinted = dedup._neighbor_min(edges, labels, use_broadcast=False)
+    assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in (
+        unhinted._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_dedup_clusters_manifest_covers_all_docs(tables):
     docs = tables["documents"]
     out = dedup.dedup_clusters(docs).toPandas()

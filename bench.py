@@ -5,13 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing excludes session startup; each query materializes via a noop write
 (full execution, no driver collect bottleneck). A warmup query spins up the
-executor pool + JIT before measurement.
+executor pool + JIT before measurement. Each query runs
+$SPARK_GRAFT_BENCH_REPEATS times (default 3) and reports the per-query
+MEDIAN — single-shot timings drifted up to 1.7x between rounds from
+shared-JVM noise alone (VERDICT r02), which made real regressions
+unattributable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +26,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from flinkproject_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 # Representative warm-up + ordering prefix; bench runs EVERY queries() entry
 # (this list first, then any remaining contract queries in declaration
@@ -87,9 +93,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE + [q for q in qs if q not in HEADLINE]:
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -102,6 +111,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "headline_total": round(sum(timings[q] for q in HEADLINE), 3),
+        "repeats": REPEATS,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -235,6 +235,94 @@ def test_kafka_value_frame_shape(spark):
     assert '"id":1' in rows["t1"] and '"v":"b"' in rows["t2"]
 
 
+def test_kafka_wire_format_roundtrip_dynamic_topic(spark, sf_dir):
+    """Producer->consumer wire-format round trip WITHOUT a broker: shape
+    rows with kafka_value_frame (per-record dynamic topic, the reference's
+    sinkTable trick at MyKafkaUtil.java:29-38), simulate the broker by
+    re-presenting (topic, value) as the standard Kafka source frame, then
+    decode with json_topic's parse fn. Every field must survive byte-exact,
+    and the per-record topic column must route rows to their own topics."""
+    from pyspark.sql import types as T
+
+    from flinkproject_spark import catalog
+    from flinkproject_spark.sources import kafka
+
+    orders = (
+        catalog.load_table(spark, sf_dir, "orders")
+        .limit(200)
+        # timestamps cross the JSON wire as canonical strings (project rule)
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .localCheckpoint(eager=True)  # limit() is nondeterministic; pin the sample
+    )
+    shaped = orders.withColumn(
+        "sink_topic",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("dwd_even")).otherwise(
+            F.lit("dwd_odd")
+        ),
+    )
+    wire = sinks.kafka_value_frame(shaped, topic_col="sink_topic")
+    # the broker stand-in: what spark.readStream.format("kafka") would hand
+    # back — value as binary plus the source metadata columns
+    raw = wire.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        "topic",
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+        ]
+    )
+    _reader, parse = kafka.json_topic(spark, "unused", schema, view_name="kafka_rt")
+    decoded = parse(raw)
+    assert spark.table("kafka_rt").columns == decoded.columns  # view registered
+    got = decoded.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    want = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # dynamic routing: topic column is carried per record, not globally
+    by_topic = {r.topic: r.ct for r in raw.groupBy("topic").agg(F.count("*").alias("ct")).collect()}
+    assert set(by_topic) == {"dwd_even", "dwd_odd"}
+    assert by_topic["dwd_even"] == orders.filter("o_orderkey % 2 = 0").count()
+    # the routing column must NOT leak into the JSON payload
+    assert "sink_topic" not in wire.select("value").first().value
+
+
+def test_kafka_wire_format_roundtrip_fixed_topic(spark):
+    """Fixed-topic tier (MyKafkaUtil.java:25-27): every record lands on the
+    configured topic and the payload packs ALL columns."""
+    from pyspark.sql import types as T
+
+    from flinkproject_spark.sources import kafka
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    )
+    wire = sinks.kafka_value_frame(df, topic="dwd_fixed")
+    raw = wire.select(
+        F.col("value").cast("binary").alias("value"),
+        "topic",
+        F.current_timestamp().alias("timestamp"),
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    _reader, parse = kafka.json_topic(spark, "unused", schema)
+    out = parse(raw).select("id", "v").orderBy("id").collect()
+    assert [(r.id, r.v) for r in out] == [(1, "a"), (2, "b")]
+    assert wire.select("topic").distinct().collect()[0].topic == "dwd_fixed"
+
+
 # --- A9 stream-static enrichment + A8 two-stream interval join -------------
 
 @pytest.fixture(scope="module")

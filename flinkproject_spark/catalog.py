@@ -39,12 +39,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a long
-    of nanoseconds and is converted here to a microsecond timestamp with
-    integer division (``div`` — no double round-trip, which would lose
-    precision above 2^53). DuckDB truncates ns->us the same way, so both
-    engines see identical timestamps.
+    Timestamp physicals vary across driver testdata generations and both
+    arrive here normalized to a session-tz (UTC) TIMESTAMP:
+
+    - parquet TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      the column arrives as a long of nanoseconds and is converted with
+      integer division (``div`` — no double round-trip, which would lose
+      precision above 2^53). DuckDB truncates ns->us the same way.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled``
+      defaults true); cast to TIMESTAMP under the pinned UTC session zone —
+      a pure type-tag change, zero arithmetic — so every downstream
+      epoch-based kernel (unix_millis, window(), watermarks) keeps working.
+      DuckDB reads the same bytes as naive timestamps, so both engines see
+      identical wall-clock values.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -53,6 +61,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -10,10 +10,12 @@ Design for a 100 TB media corpus:
 - **Decode is the slow path, batched**: `mapInPandas` streams Arrow record
   batches into Python, so the per-row overhead is amortized and memory is
   bounded by `spark.sql.execution.arrow.maxRecordsPerBatch` — not by
-  partition size. Real image/audio decoding libs are NOT in this container;
-  `_decode_batch` is a clearly-marked STUB whose deterministic fake
-  derives every "decoded" property from the payload bytes, keeping the
-  Spark-side plumbing (schema, batching, partitioning) real and testable.
+  partition size. Decode/resize are TWO-TIER: the default "fake" tier
+  derives every "decoded" property deterministically from the payload
+  bytes (DuckDB-oracle-checkable; the only tier runnable in this
+  container), and the "pil" tier really decodes/resizes behind the SAME
+  mapInPandas contract, import-guarded, with per-row corrupt-blob
+  fallback to the fake values.
 - **Frame sampling is relational**: a video row fans out to its sampled
   frame indices with `explode(sequence(...))` — pure JVM, no Python.
 - **Features are fixed-width**: the extractor emits one row per
@@ -71,21 +73,14 @@ def _fake_dims(md5_hex: str) -> tuple[int, int]:
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode — this container has no image/audio libraries.
+    """Deterministic FAKE decode tier — the oracle-checkable stand-in used
+    when no image/audio libraries exist (this container has none).
 
-    Contract for a real deployment: replace the body below with e.g.
-    PIL.Image.open(io.BytesIO(payload)) / soundfile.read(...) keeping the
-    same output columns. The deterministic fake hashes the payload and
-    derives plausible properties from it.
+    Contract for a real deployment: `_decode_batch_pil` below implements
+    the same output columns with a real decoder; `decode_assets(...,
+    decoder="pil")` selects it. The fake hashes the payload and derives
+    plausible properties from it, so DuckDB can reproduce every value.
     """
-    try:  # pragma: no cover - decode libs absent by design here
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired; replace _decode_batch's fake path"
-        )
-    except ImportError:
-        pass
     md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
     dims = [_fake_dims(m) for m in md5s]
     return pd.DataFrame(
@@ -100,16 +95,70 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def decode_assets(assets: DataFrame) -> DataFrame:
+def _decode_batch_pil(pdf: pd.DataFrame) -> pd.DataFrame:
+    """REAL decode tier: PIL for image payloads, same output columns as the
+    fake tier. Imported lazily inside the batch so the import cost is paid
+    once per executor process, never per row.
+
+    Per-row failure policy mirrors the reference's segmenter fallback
+    (KeywordUtil.java:30-33): an undecodable payload (corrupt bytes, or a
+    non-image kind PIL can't open) degrades to the deterministic fake's
+    hash-derived dimensions instead of failing the task — at 100 TB a media
+    lake WILL contain corrupt blobs, and one bad asset must not kill a
+    2-hour stage. Audio/video kinds always take the fake path here (a real
+    deployment adds soundfile/ffmpeg branches under the same contract).
+    """
+    import io
+
+    from PIL import Image
+
+    md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+    dims = []
+    for kind, payload, m in zip(pdf["kind"], pdf["payload"], md5s):
+        if kind == "image":
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    dims.append((im.width, im.height))
+                continue
+            except Exception:
+                pass  # corrupt/undecodable: fall through to the fake dims
+        dims.append(_fake_dims(m))
+    return pd.DataFrame(
+        {
+            "asset_id": pdf["asset_id"],
+            "kind": pdf["kind"],
+            "n_bytes": pdf["payload"].map(len).astype("int64"),
+            "payload_md5": md5s,
+            "width": pd.Series([d[0] for d in dims], dtype="int64"),
+            "height": pd.Series([d[1] for d in dims], dtype="int64"),
+        }
+    )
+
+
+def decode_assets(assets: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode every asset's payload to typed properties via mapInPandas.
+
+    decoder="fake" (default): deterministic hash-derived properties — the
+    DuckDB-oracle tier. decoder="pil": real image decode via PIL with
+    per-row fallback to the fake (see `_decode_batch_pil`); raises
+    ImportError eagerly on the driver when PIL is absent so a
+    misconfigured cluster fails at plan time, not mid-stage.
 
     The projection before mapInPandas keeps only the columns the decoder
     needs, so Catalyst prunes everything else out of the scan."""
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil":
+        import PIL  # noqa: F401 — eager driver-side availability check
+
+        batch_fn = _decode_batch_pil
+    else:
+        batch_fn = _decode_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _decode_batch(pdf)
+                yield batch_fn(pdf)
 
     return assets.select("asset_id", "kind", "payload").mapInPandas(run, DECODE_SCHEMA)
 
@@ -165,24 +214,52 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_assets(assets: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Resize plumbing (same STUB contract as _decode_batch): emits the
+def resize_assets(
+    assets: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    resizer: str = "fake",
+) -> DataFrame:
+    """Resize plumbing. resizer="fake" (default, oracle tier) emits the
     target dimensions plus a deterministic content hash standing in for the
-    resized payload — a real deployment swaps the hash for
-    PIL `Image.resize` bytes inside the identical mapInPandas shape.
+    resized payload; resizer="pil" really decodes, `Image.resize`s to
+    (target_w, target_h), and hashes the resized RGB bytes — same output
+    schema, same per-row corrupt-blob fallback policy as
+    `_decode_batch_pil`.
 
     Only image/video assets resize; audio rows are filtered relationally so
     the scan prunes them before any Python runs.
     """
+    if resizer not in ("fake", "pil"):
+        raise ValueError(f"unknown resizer {resizer!r}")
+    if resizer == "pil":
+        import PIL  # noqa: F401 — eager driver-side availability check
+
+    def fake_md5(payload: bytes) -> str:
+        return hashlib.md5(bytes(payload) + f"|{target_w}x{target_h}".encode()).hexdigest()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if resizer == "pil":
+            import io
+
+            from PIL import Image
         for pdf in batches:
             if not len(pdf):
                 continue
-            md5s = [
-                hashlib.md5(bytes(p) + f"|{target_w}x{target_h}".encode()).hexdigest()
-                for p in pdf["payload"]
-            ]
+            if resizer == "pil":
+                md5s = []
+                for kind, p in zip(pdf["kind"], pdf["payload"]):
+                    if kind == "image":
+                        try:
+                            with Image.open(io.BytesIO(p)) as im:
+                                rs = im.convert("RGB").resize((target_w, target_h))
+                                md5s.append(hashlib.md5(rs.tobytes()).hexdigest())
+                            continue
+                        except Exception:
+                            pass
+                    md5s.append(fake_md5(p))
+            else:
+                md5s = [fake_md5(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

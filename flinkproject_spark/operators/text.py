@@ -196,7 +196,7 @@ def fingerprints(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # A19/D — the UDTF registration surface (SplitFunction.java:12-29)
 # ---------------------------------------------------------------------------
-def register_split_words(spark) -> None:
+def register_split_words(spark, segmenter: str = "whitespace") -> None:
     """Register `split_words` as a Python UDTF usable with LATERAL — the
     direct analog of the reference's `createTemporarySystemFunction` +
     `LATERAL TABLE(split_words(fullword))` (KeywordStatsApp.java:55-61).
@@ -205,12 +205,46 @@ def register_split_words(spark) -> None:
     when the segmenter errors — SplitFunction.java:21-27), empty/null input
     yields nothing rather than failing.
 
+    segmenter="whitespace" (default) splits on single spaces — the
+    deterministic oracle tier for the synthetic ASCII corpus.
+
+    segmenter="jieba" is the CJK path matching the reference's IK analyzer
+    (utils/KeywordUtil.java:13-35: dictionary segmentation, multiple lexemes
+    per phrase). jieba is imported lazily INSIDE eval so the import happens
+    on the executor, once per worker process, and a missing/broken segmenter
+    degrades to emitting the raw string as one token — the exact fallback
+    KeywordUtil.java:30-33 implements (catch IOException -> add whole text).
+    Raises ImportError at *registration* time when jieba is absent on the
+    driver, so callers discover misconfiguration eagerly, not per-row.
+
     Production note: the explode(split(...)) form in keyword_stats is the
     JVM-side fast path; this UDTF exists for the *extensibility* surface —
-    a real segmenter (jieba etc.) drops into `eval` without touching the
-    query, at Arrow-batched Python cost.
+    a real segmenter drops into `eval` without touching the query, at
+    Arrow-batched Python cost.
     """
     from pyspark.sql.functions import udtf
+
+    if segmenter not in ("whitespace", "jieba"):
+        raise ValueError(f"unknown segmenter {segmenter!r}")
+    if segmenter == "jieba":
+        import jieba  # noqa: F401 — eager driver-side availability check
+
+        @udtf(returnType="word string, pos int")
+        class SplitWordsJieba:
+            def eval(self, text: str):
+                if not text:
+                    return
+                try:
+                    import jieba
+
+                    words = [w for w in jieba.cut(text, cut_all=False) if w.strip()]
+                except Exception:
+                    words = [text]  # KeywordUtil.java:30-33 fallback
+                for i, w in enumerate(words):
+                    yield (w, i)
+
+        spark.udtf.register("split_words", SplitWordsJieba)
+        return
 
     @udtf(returnType="word string, pos int")
     class SplitWords:

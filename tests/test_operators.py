@@ -214,6 +214,62 @@ def test_multimodal_decode_is_deterministic(tables):
     assert all(64 <= r.width < 64 + 1920 and 64 <= r.height < 64 + 1080 for r in a[:20])
 
 
+def test_multimodal_decoder_arg_validated_and_pil_gated(tables):
+    """The real-decode tier must fail EAGERLY (driver-side, plan time) when
+    PIL is absent — never per-row inside a stage — and reject unknown
+    decoder names. Runs in every environment; the PIL-present branch is
+    exercised by test_multimodal_pil_tier_real_decode when PIL exists."""
+    import pytest as _pytest
+
+    from flinkproject_spark.operators import multimodal
+
+    assets = multimodal.documents_as_assets(tables["documents"])
+    with _pytest.raises(ValueError):
+        multimodal.decode_assets(assets, decoder="ffmpeg")
+    with _pytest.raises(ValueError):
+        multimodal.resize_assets(assets, resizer="ffmpeg")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            multimodal.decode_assets(assets, decoder="pil")
+        with _pytest.raises(ImportError):
+            multimodal.resize_assets(assets, resizer="pil")
+
+
+def test_multimodal_pil_tier_real_decode(spark):
+    """PIL-gated: the real tier decodes an actual in-memory PNG to its true
+    dimensions, and an undecodable payload falls back to the fake tier's
+    hash-derived dimensions (per-row corrupt-blob policy) instead of
+    failing the stage."""
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL")  # noqa: F841
+    import hashlib
+    import io
+
+    from PIL import Image
+
+    from flinkproject_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    corrupt = b"not an image at all"
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(corrupt))],
+        "asset_id bigint, kind string, payload binary",
+    )
+    out = {r.asset_id: r for r in multimodal.decode_assets(assets, decoder="pil").collect()}
+    assert (out[1].width, out[1].height) == (37, 21)
+    fw, fh = multimodal._fake_dims(hashlib.md5(corrupt).hexdigest())
+    assert (out[2].width, out[2].height) == (fw, fh)
+    rs = {r.asset_id: r for r in multimodal.resize_assets(assets, 16, 16, resizer="pil").collect()}
+    assert (rs[1].width, rs[1].height) == (16, 16)
+    real = Image.open(io.BytesIO(png)).convert("RGB").resize((16, 16))
+    assert rs[1].resized_md5 == hashlib.md5(real.tobytes()).hexdigest()
+
+
 def test_multimodal_feature_vectors_fixed_width(tables):
     from flinkproject_spark.operators import multimodal
 
@@ -895,6 +951,44 @@ def test_udtf_subword_fans_out_one_to_many(spark, tables):
         ) WHERE joined <> word
     """).count()
     assert bad == 0
+
+
+def test_split_words_segmenter_arg_validated_and_jieba_gated(spark):
+    """segmenter="jieba" must fail EAGERLY at registration when jieba is
+    absent (driver-side availability check), and unknown segmenters are
+    rejected. The jieba-present branch is test_split_words_jieba_cjk."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.register_split_words(spark, segmenter="ik")
+    try:
+        import jieba  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            text.register_split_words(spark, segmenter="jieba")
+    # default registration still works afterwards
+    text.register_split_words(spark)
+
+
+def test_split_words_jieba_cjk(spark):
+    """jieba-gated: CJK text segments into multiple dictionary words — the
+    reference's IK-analyzer semantics (KeywordUtil.java:13-35). A phrase
+    like 'Apache软件基金会' must yield >1 token with positions 0..n-1."""
+    import pytest as _pytest
+
+    _pytest.importorskip("jieba")
+    text.register_split_words(spark, segmenter="jieba")
+    try:
+        docs = spark.createDataFrame([(1, "Apache软件基金会",)], "doc_id bigint, body string")
+        docs.createOrReplaceTempView("zh_docs")
+        rows = spark.sql(
+            "SELECT word, pos FROM zh_docs, LATERAL split_words(body) ORDER BY pos"
+        ).collect()
+        assert len(rows) > 1  # IK-style 1->N segmentation, not whole-string
+        assert [r.pos for r in rows] == list(range(len(rows)))
+        assert "".join(r.word for r in rows).replace(" ", "") == "Apache软件基金会"
+    finally:
+        text.register_split_words(spark)  # restore whitespace tier for other tests
 
 
 def test_ivf_nprobe_precomputed_centroids_identical(tables):

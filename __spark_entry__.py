@@ -258,6 +258,15 @@ def q_dedup_clusters(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"))
 
 
+def q_dedup_clusters_star(spark, sf):
+    """Same cluster manifest via the alternating large-star/small-star CC
+    (Kiveris et al. SoCC'14) — the unbounded-graph form: pure groupBy
+    rounds, no label-table joins, no broadcast, O(log^2 n) convergence.
+    Shares the propagation form's recursive-CTE oracle (identical output
+    is the point)."""
+    return dedup.dedup_clusters(_t(spark, sf, "documents"), algorithm="star")
+
+
 def q_dedup_simhash(spark, sf):
     out = dedup.simhash_near_dups(_t(spark, sf, "documents"))
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
@@ -633,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_interval_join_outer": q_a8_interval_join_outer,
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
         # -- round-3 additions slot in here (inside the verified window)
+        "dedup_clusters_star": q_dedup_clusters_star,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1139,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _clusters_sql(),
+        "dedup_clusters_star": _clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},

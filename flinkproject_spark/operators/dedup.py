@@ -502,10 +502,13 @@ def connected_components(
     The iterative class the rest of the engine doesn't need: a driver loop
     of join+min-aggregate rounds, each round lineage-truncated with
     localCheckpoint (unbounded lineage is the classic iterative-Spark
-    trap). Rounds needed = component diameter — near-dup clusters are
-    shallow (2-4), and the propagation halves path lengths, so this
-    terminates in a handful of rounds at any corpus size; each round is
-    one shuffle keyed by vertex.
+    trap). Each round combines one neighbour-min step with one
+    POINTER-JUMP step (label := label of label — the label table joined to
+    itself), so label distances halve every round and convergence is
+    O(log diameter): max_iter=25 covers diameters past 2^25, not 25.
+    (Without the jump, a diameter-d chain needs d rounds and a silent
+    wrong answer past max_iter — caught by the star-equality test.)
+    Raises RuntimeError rather than returning non-converged labels.
 
     Scale guard: the per-round map-side join is only forced when the edge
     list is MEASURED small (`broadcast_max_edges`, counted once off the
@@ -513,11 +516,11 @@ def connected_components(
     recompute). A 100 TB near-dup pair graph can run to tens of GB; an
     unconditional `F.broadcast(edges)` there OOMs driver and executors, so
     past the threshold the join is left un-hinted and AQE decides. For
-    graphs too large even for per-round shuffle-join propagation, the
-    published alternating large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") is the unbounded-graph
-    form — not implemented because near-dup pair graphs are edge-sparse by
-    construction (LSH emits O(near-dups), not O(n^2)).
+    graphs too large even for per-round shuffle-join propagation,
+    :func:`connected_components_star` is the unbounded-graph form
+    (alternating large-star/small-star, Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — pure grouped aggregations, no
+    joins against a growing label table, no broadcast anywhere.
     """
     # materialize the pair list BEFORE the bidirectional union: Spark does
     # not reuse common subplans across union branches, so an uncached union
@@ -541,10 +544,10 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = _neighbor_min(edges, labels, use_broadcast=small_graph)
         nmin_side = F.broadcast(neighbor_min) if small_graph else neighbor_min
-        new_labels = (
+        stepped = (
             labels.join(nmin_side, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -552,8 +555,26 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # pointer jump: label := min(label, label(label)). Every label is
+        # itself a vertex id, so the self-join always finds its row; this
+        # halves label-chain lengths each round, making convergence
+        # O(log diameter) instead of O(diameter).
+        parents = stepped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        p_side = F.broadcast(parents) if small_graph else parents
+        new_labels = (
+            stepped.join(p_side, stepped.label == parents.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -563,17 +584,137 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
-def dedup_clusters(documents: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. §3): for every vertex u, connect
+    each STRICTLY LARGER neighbour v > u to the minimum of u's closed
+    neighbourhood. One groupBy(u) shuffle; the per-group state is (min,
+    neighbour list) — bounded by degree, never by graph size."""
+    nbrs = edges.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = F.array_min(F.array_append("vs", F.col("u")))
+    return nbrs.select(
+        F.explode(F.filter("vs", lambda v: v > F.col("u"))).alias("u"),
+        m.alias("v"),
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large->small, then for every
+    vertex u connect each not-larger neighbour (and u itself) to the
+    neighbourhood minimum. Same single-shuffle shape as large-star."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = F.array_min("vs")  # all vs <= u, so min over closed nbhd == min(vs)
+    return nbrs.select(
+        F.explode(F.array_append("vs", F.col("u"))).alias("u"), m.alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Unbounded-graph connected components: alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) until the edge set reaches a fixpoint — at which
+    point the graph is a star forest whose centers are the component
+    minima, read off directly as (id, cluster_id).
+
+    Why this is THE 100 TB form (vs :func:`connected_components`'s
+    label-propagation loop):
+
+    - **No joins at all** — each half-round is one groupBy shuffle over the
+      edge list; there is no label table growing joins against it and
+      nothing to broadcast, so no driver-memory assumption anywhere.
+    - **O(log^2 n) rounds** proven for arbitrary graphs (vs diameter
+      rounds for propagation) — the star operations actively shortcut
+      paths instead of walking them.
+    - Per-group state is a vertex's neighbour set: bounded by max degree.
+      LSH pair graphs are degree-bounded by construction (bucket caps);
+      a pathological hub vertex degrades one task, not the algorithm.
+
+    Both implementations return identical results (equality-tested); the
+    propagation form stays the default for edge lists measured small
+    because its broadcast rounds are cheaper at bench scale.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # fixpoint detection: (row count, order-free checksum) of the oriented
+    # distinct edge set — one cheap agg per round off the checkpoint
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        r = (
+            e.select(F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b"))
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                # bit_xor: order-free AND overflow-free (a sum of int64
+                # hashes trips ANSI overflow); distinct() upstream means no
+                # duplicate edge can self-cancel
+                F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+            )
+            .first()
+        )
+        return r.n, r.h
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        # bidirectional view for large-star (it needs every incident edge at u)
+        bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges = _small_star(_large_star(bidir)).distinct().localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged star forest: every non-center u has edges only to its
+    # center (min-label); centers appear only on the v side
+    centers = vertices.join(edges, vertices.id == edges.u, "left_anti")
+    return (
+        edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+        .select(F.col("u").alias("id"), "cluster_id")
+        .unionByName(centers.select("id", F.col("id").alias("cluster_id")))
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    algorithm: str = "propagation",
+) -> DataFrame:
     """Full cluster manifest: every document with its near-dup cluster id
     (its component's min doc_id; singletons are their own cluster) and the
     cluster size — what a pipeline joins against to keep one doc per
-    cluster. Pairs default to the MinHash+LSH tier."""
+    cluster. Pairs default to the MinHash+LSH tier.
+
+    algorithm="propagation" (default): min-label loop, broadcast-gated —
+    fastest when the pair graph is measured small. algorithm="star": the
+    alternating-star unbounded-graph form; identical output."""
     if pairs is None:
         pairs = minhash_lsh_dedup(documents)
-    comp = connected_components(pairs)
+    if algorithm == "star":
+        comp = connected_components_star(pairs)
+    elif algorithm == "propagation":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     all_docs = documents.select(F.col("doc_id").alias("id"))
     labeled = (
         all_docs.join(comp, "id", "left")

@@ -565,6 +565,58 @@ def test_connected_components_broadcast_gated_by_edge_count(spark):
     )
 
 
+def test_connected_components_star_transitive_closure(spark):
+    """The alternating large-star/small-star form must produce the same
+    closure on the chain/pair fixture — including the multi-round 4-5-6-7
+    chain that needs real path shortcutting."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 7), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    comp = {r.id: r.cluster_id for r in dedup.connected_components_star(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == comp[6] == comp[7] == 4
+    assert comp[10] == comp[11] == 10
+
+
+def test_connected_components_star_equals_propagation(spark, tables):
+    """Both CC forms must agree vertex-for-vertex on (a) the real MinHash
+    pair graph and (b) a deterministic pseudo-random graph with long paths,
+    duplicate edges, reversed edges, and isolated pairs — the shapes that
+    break naive star implementations (orientation bugs show up as split or
+    merged components)."""
+    docs = tables["documents"]
+    mh = dedup.minhash_lsh_dedup(docs).select("doc_a", "doc_b").localCheckpoint()
+    a = {r.id: r.cluster_id for r in dedup.connected_components(mh).collect()}
+    b = {r.id: r.cluster_id for r in dedup.connected_components_star(mh).collect()}
+    assert a == b and a  # non-trivial graph, identical labeling
+    # adversarial synthetic: edges (i, (i*7) % 101 + 200) plus a long chain
+    rand_edges = [(i, (i * 7) % 101 + 200) for i in range(60)]
+    chain = [(1000 + i, 1000 + i + 1) for i in range(30)]
+    dupes = [(x[1], x[0]) for x in rand_edges[:20]]  # reversed duplicates
+    g = spark.createDataFrame(
+        rand_edges + chain + dupes, "doc_a bigint, doc_b bigint"
+    )
+    a = {r.id: r.cluster_id for r in dedup.connected_components(g).collect()}
+    b = {r.id: r.cluster_id for r in dedup.connected_components_star(g).collect()}
+    assert a == b
+    # the 31-vertex chain collapsed to its minimum in both
+    assert a[1030] == 1000
+
+
+def test_connected_components_star_plan_has_no_broadcast(spark):
+    """The star form is the unbounded-graph path: a single half-round's
+    plan must contain NO broadcast exchange — its only shuffle is the
+    groupBy on the vertex key."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "u bigint, v bigint"
+    ).localCheckpoint(eager=True)
+    plan = dedup._large_star(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+    plan = dedup._small_star(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_dedup_clusters_manifest_covers_all_docs(tables):
     docs = tables["documents"]
     out = dedup.dedup_clusters(docs).toPandas()

@@ -330,6 +330,26 @@ def q_text_fingerprint(spark, sf):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def q_text_redact_pii(spark, sf):
+    """PII scrub audit: deterministic PII seeded into the synthetic corpus
+    (seed_pii — every 3rd doc an email, 5th a phone, 7th an ip+ssn), then
+    redacted to <CLASS> tokens with per-class counts. Single codegen'd
+    projection, zero shuffles — scan-speed at 100 TB."""
+    return text.redact_pii(text.seed_pii(_t(spark, sf, "documents")))
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination: shingle-overlap of every training doc
+    against the 'eval set' (docs with doc_id % 37 == 0 standing in for a
+    held-out benchmark). dedup.contamination_check — distinct-shingle
+    semi-structure, AQE-broadcastable benchmark side."""
+    docs = _t(spark, sf, "documents")
+    return dedup.contamination_check(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+    )
+
+
 def q_a19_udtf_lateral(spark, sf):
     """A19/D — keyword counts through the registered Python UDTF + LATERAL
     (the reference's exact query shape, KeywordStatsApp.java:55-75); the
@@ -643,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
         # -- round-3 additions slot in here (inside the verified window)
         "dedup_clusters_star": q_dedup_clusters_star,
+        "text_redact_pii": q_text_redact_pii,
+        "contamination": q_contamination,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1150,6 +1172,58 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _clusters_sql(),
         "dedup_clusters_star": _clusters_sql(),
+        "text_redact_pii": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' ip 10.0.0.1 ssn 123-45-6789' ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+                      + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+                      + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_pii,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g') AS redacted
+            FROM seeded""",
+        "contamination": """
+            WITH tsh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(x)-1),
+                            i -> x[i] || ' ' || x[i+1] || ' ' || x[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS x
+                    FROM documents WHERE doc_id % 37 <> 0)
+              WHERE len(x) >= 3),
+            bsh AS (
+              SELECT DISTINCT
+                     unnest(list_transform(range(1, len(x)-1),
+                            i -> x[i] || ' ' || x[i+1] || ' ' || x[i+2])) AS sh
+              FROM (SELECT string_split(text, ' ') AS x
+                    FROM documents WHERE doc_id % 37 = 0)
+              WHERE len(x) >= 3)
+            SELECT t.doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS BIGINT)
+                     AS n_contaminated,
+                   round(CAST(COALESCE(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+                         / COUNT(*), 4) AS contamination_pct
+            FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
+            GROUP BY 1""",
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},

@@ -380,6 +380,50 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
     )
 
 
+def contamination_check(
+    documents: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its word
+    n-gram shingles appear ANYWHERE in the benchmark/eval corpus — the
+    standard pre-training hygiene pass (an eval example leaking into
+    training data inflates reported scores; docs over a contamination
+    threshold get dropped or scrubbed).
+
+    Plan shape for 100 TB training vs ~MB-scale eval sets: the benchmark
+    side collapses to its DISTINCT shingle set first (tiny — eval sets are
+    thousands of rows), then one shuffle keyed by shingle marks hits and
+    one groupBy(doc_id) aggregates. The benchmark side is left un-hinted:
+    AQE broadcasts it when its measured size allows (the normal case,
+    making the mark step map-side), and degrades to a shuffle join if
+    someone passes a benchmark the size of the corpus.
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination_pct).
+    """
+    from flinkproject_spark.operators.text import with_tokens
+
+    doc_sh = _shingle_rows(with_tokens(documents), n).distinct()
+    bench_sh = (
+        _shingle_rows(with_tokens(benchmark), n).select("sh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    marked = doc_sh.join(bench_sh, "sh", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 4
+            ).alias("contamination_pct"),
+        )
+    )
+
+
 def dedup_survivors(documents: DataFrame) -> DataFrame:
     """Apply exact dedup: keep only each content group's canonical doc —
     the LEFT ANTI join that turns dedup *detection* into an actual

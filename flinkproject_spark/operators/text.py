@@ -338,6 +338,71 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (north-star: training corpora must be scrubbed before use)
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) evaluate
+# identically: explicit char classes, bounded quantifiers, \b anchors — no
+# lookarounds/backrefs (RE2 has neither). Order is load-bearing: EMAIL first
+# (addresses contain dots and digits the later patterns would chew on).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("PHONE", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("IPV4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def seed_pii(documents: DataFrame) -> DataFrame:
+    """Deterministically inject synthetic PII so redaction is exercised for
+    real on the PII-free synthetic corpus (and exactly reproducible in the
+    oracle): every 3rd doc gains an email, every 5th a phone, every 7th an
+    ip + ssn. Test/bench bridge only — production feeds raw text."""
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(t, F.lit(" call 555-123-4567"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" ip 10.0.0.1 ssn 123-45-6789")),
+    ).otherwise(t)
+    return documents.withColumn("text", t)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub PII spans to <CLASS> placeholder tokens, reporting per-doc
+    match counts per class — the audit trail a compliance pass needs.
+
+    All-JVM row path: a chain of regexp_count + regexp_replace inside one
+    projection (single codegen stage, zero shuffles, zero Python) — at
+    100 TB this runs at scan speed and the only cost is the regex engine.
+    Per-class counts are taken on the ORIGINAL text (the classes are
+    mutually non-overlapping by construction: 3-2-4 vs 3-3-4 digit groups,
+    4-octet anchor for IPv4); replacement chains in PII_PATTERNS order,
+    EMAIL first, so no later pattern sees a partially-replaced span.
+    """
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{name.lower()}")
+        for name, pat in PII_PATTERNS
+    ]
+    red = F.col("text")
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    return documents.select(
+        "doc_id",
+        *counts,
+        sum(
+            (F.regexp_count("text", F.lit(p)).cast("bigint") for _, p in PII_PATTERNS),
+            F.lit(0).cast("bigint"),
+        ).alias("n_pii"),
+        red.alias("redacted"),
+    )
+
+
 def corpus_cube(documents: DataFrame) -> DataFrame:
     """Corpus audit over ALL (lang x source) slices at once: CUBE grouping
     emits per-pair, per-lang, per-source, and grand-total rows in ONE

@@ -628,6 +628,67 @@ def test_dedup_clusters_manifest_covers_all_docs(tables):
             == out.groupby("cluster_id")["cluster_size"].first()).all()
 
 
+# --- PII redaction ------------------------------------------------------------
+
+def test_redact_pii_scrubs_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@sub.example.org today"),
+            (2, "call 555-123-4567 or 555.987.6543 now"),
+            (3, "ssn 123-45-6789 host 192.168.0.1"),
+            (4, "perfectly clean text with numbers 12345"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted
+    assert "john" not in out[1].redacted
+    assert out[2].n_phone == 2 and out[2].redacted.count("<PHONE>") == 2
+    assert out[3].n_ssn == 1 and out[3].n_ipv4 == 1
+    assert "<SSN>" in out[3].redacted and "<IPV4>" in out[3].redacted
+    assert "123-45-6789" not in out[3].redacted
+    assert out[4].n_pii == 0 and out[4].redacted == "perfectly clean text with numbers 12345"
+    assert all(r.n_pii == r.n_email + r.n_ssn + r.n_phone + r.n_ipv4 for r in out.values())
+
+
+def test_seed_pii_deterministic_and_redactable(tables):
+    """End-to-end on the corpus: every seeded doc's injected PII must be
+    fully scrubbed (no seeded literal survives redaction)."""
+    seeded = text.seed_pii(tables["documents"])
+    out = text.redact_pii(seeded)
+    assert out.filter(
+        F.col("redacted").contains("@example.com")
+        | F.col("redacted").contains("555-123-4567")
+        | F.col("redacted").contains("123-45-6789")
+        | F.col("redacted").contains("10.0.0.1")
+    ).count() == 0
+    # doc_id 105 hits all three seeding rules (3*5*7)
+    r = out.filter(F.col("doc_id") == 105).first()
+    if r is not None:
+        assert r.n_email >= 1 and r.n_phone >= 1 and r.n_ssn >= 1 and r.n_ipv4 >= 1
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+def test_contamination_check_bounds_and_exact_dup(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # exact copy of bench doc
+            (2, "zeta eta theta iota kappa"),        # zero overlap
+            (3, "alpha beta gamma nothing else here"),  # partial overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dedup.contamination_check(train, bench).collect()}
+    assert out[1].contamination_pct == 1.0   # verbatim eval leak
+    assert out[2].n_contaminated == 0 and out[2].contamination_pct == 0.0
+    assert 0 < out[3].n_contaminated < out[3].n_shingles
+    assert all(r.n_contaminated <= r.n_shingles for r in out.values())
+
+
 # --- MinHash production hash tier --------------------------------------------
 
 def test_minhash_xxhash_tier_sound_and_high_sim_complete(tables):

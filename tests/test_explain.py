@@ -148,3 +148,20 @@ def test_whole_stage_codegen_on_scan_paths(plans):
     (no interpreted expression islands on the hot path)."""
     for name in ("a1_project_orders", "a2_filter_events", "text_quality"):
         assert "codegen id" in plans[name], f"{name} fell off codegen"
+
+
+def test_redact_pii_is_shuffle_free_codegen(plans):
+    """PII redaction must run at scan speed: one codegen'd projection,
+    zero exchanges — a shuffle or a Python eval node here would turn a
+    100 TB scrub pass into a cluster-wide repartition."""
+    p = plans["text_redact_pii"]
+    assert "Exchange" not in p
+    assert "codegen id" in p
+    assert "Python" not in p  # no BatchEvalPython/ArrowEvalPython islands
+
+
+def test_contamination_benchmark_side_broadcasts(plans):
+    """The eval-set shingle side is tiny by construction; the hit-marking
+    join must be map-side (AQE broadcast), not a full shuffle of the
+    training corpus' shingles against it."""
+    assert "BroadcastHashJoin" in plans["contamination"]

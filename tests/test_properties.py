@@ -160,3 +160,44 @@ def test_cosine_kernel_self_similarity(spark, vec):
     )
     (cos,) = pair.select(F.round(cosine_expr("emb_a", "emb_b", "norm_a", "norm_b"), 6).alias("c")).first()
     assert abs(cos - 1.0) < 1e-5
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=4),
+    st.lists(st.tuples(st.integers(0, 999), st.integers(0, 999), st.integers(0, 9999)),
+             min_size=0, max_size=4),
+    st.lists(st.tuples(st.integers(0, 999), st.integers(0, 99), st.integers(0, 9999)),
+             min_size=0, max_size=3),
+    st.lists(st.tuples(*[st.integers(0, 255)] * 4), min_size=0, max_size=3),
+    st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=10),
+)
+def test_redact_pii_counts_exact_and_scrub_complete(spark, em, ph, ssn, ip, words):
+    """Property: with space-separated tokens, per-class counts equal the
+    number of injected instances, and NO pattern matches survive in the
+    redacted text (the placeholder tokens cannot re-trigger any pattern)."""
+    from flinkproject_spark.operators import text as T
+
+    pii = (
+        [f"u{n}@example.com" for n in em]
+        + [f"{a:03d}-{b:03d}-{c:04d}" for a, b, c in ph]
+        + [f"{a:03d}-{b:02d}-{c:04d}" for a, b, c in ssn]
+        + [".".join(str(o) for o in q) for q in ip]
+    )
+    # deterministic interleave of filler and PII tokens
+    toks = []
+    for i in range(max(len(pii), len(words))):
+        if i < len(words):
+            toks.append(words[i])
+        if i < len(pii):
+            toks.append(pii[i])
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+    r = T.redact_pii(df).first()
+    assert r.n_email == len(em)
+    assert r.n_phone == len(ph)
+    assert r.n_ssn == len(ssn)
+    assert r.n_ipv4 == len(ip)
+    assert r.n_pii == len(pii)
+    residual = spark.createDataFrame([(1, r.redacted)], "doc_id bigint, text string")
+    r2 = T.redact_pii(residual).first()
+    assert r2.n_pii == 0 and r2.redacted == r.redacted  # idempotent on scrubbed text

@@ -383,6 +383,27 @@ def test_sql_over_stream_matches_batch_sql(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_redact_pii_streams_stateless(spark, sf_dir, tmp_path):
+    """PII scrubbing on a live ingest stream: redact_pii is a stateless
+    projection, so the SAME operator (not a twin) runs on the streaming
+    frame — zero state, no watermark needed — and must emit exactly the
+    batch result. This is the shape of a production scrub-on-ingest hop."""
+    from flinkproject_spark.operators import text as text_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = replay.run_to_table(text_ops.redact_pii(text_ops.seed_pii(stream)))
+    want = text_ops.redact_pii(text_ops.seed_pii(docs))
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
 # --- checkpoint recovery: stop mid-replay, restart, exactly-once output ----
 
 def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path):

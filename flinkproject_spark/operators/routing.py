@@ -186,6 +186,54 @@ def upsert_parquet(df: DataFrame, path: str, pk: str, n_buckets: int = UPSERT_BU
 
 
 # ---------------------------------------------------------------------------
+# config auto-DDL (B7 breadth — TableProcessFunction.checkTable:66-122)
+# ---------------------------------------------------------------------------
+def ensure_sink_tables(
+    spark: SparkSession,
+    rules: tuple[RouteRule, ...] = DEFAULT_RULES,
+    database: str = "dim",
+    location_root: str | None = None,
+) -> list[str]:
+    """Eagerly CREATE TABLE IF NOT EXISTS for every dim ("hbase") route in
+    the config — the analog of the reference's checkTable
+    (app/function/TableProcessFunction.java:66-122), which builds
+    `create table if not exists SCHEMA.t(c1 varchar, pk varchar primary
+    key, ...) extend` the moment a config row arrives, so sinks never race
+    table existence.
+
+    Faithful semantics, Spark catalog instead of Phoenix JDBC: every
+    column is STRING (the reference types everything varchar — CDC `after`
+    maps are string->string here too, so this is the honest type), the pk
+    (default 'id', TableProcessFunction.java:70-72) is recorded as a table
+    property because parquet tables enforce no key — pk semantics live in
+    the upsert sink (`upsert_parquet`). Fact ("kafka") routes have no
+    table to create, matching the reference's sinkType filter
+    (TableProcessFunction.java:47-53).
+
+    Returns the list of qualified table names ensured, in config order.
+    Safe to call per micro-batch: CREATE IF NOT EXISTS is idempotent and
+    pure catalog metadata — no data files are touched.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    ensured = []
+    for r in rules:
+        if r.sink_type != "hbase":
+            continue
+        pk = r.sink_pk or "id"
+        cols = ", ".join(f"`{c}` STRING" for c in r.sink_columns)
+        qualified = f"{database}.{r.sink_table}"
+        loc = (
+            f" LOCATION '{location_root}/{r.sink_table}'" if location_root else ""
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {qualified} ({cols}) USING PARQUET"
+            f"{loc} TBLPROPERTIES ('primary_key' = '{pk}')"
+        )
+        ensured.append(qualified)
+    return ensured
+
+
+# ---------------------------------------------------------------------------
 # SCD2 dimension versioning (beyond the reference's SCD1 upsert)
 # ---------------------------------------------------------------------------
 def scd2_history(

@@ -900,6 +900,36 @@ def test_bounce_strict_diverges_outside_precondition(spark):
     assert strict == {1, 2} and simple == {2}
 
 
+# --- B7 config auto-DDL -------------------------------------------------------
+
+def test_ensure_sink_tables_creates_dims_from_config(spark, tmp_path):
+    """checkTable parity (TableProcessFunction.java:66-122): every dim
+    route gets an eager CREATE TABLE IF NOT EXISTS with all-varchar
+    columns and the pk recorded; fact (kafka) routes are skipped;
+    re-ensuring is idempotent; the created table accepts writes."""
+    db = "dim_ddl_test"
+    ensured = routing.ensure_sink_tables(
+        spark, database=db, location_root=str(tmp_path)
+    )
+    assert ensured == [f"{db}.dim_user_info"]  # only the hbase route
+    cols = {f.name: f.dataType.simpleString() for f in spark.table(ensured[0]).schema}
+    assert cols == {"c_custkey": "string", "c_name": "string", "c_mktsegment": "string"}
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {ensured[0]}").collect()
+    }
+    assert props.get("primary_key") == "c_custkey"
+    assert routing.ensure_sink_tables(
+        spark, database=db, location_root=str(tmp_path)
+    ) == ensured  # idempotent
+    spark.createDataFrame(
+        [("1", "alice", "SEG")], "c_custkey string, c_name string, c_mktsegment string"
+    ).write.insertInto(ensured[0])
+    assert spark.table(ensured[0]).count() == 1
+    spark.sql(f"DROP TABLE {ensured[0]}")
+    spark.sql(f"DROP DATABASE {db}")
+
+
 # --- B6 dim upsert sink ------------------------------------------------------
 
 def test_upsert_parquet_rewrites_only_touched_buckets(spark, tables, tmp_path):

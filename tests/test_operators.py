@@ -1152,3 +1152,39 @@ def test_ivf_nprobe_recall_at_least_single_cell(tables):
     r1 = similarity.recall_at_k(one, exact).agg(F.avg("recall")).first()[0]
     r2 = similarity.recall_at_k(two, exact).agg(F.avg("recall")).first()[0]
     assert r2 >= r1  # more probes never hurt recall
+
+
+def test_ivf_nprobe_all_cells_recovers_brute_force(tables):
+    """The recall FLOOR regression guard: probing every cell makes the
+    candidate set the whole collection, so IVF must reproduce brute force
+    EXACTLY (per-query recall == 1.0, not approximately). A bug in cell
+    ranking, candidate expansion, or the partial-top-k prune shows up here
+    as a hard failure — no tolerance to hide behind. (A fixed mid-range
+    floor is meaningless on this synthetic collection: the embeddings are
+    near-random, so cell geometry carries little neighbor signal — recall
+    at small nprobe is data-limited, not implementation-limited.)"""
+    emb = tables["embeddings"]
+    n_cells = emb.select("label").distinct().count()
+    exact = similarity.cosine_topk_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
+    full = similarity.cosine_topk_ivf_nprobe(emb, [0, 1, 2, 3, 4], k=10, nprobe=n_cells)
+    rec = {r.query_id: r.recall for r in similarity.recall_at_k(full, exact).collect()}
+    assert rec and all(v == 1.0 for v in rec.values())
+
+
+def test_ivf_trained_cells_beat_single_arbitrary_cell(tables):
+    """Cell quality knob: re-labeling the collection with cluster_assign's
+    geometric cells (one Lloyd half-step) plus multi-probe must not lose
+    to the degenerate single-arbitrary-cell probe — the trained-quantizer
+    path is wired end-to-end (assign -> relabel -> nprobe search)."""
+    emb = tables["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    assigned = similarity.cluster_assign(emb)
+    relab = emb.drop("label").join(
+        assigned.select("vec_id", F.col("assigned_label").alias("label")), "vec_id"
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, qids)
+    trained = similarity.cosine_topk_ivf_nprobe(relab, qids, nprobe=3)
+    single = similarity.cosine_topk_ivf(emb, qids)
+    rt = similarity.recall_at_k(trained, exact).agg(F.avg("recall")).first()[0]
+    rs = similarity.recall_at_k(single, exact).agg(F.avg("recall")).first()[0]
+    assert rt >= rs

@@ -401,12 +401,21 @@ def contamination_check(
     """
     from flinkproject_spark.operators.text import with_tokens
 
+    bench_sh = _shingle_rows(with_tokens(benchmark), n).select("sh").distinct()
+    return score_against_shingles(documents, bench_sh, n)
+
+
+def score_against_shingles(documents: DataFrame, bench_sh: DataFrame, n: int = 3) -> DataFrame:
+    """contamination_check's scoring core against an ALREADY-shingled
+    benchmark (`sh` column) — the form the streaming decontamination sink
+    reuses per micro-batch against a persisted shingle set (shingle the
+    eval corpus once, not once per trigger)."""
+    from flinkproject_spark.operators.text import with_tokens
+
     doc_sh = _shingle_rows(with_tokens(documents), n).distinct()
-    bench_sh = (
-        _shingle_rows(with_tokens(benchmark), n).select("sh").distinct()
-        .withColumn("hit", F.lit(1))
+    marked = doc_sh.join(
+        bench_sh.select("sh").distinct().withColumn("hit", F.lit(1)), "sh", "left"
     )
-    marked = doc_sh.join(bench_sh, "sh", "left")
     return (
         marked.groupBy("doc_id")
         .agg(

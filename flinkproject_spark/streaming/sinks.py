@@ -183,6 +183,44 @@ def incremental_dedup_writer(
     return fn
 
 
+def decontaminating_writer(
+    corpus_path: str, bench_shingles_path: str, max_contamination: float = 0.2, n: int = 3
+) -> Callable[[DataFrame, int], None]:
+    """Scrub-on-ingest decontamination: each micro-batch of documents is
+    scored against the PERSISTED benchmark shingle set
+    (operators.dedup.contamination_check semantics, O(batch) per trigger),
+    docs at or under `max_contamination` append to the corpus, the rest to
+    a `<corpus>_quarantine` side channel with their scores — nothing is
+    silently dropped, matching the dirty-side-output discipline of the log
+    split (BaseLogApp.java:62-66).
+
+    The benchmark shingle set is written once (tiny — eval corpora are
+    thousands of rows); per batch it joins against only the batch's
+    shingles, so AQE broadcasts it and the hop stays map-side. Docs too
+    short to shingle (< n tokens) have zero shingles, score 0.0, and are
+    admitted — pinned by test.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.dedup import score_against_shingles
+
+        spark = batch.sparkSession
+        bench_sh = spark.read.parquet(bench_shingles_path)
+        scores = score_against_shingles(batch, bench_sh, n)
+        scored = batch.join(scores, "doc_id", "left").fillna(
+            {"n_shingles": 0, "n_contaminated": 0, "contamination_pct": 0.0}
+        )
+        scored = scored.localCheckpoint(eager=True)  # score once, write twice
+        clean = scored.filter(F.col("contamination_pct") <= max_contamination)
+        dirty = scored.filter(F.col("contamination_pct") > max_contamination)
+        clean.drop("n_shingles", "n_contaminated", "contamination_pct").write.mode(
+            "append"
+        ).parquet(corpus_path)
+        dirty.write.mode("append").parquet(f"{corpus_path}_quarantine")
+
+    return fn
+
+
 def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:
     """B11 — the `.print()` debug sink (BaseLogApp.java:132-134)."""
     return df.writeStream.format("console").option("numRows", rows).start()

@@ -548,6 +548,54 @@ def test_observed_metrics_surface_in_query_progress(spark, events, staged, tmp_p
 
 # --- steady-state incremental dedup ingestion --------------------------------
 
+def test_decontaminating_sink_matches_batch_scores(spark, sf_dir, tmp_path):
+    """Documents streamed through the decontaminating sink against a
+    persisted benchmark shingle set: corpus + quarantine must partition
+    the input exactly as the batch contamination_check would (same
+    threshold, same per-doc scores), with nothing silently dropped."""
+    from flinkproject_spark.operators import dedup as dedup_ops
+    from flinkproject_spark.operators.text import with_tokens
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bench_sh_path = str(tmp_path / "bench_sh")
+    dedup_ops._shingle_rows(with_tokens(bench), 3).select("sh").distinct().write.parquet(
+        bench_sh_path
+    )
+    src = str(tmp_path / "src")
+    train.coalesce(2).write.parquet(src)
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.decontaminating_writer(corpus, bench_sh_path, max_contamination=0.2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    want = {
+        r.doc_id: r.contamination_pct
+        for r in dedup_ops.contamination_check(train, bench).collect()
+    }
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    quarantined = {
+        r.doc_id: r.contamination_pct
+        for r in spark.read.parquet(f"{corpus}_quarantine").collect()
+    }
+    assert admitted == {d for d, p in want.items() if p <= 0.2}
+    assert set(quarantined) == {d for d, p in want.items() if p > 0.2}
+    assert quarantined == {d: p for d, p in want.items() if p > 0.2}  # scores carried
+    assert admitted | set(quarantined) == {r.doc_id for r in train.select("doc_id").collect()}
+
+
 def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):
     """Documents streamed in doc_id order through the incremental-dedup
     sink: the admitted corpus must equal the batch exact-dedup keeper set

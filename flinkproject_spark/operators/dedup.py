@@ -760,14 +760,12 @@ def dedup_clusters(
     algorithm="propagation" (default): min-label loop, broadcast-gated —
     fastest when the pair graph is measured small. algorithm="star": the
     alternating-star unbounded-graph form; identical output."""
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if pairs is None:
         pairs = minhash_lsh_dedup(documents)
-    if algorithm == "star":
-        comp = connected_components_star(pairs)
-    elif algorithm == "propagation":
-        comp = connected_components(pairs)
-    else:
-        raise ValueError(f"unknown algorithm {algorithm!r}")
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs)
     all_docs = documents.select(F.col("doc_id").alias("id"))
     labeled = (
         all_docs.join(comp, "id", "left")

@@ -617,6 +617,20 @@ def test_connected_components_star_plan_has_no_broadcast(spark):
     assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_connected_components_raises_instead_of_wrong_answer(spark):
+    """Exhausting max_iter must raise, never return a partially-propagated
+    labeling (the silent-wrong-answer mode the star-equality test caught)."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a bigint, doc_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
+    with _pytest.raises(ValueError):
+        dedup.dedup_clusters(chain, algorithm="unionfind")
+
+
 def test_dedup_clusters_manifest_covers_all_docs(tables):
     docs = tables["documents"]
     out = dedup.dedup_clusters(docs).toPandas()

@@ -201,3 +201,25 @@ def test_redact_pii_counts_exact_and_scrub_complete(spark, em, ph, ssn, ip, word
     residual = spark.createDataFrame([(1, r.redacted)], "doc_id bigint, text string")
     r2 = T.redact_pii(residual).first()
     assert r2.n_pii == 0 and r2.redacted == r.redacted  # idempotent on scrubbed text
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=60,
+    )
+)
+def test_connected_components_star_equals_propagation_random_graphs(spark, edges):
+    """Property: on arbitrary random graphs (self-loops, duplicates,
+    reversed edges, multi-component), the alternating-star form and the
+    pointer-jumping propagation form produce identical labelings."""
+    from flinkproject_spark.operators import dedup
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    g = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    a = {r.id: r.cluster_id for r in dedup.connected_components(g).collect()}
+    b = {r.id: r.cluster_id for r in dedup.connected_components_star(g).collect()}
+    assert a == b

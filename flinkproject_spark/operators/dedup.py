@@ -397,6 +397,14 @@ def contamination_check(
     making the mark step map-side), and degrades to a shuffle join if
     someone passes a benchmark the size of the corpus.
 
+    Shuffle-payload valve at extreme scale: the per-doc distinct() ships
+    shingle STRINGS (~tens of bytes each); when the benchmark side does
+    not broadcast and the join itself must shuffle, mapping `sh` through
+    xxhash64 on both sides first cuts shuffle bytes ~4x at a negligible
+    collision risk for counting — kept off here because the cross-engine
+    oracle would then need the md5 hash kernel on every shingle, which
+    costs more than it saves at oracle scale.
+
     Returns (doc_id, n_shingles, n_contaminated, contamination_pct).
     """
     from flinkproject_spark.operators.text import with_tokens

@@ -16,6 +16,23 @@ def tables(spark, sf_dir):
     return catalog.load_tables(spark, sf_dir)
 
 
+# --- catalog physical normalization ----------------------------------------
+
+def test_catalog_normalizes_timestamps_to_session_tz(spark, sf_dir, tables):
+    """Driver testdata regenerations have shipped events.ts as
+    TIMESTAMP(NANOS) (read as long) and as MICROS isAdjustedToUTC=false
+    (read as TIMESTAMP_NTZ in Spark 4). Whatever the physical, the loader
+    must hand every downstream operator a session-tz TIMESTAMP — NTZ
+    silently breaks epoch kernels (unix_millis rejects it) and window()
+    semantics would drift from the UTC convention the oracles pin."""
+    for t in ("events", "orders", "lineitem"):
+        for f in tables[t].schema.fields:
+            assert f.dataType.typeName() != "timestamp_ntz", f"{t}.{f.name} left NTZ"
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+    # the epoch kernel that caught the NTZ regression must work post-load
+    assert tables["events"].select(F.unix_millis("ts")).first()[0] > 0
+
+
 # --- sources.logs ----------------------------------------------------------
 
 def test_log_parse_clean_and_dirty_split(tables):

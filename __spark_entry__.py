@@ -602,6 +602,13 @@ def q_corpus_split(spark, sf):
     return out.select("doc_id", "lang", "source", "split")
 
 
+def q_corpus_shuffle(spark, sf):
+    """Seeded deterministic training-order permutation: shard =
+    hash(seed:doc_id) mod 64, in-shard hash-order positions, global_pos
+    via per-shard offsets — no global sort anywhere (sampling.shuffled_order)."""
+    return sampling.shuffled_order(_t(spark, sf, "documents"), seed="epoch0")
+
+
 def q_corpus_pack(spark, sf):
     """Distributed greedy sequence packing into 512-token bins across 8
     independent lanes."""
@@ -665,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "text_redact_pii": q_text_redact_pii,
         "contamination": q_contamination,
+        "corpus_shuffle": q_corpus_shuffle,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1620,6 +1628,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n - start, 40) AS BIGINT) AS chunk_len
             FROM s""",
         "corpus_split": _corpus_split_sql(),
+        "corpus_shuffle": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     {H64.format(x="'epoch0:' || doc_id")} AS k
+              FROM documents),
+            s AS (SELECT doc_id, k, k % 64 AS shard FROM k),
+            pos AS (
+              SELECT doc_id, shard,
+                     CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+              FROM s),
+            off AS (
+              SELECT shard,
+                     CAST(COALESCE(SUM(c) OVER (ORDER BY shard
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM (SELECT shard, COUNT(*) AS c FROM s GROUP BY 1))
+            SELECT p.doc_id, p.shard, p.pos, p.pos + o.off AS global_pos
+            FROM pos p JOIN off o USING (shard)""",
         "corpus_pack": _corpus_pack_sql(),
     }
 

@@ -269,3 +269,42 @@ def pack_sequences(
         "bucket",
         (F.col("bucket") * F.lit(2**32) + local_bin).cast("bigint").alias("bin_id"),
     )
+
+
+def shuffled_order(
+    documents: DataFrame, seed: str = "shuffle", shards: int = 64
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the training-order permutation
+    every pre-training run needs (sequential source order produces
+    correlated batches; a seeded permutation is reproducible across runs,
+    engines, and cluster sizes, unlike `df.orderBy(rand(seed))`, which is
+    partitioning-dependent).
+
+    Scale shape — NO global sort: a doc's shard is hash(seed:doc_id) mod
+    `shards` (one hash partition shuffle), its position is a row_number
+    window WITHIN the shard ordered by (hash, doc_id), and global_pos adds
+    the total size of preceding shards — per-shard counts are `shards`
+    rows of metadata whose running-sum window is trivially small, then
+    broadcast-joined back. The global permutation is (shard asc, in-shard
+    hash order): every shard is internally shuffled and shard files
+    concatenate into the full epoch order, which is exactly how sharded
+    training data is consumed. md5-based hash kernel -> the DuckDB oracle
+    reproduces the permutation bit-identically.
+    """
+    keyed = documents.select(
+        "doc_id",
+        K.hash64(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
+    counts = keyed.groupBy("shard").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0)).cast("bigint")
+    ).select("shard", "off")
+    return pos.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shard",
+        "pos",
+        (F.col("pos") + F.col("off")).alias("global_pos"),
+    )

@@ -642,6 +642,32 @@ def test_dedup_clusters_manifest_covers_all_docs(tables):
             == out.groupby("cluster_id")["cluster_size"].first()).all()
 
 
+# --- seeded corpus shuffle ----------------------------------------------------
+
+def test_shuffled_order_is_permutation_and_seeded(tables):
+    from flinkproject_spark.operators import sampling
+
+    docs = tables["documents"]
+    n = docs.count()
+    a = sampling.shuffled_order(docs, seed="s1").toPandas()
+    # exact permutation: global_pos covers 1..n with no gaps or dups
+    assert sorted(a["global_pos"]) == list(range(1, n + 1))
+    assert a["doc_id"].is_unique
+    # deterministic under recomputation
+    b = sampling.shuffled_order(docs, seed="s1").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+    # a different seed produces a different order (astronomically certain)
+    c = sampling.shuffled_order(docs, seed="s2").toPandas()
+    am = a.set_index("doc_id")["global_pos"]
+    cm = c.set_index("doc_id")["global_pos"]
+    assert (am != cm.reindex(am.index)).any()
+    # shard-local positions are contiguous from 1 within each shard
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+
 # --- PII redaction ------------------------------------------------------------
 
 def test_redact_pii_scrubs_and_counts(spark):

@@ -609,6 +609,16 @@ def q_corpus_shuffle(spark, sf):
     return sampling.shuffled_order(_t(spark, sf, "documents"), seed="epoch0")
 
 
+MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_corpus_mix(spark, sf):
+    """Domain-mix resampling to target token shares (40/30/20/10 over four
+    sources, others dropped): budget = scarcest source's capacity, per-
+    source hash-Bernoulli rates derived in-plan (sampling.domain_mix_sample)."""
+    return sampling.domain_mix_sample(_t(spark, sf, "documents"), MIX_TARGETS)
+
+
 def q_corpus_pack(spark, sf):
     """Distributed greedy sequence packing into 512-token bins across 8
     independent lanes."""
@@ -673,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
+        "corpus_mix": q_corpus_mix,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1628,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n - start, 40) AS BIGINT) AS chunk_len
             FROM s""",
         "corpus_split": _corpus_split_sql(),
+        "corpus_mix": _corpus_mix_sql(),
         "corpus_shuffle": f"""
             WITH k AS (
               SELECT doc_id,
@@ -1718,6 +1730,32 @@ def _corpus_pipeline_sql() -> str:
                  AS cum_tokens
         FROM sampled
         QUALIFY cum_tokens <= 10000"""
+
+
+def _corpus_mix_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    draw = duck_hash64("'mix-v1:' || CAST(doc_id AS VARCHAR)")
+    vals = ", ".join(
+        f"('{s}', CAST({r} AS DOUBLE))" for s, r in sorted(MIX_TARGETS.items())
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, source,
+                 len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens
+          FROM documents),
+        tgt(source, share) AS (VALUES {vals}),
+        per AS (
+          SELECT source, share, CAST(SUM(n_tokens) AS DOUBLE) AS toks
+          FROM d JOIN tgt USING (source) GROUP BY 1, 2),
+        b AS (SELECT MIN(toks / share) AS budget FROM per),
+        rates AS (
+          SELECT source, least(CAST(1.0 AS DOUBLE), (budget * share) / toks) AS rate
+          FROM per, b)
+        SELECT doc_id, lang, source, n_tokens, round(rate, 6) AS rate
+        FROM d JOIN rates USING (source)
+        WHERE ({draw}) % {SAMPLE_MOD} < CAST(floor(rate * {SAMPLE_MOD}) AS BIGINT)"""
 
 
 def _corpus_split_sql() -> str:

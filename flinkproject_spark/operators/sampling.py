@@ -308,3 +308,52 @@ def shuffled_order(
         "pos",
         (F.col("pos") + F.col("off")).alias("global_pos"),
     )
+
+
+def domain_mix_sample(
+    documents: DataFrame, targets: dict[str, float], salt: str = "mix-v1"
+) -> DataFrame:
+    """Resample sources to TARGET token shares — the corpus-mixing step
+    that turns "we want 50% web, 30% code, 20% books" into per-source
+    deterministic sampling rates. No upsampling: the achievable corpus is
+    bounded by the scarcest source, budget B = min over targeted sources
+    of (source_tokens / target_share); source s then keeps ~B*share_s
+    tokens via the same hash-Bernoulli draw as stratified_sample (so
+    decisions are reproducible and survive corpus growth). Sources
+    without a target are dropped (rate 0).
+
+    Scale shape: per-source token totals are |sources| rows (metadata);
+    the derived rate table broadcast-joins back onto the scan and the
+    keep decision is a narrow filter — one aggregate pass + one filter
+    pass, no data-sized shuffle. All rate arithmetic is plain IEEE double
+    with the same expression structure as the DuckDB oracle, so the kept
+    set is bit-identical cross-engine.
+    """
+    spark = documents.sparkSession
+    d = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    tgt = spark.createDataFrame(
+        [(s, float(r)) for s, r in sorted(targets.items())], "source string, share double"
+    )
+    per = (
+        d.join(F.broadcast(tgt), "source")
+        .groupBy("source", "share")
+        .agg(F.sum("n_tokens").cast("double").alias("toks"))
+    )
+    budget = per.agg(F.min(F.col("toks") / F.col("share")).alias("budget"))
+    rates = per.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.col("budget") * F.col("share")) / F.col("toks")
+        ).alias("rate"),
+    )
+    draw = _keep_hash("doc_id", salt)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(draw < F.floor(F.col("rate") * SAMPLE_MOD).cast("bigint"))
+        .select("doc_id", "lang", "source", "n_tokens", F.round("rate", 6).alias("rate"))
+    )

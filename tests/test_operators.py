@@ -668,6 +668,29 @@ def test_shuffled_order_is_permutation_and_seeded(tables):
         assert sorted(g["pos"]) == list(range(1, len(g) + 1))
 
 
+# --- domain-mix resampling ----------------------------------------------------
+
+def test_domain_mix_hits_target_shares(tables):
+    from flinkproject_spark.operators import sampling
+
+    docs = tables["documents"]
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sampling.domain_mix_sample(docs, targets).toPandas()
+    assert set(out["source"]) <= set(targets)  # untargeted sources dropped
+    got = out.groupby("source")["n_tokens"].sum()
+    shares = got / got.sum()
+    # hash-Bernoulli keeps ~rate of tokens; equal-sized synthetic sources
+    # make 0.5/0.3/0.2 achievable, sampling noise bounded at this corpus size
+    for s, want in targets.items():
+        assert abs(shares[s] - want) < 0.08, (s, shares[s], want)
+    # the scarcest source (largest share/size ratio) is kept ~in full
+    rates = out.groupby("source")["rate"].first()
+    assert rates.max() > 0.95
+    # deterministic: same call, same kept set
+    again = sampling.domain_mix_sample(docs, targets).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
 # --- PII redaction ------------------------------------------------------------
 
 def test_redact_pii_scrubs_and_counts(spark):

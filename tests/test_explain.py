@@ -24,8 +24,12 @@ from tests.conftest import SF_DIR
 # set against every row (BroadcastNestedLoopJoin) — it exists as the recall
 # oracle for the IVF path, which is the at-scale variant. The multi-probe IVF
 # cross-joins the tiny query set against the tiny centroid table to rank
-# cells — also an intentional small-x-small BNL.
-BNLJ_ALLOWED = {"sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign"}
+# cells — also an intentional small-x-small BNL. corpus_mix cross-joins the
+# ONE-row budget scalar onto the |sources|-row rate table — metadata x
+# metadata, never data.
+BNLJ_ALLOWED = {
+    "sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign", "corpus_mix",
+}
 
 
 def _plan(spark, name: str) -> str:

@@ -330,6 +330,12 @@ def q_text_fingerprint(spark, sf):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def q_text_gopher(spark, sf):
+    """Gopher-rule quality gate: five named boolean rules + keep verdict
+    per doc, all codegen'd string/array expressions (text.gopher_quality_flags)."""
+    return text.gopher_quality_flags(_t(spark, sf, "documents"))
+
+
 def q_text_redact_pii(spark, sf):
     """PII scrub audit: deterministic PII seeded into the synthetic corpus
     (seed_pii — every 3rd doc an email, 5th a phone, 7th an ip+ssn), then
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,
+        "text_gopher": q_text_gopher,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1640,6 +1647,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "corpus_split": _corpus_split_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "text_gopher": f"""
+            WITH d AS (
+              SELECT doc_id, text, string_split_regex(text, '\\s+') AS x
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(x) AS BIGINT) AS n_tokens,
+                     round(CAST(len(array_to_string(x, '')) AS DOUBLE)
+                           / CAST(len(x) AS DOUBLE), 6) AS mean_word_len,
+                     round((CAST(len(text) AS DOUBLE)
+                            - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
+                           / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
+                     round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                           / CAST(len(x) AS DOUBLE), 6) AS alpha_word_ratio,
+                     CAST(len(list_intersect(list_distinct(x),
+                          ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stopwords
+              FROM d),
+            f AS (
+              SELECT *,
+                     n_tokens BETWEEN 10 AND 100000 AS ok_length,
+                     mean_word_len BETWEEN 2.0 AND 12.0 AS ok_word_len,
+                     symbol_ratio <= 0.1 AS ok_symbols,
+                     alpha_word_ratio >= 0.8 AS ok_alpha,
+                     distinct_stopwords >= 2 AS ok_stopwords
+              FROM m)
+            SELECT *, ok_length AND ok_word_len AND ok_symbols AND ok_alpha
+                      AND ok_stopwords AS keep
+            FROM f""",
         "corpus_shuffle": f"""
             WITH k AS (
               SELECT doc_id,

@@ -115,6 +115,71 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule bundle (Rae et al. 2021 §A1.1 heuristics, the
+    standard pre-training quality gate): each rule is a NAMED boolean
+    column so a pipeline can audit *which* rule rejected a document, plus
+    the conjunction as `keep`. Thresholds are parameters; the defaults
+    are tuned down to this synthetic corpus' short docs.
+
+    Rules: token count in [min,max]; mean word length in range; symbol
+    (non-alphanumeric-char) ratio below cap; share of words containing an
+    alphabetic char above floor; at least K distinct stopwords present.
+    Everything is codegen'd array/string expressions — scan-speed, no
+    Python, no shuffle — and each ratio casts to double explicitly so the
+    DuckDB oracle reproduces identical values.
+    """
+    d = with_tokens(documents)
+    n_tok = F.size("x").cast("double")
+    # sum of word lengths = length of the tokens concatenated — stays in
+    # whole-stage codegen, unlike an F.aggregate lambda (interpreted path)
+    mean_wlen = F.length(F.concat_ws("", "x")).cast("double") / n_tok
+    n_chars = F.length("text").cast("double")
+    n_sym = n_chars - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    ).cast("double")
+    alpha_words = F.size(F.expr("filter(x, w -> w rlike '[A-Za-z]')")).cast("double")
+    stop_ct = F.size(
+        F.array_intersect(F.array_distinct("x"), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    flags = d.select(
+        "doc_id",
+        F.size("x").cast("bigint").alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(n_sym / n_chars, 6).alias("symbol_ratio"),
+        F.round(alpha_words / n_tok, 6).alias("alpha_word_ratio"),
+        stop_ct.cast("bigint").alias("distinct_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (F.col("n_tokens").between(min_tokens, max_tokens)).alias("ok_length"),
+        (F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)).alias(
+            "ok_word_len"
+        ),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("ok_symbols"),
+        (F.col("alpha_word_ratio") >= min_alpha_word_ratio).alias("ok_alpha"),
+        (F.col("distinct_stopwords") >= min_distinct_stopwords).alias("ok_stopwords"),
+    ).select(
+        "*",
+        (
+            F.col("ok_length")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_alpha")
+            & F.col("ok_stopwords")
+        ).alias("keep"),
+    )
+
+
 def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
     """Gopher-style repetition filter features: the share of a document's
     word n-grams taken by its single most frequent n-gram (high = loops,

@@ -691,6 +691,30 @@ def test_domain_mix_hits_target_shares(tables):
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
 
 
+# --- Gopher quality rules -----------------------------------------------------
+
+def test_gopher_flags_name_the_failing_rule(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and a dog ran off to the lake today fine"),
+            (2, "too short"),
+            (3, "the !!! ### $$$ %%% and of to a " + "x " * 20),
+            (4, " ".join("12345" for _ in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.gopher_quality_flags(docs).collect()}
+    assert out[1].keep  # clean doc passes every rule
+    assert not out[2].keep and not out[2].ok_length  # short doc: length rule
+    assert not out[3].keep and not out[3].ok_symbols  # symbol-heavy
+    assert not out[4].keep and not out[4].ok_alpha and not out[4].ok_stopwords
+    # keep is exactly the conjunction of the named rules
+    for r in out.values():
+        assert r.keep == (
+            r.ok_length and r.ok_word_len and r.ok_symbols and r.ok_alpha and r.ok_stopwords
+        )
+
+
 # --- PII redaction ------------------------------------------------------------
 
 def test_redact_pii_scrubs_and_counts(spark):

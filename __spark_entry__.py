@@ -267,6 +267,14 @@ def q_dedup_clusters_star(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"), algorithm="star")
 
 
+def q_dedup_srp(spark, sf):
+    """Embedding near-dup via signed-random-projection LSH: int64-exact
+    quantized hyperplane signatures (bit-identical to the oracle's SQL
+    regeneration of the same md5-derived projection), banded buckets,
+    exact cosine verification (dedup.srp_lsh_near_dups)."""
+    return dedup.srp_lsh_near_dups(_t(spark, sf, "embeddings"))
+
+
 def q_dedup_simhash(spark, sf):
     out = dedup.simhash_near_dups(_t(spark, sf, "documents"))
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
@@ -691,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,
         "text_gopher": q_text_gopher,
+        "dedup_srp": q_dedup_srp,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1251,6 +1260,38 @@ def oracle_sql() -> dict[str, str]:
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
         "dedup_simhash": _simhash_sql(),
+        "dedup_srp": f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            proj AS (
+              SELECT d.i AS dim, b.j AS bit,
+                     (('0x' || substr(md5('srp:' || d.i || ':' || b.j), 1, 15))::BIGINT
+                      % 2001) - 1000 AS p
+              FROM range(0, 64) d(i), range(0, 16) b(j)),
+            dots AS (
+              SELECT q.vec_id, pr.bit, SUM(q.qv[pr.dim + 1] * pr.p) AS s
+              FROM q, proj pr GROUP BY 1, 2),
+            bucks AS (
+              SELECT vec_id, bit // 4 AS band,
+                     SUM(CASE WHEN s >= 0 THEN 1 << (bit % 4) ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bucks a JOIN bucks b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
+                         / (({_NORM.format(a='ea.embedding')})
+                            * ({_NORM.format(a='eb.embedding')})), 6) AS cosine
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.vec_a
+            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+            WHERE round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
+                        / (({_NORM.format(a='ea.embedding')})
+                           * ({_NORM.format(a='eb.embedding')})), 6) >= 0.35""",
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},
             blocked AS (

@@ -380,6 +380,126 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
     )
 
 
+SRP_SCALE = 1000  # embedding quantization: round(v*1000) -> int64
+SRP_MOD = 2001  # projection entries in [-1000, 1000]
+
+
+def _srp_projection(dim: int, bits: int):
+    """Deterministic signed-random-projection matrix: entry (d, b) =
+    hash64('srp:d:b') % 2001 - 1000 — the same md5-derived constant the
+    DuckDB oracle regenerates in SQL, so signatures match bit-for-bit.
+    Integer-valued so the quantized dot product is EXACT integer math
+    (no float summation-order divergence between numpy and SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    P = np.empty((dim, bits), dtype=np.int64)
+    for d in range(dim):
+        for b in range(bits):
+            h = int(hashlib.md5(f"srp:{d}:{b}".encode()).hexdigest()[:15], 16)
+            P[d, b] = h % SRP_MOD - 1000
+    return P
+
+
+def srp_signatures(embeddings: DataFrame, bits: int = 16, bands: int = 4) -> DataFrame:
+    """SRP-LSH signatures for cosine similarity (Charikar 2002): bit b is
+    the sign of the vector's dot product with pseudo-random hyperplane b,
+    banded SimHash-style into `bands` buckets of bits//bands bits.
+
+    Exactness contract: embeddings are quantized to int64 (round(v*1000),
+    half-away-from-zero to match SQL round()) and the projection is
+    integer-valued, so X @ P is exact integer arithmetic — bit-identical
+    across numpy, any executor count, and the DuckDB oracle.
+
+    Plan: one mapInPandas over (vec_id, embedding) — per Arrow batch the
+    whole signature block is a single int64 matmul; output is the long
+    (vec_id, band, bucket) form that feeds the same grouped bucket
+    expansion as the MinHash tier. No shuffle here at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    width = bits // bands
+
+    def run(batches):
+        P = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Y = X * SRP_SCALE
+            Q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            if P is None or P.shape[0] != Q.shape[1]:
+                P = _srp_projection(Q.shape[1], bits)
+            S = (Q @ P) >= 0
+            ids = np.repeat(pdf["vec_id"].to_numpy(), bands)
+            bnd = np.tile(np.arange(bands, dtype=np.int64), len(pdf))
+            weights = 1 << np.arange(width, dtype=np.int64)
+            # bucket of band b = its bit block read as an integer
+            bucks = np.einsum(
+                "nbw,w->nb", S.reshape(len(pdf), bands, width), weights
+            ).reshape(-1)
+            yield pd.DataFrame({"vec_id": ids, "band": bnd, "bucket": bucks})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id bigint, band bigint, bucket bigint"
+    )
+
+
+def srp_lsh_near_dups(
+    embeddings: DataFrame, bits: int = 16, bands: int = 4, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding near-dup via SRP-LSH: candidates share a signature band
+    bucket (two vectors within angle θ agree on a random hyperplane side
+    with probability 1 - θ/π, so near-dups collide in ≥1 of the 4-bit
+    bands with high probability), then exact cosine verification keeps
+    pairs >= threshold.
+
+    This is the UNQUANTIZED-cell-free alternative to
+    :func:`embedding_near_dups`: no coarse quantizer/label column needed —
+    the hash family itself does the blocking, the standard trick when no
+    IVF cells exist yet (e.g. first pass over a new corpus). Same grouped
+    bucket expansion as the MinHash tier — one shuffle on the near-uniform
+    (band, bucket) key, never an all-pairs join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sig = srp_signatures(embeddings, bits, bands)
+    buckets = (
+        sig.groupBy("band", "bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    joined = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    def cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            c = np.round(
+                (A * B).sum(1) / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)),
+                6,
+            )
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": c}
+            )
+
+    out = joined.mapInPandas(cos, "vec_a bigint, vec_b bigint, cosine double")
+    return out.filter(F.col("cosine") >= threshold)
+
+
 def contamination_check(
     documents: DataFrame, benchmark: DataFrame, n: int = 3
 ) -> DataFrame:

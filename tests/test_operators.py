@@ -776,6 +776,34 @@ def test_contamination_check_bounds_and_exact_dup(spark):
     assert all(r.n_contaminated <= r.n_shingles for r in out.values())
 
 
+# --- SRP-LSH embedding near-dup ----------------------------------------------
+
+def test_srp_signatures_deterministic_and_complete(tables):
+    emb = tables["embeddings"]
+    a = dedup.srp_signatures(emb).toPandas().sort_values(["vec_id", "band"]).reset_index(drop=True)
+    b = dedup.srp_signatures(emb).toPandas().sort_values(["vec_id", "band"]).reset_index(drop=True)
+    assert a.equals(b)  # exact integer pipeline: no float nondeterminism
+    n = emb.count()
+    assert len(a) == n * 4  # every vector signed into every band
+    assert set(a["band"]) == {0, 1, 2, 3}
+    assert a["bucket"].between(0, 15).all()  # 4-bit buckets
+
+
+def test_srp_near_dups_sound_and_finds_exact_duplicates(spark, tables):
+    """Soundness: every emitted pair really has cosine >= threshold.
+    Completeness floor: an exact duplicate vector agrees with its twin on
+    EVERY hyperplane, so it must collide in every band and be found."""
+    emb = tables["embeddings"]
+    twins = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.srp_lsh_near_dups(emb.unionByName(twins)).toPandas()
+    assert (out["cosine"] >= 0.35).all()
+    found = {(r.vec_a, r.vec_b) for r in out.itertuples()}
+    for r in twins.collect():
+        assert (r.vec_id - 1_000_000, r.vec_id) in found
+
+
 # --- MinHash production hash tier --------------------------------------------
 
 def test_minhash_xxhash_tier_sound_and_high_sim_complete(tables):

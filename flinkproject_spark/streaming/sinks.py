@@ -183,6 +183,98 @@ def incremental_dedup_writer(
     return fn
 
 
+def srp_incremental_writer(
+    corpus_path: str, sig_index_path: str, threshold: float = 0.9
+) -> Callable[[DataFrame, int], None]:
+    """Embedding-space incremental near-dup gate: the SRP-LSH twin of
+    `incremental_dedup_writer` (which gates on EXACT content hashes).
+    Each micro-batch of vectors is signature-banded
+    (operators.dedup.srp_signatures), candidate-matched against the
+    persisted signature index on (band, bucket), cosine-verified against
+    the stored corpus vectors, and only vectors with no verified match
+    are admitted — their embeddings append to the corpus, their
+    signatures to the index. O(batch x bucket-collisions) per trigger,
+    never O(corpus).
+
+    Within-batch policy is CONSERVATIVE: a vector is also dropped when it
+    verifies against any lower-vec_id batch member, admitted or not — a
+    chain A~B~C (A admitted) can drop C even if C only matched the
+    dropped B. This over-drops borderline chains but guarantees the
+    corpus invariant the test pins: no two ADMITTED vectors anywhere
+    verify >= threshold through a shared band bucket. (Per-batch exact
+    clustering — connected components inside foreachBatch — buys back the
+    borderline members at iterative-job cost; wrong trade for a sink.)
+    """
+
+    def _verified_pairs(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        """cand (vec_a, vec_b) against embeddings in left/right -> pairs
+        with cosine >= threshold (same Arrow-batched kernel as
+        srp_lsh_near_dups)."""
+        import numpy as np
+        import pandas as pd
+
+        la = left.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+        rb = right.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+        joined = cand.join(la, "vec_a").join(rb, "vec_b")
+
+        def cos(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+                c = np.round(
+                    (A * B).sum(1)
+                    / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": c}
+                )
+
+        out = joined.mapInPandas(cos, "vec_a bigint, vec_b bigint, cosine double")
+        return out.filter(F.col("cosine") >= threshold)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.dedup import srp_signatures
+
+        spark = batch.sparkSession
+        sig = srp_signatures(batch).localCheckpoint(eager=True)
+        dropped = None
+        try:
+            idx = spark.read.parquet(sig_index_path)
+            corpus = spark.read.parquet(corpus_path)
+            cand_x = (
+                sig.join(idx.withColumnRenamed("vec_id", "vec_b"), ["band", "bucket"])
+                .select(F.col("vec_id").alias("vec_a"), "vec_b")
+                .distinct()
+            )
+            dropped = _verified_pairs(cand_x, batch, corpus).select(
+                F.col("vec_a").alias("vec_id")
+            ).distinct()
+        except Exception:
+            pass  # first batch: no index yet
+        # within-batch: candidates through shared buckets, lower id wins
+        s2 = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+        cand_in = (
+            sig.join(s2, ["band", "bucket"])
+            .filter(F.col("vec_id") < F.col("vec_b"))
+            .select(F.col("vec_id").alias("vec_a"), "vec_b")
+            .distinct()
+        )
+        in_batch = _verified_pairs(cand_in, batch, batch).select(
+            F.col("vec_b").alias("vec_id")
+        ).distinct()
+        dropped = in_batch if dropped is None else dropped.unionByName(in_batch).distinct()
+        admitted = batch.join(dropped, "vec_id", "left_anti").localCheckpoint(eager=True)
+        admitted.write.mode("append").parquet(corpus_path)
+        sig.join(admitted.select("vec_id"), "vec_id", "left_semi").write.mode(
+            "append"
+        ).parquet(sig_index_path)
+
+    return fn
+
+
 def decontaminating_writer(
     corpus_path: str, bench_shingles_path: str, max_contamination: float = 0.2, n: int = 3
 ) -> Callable[[DataFrame, int], None]:

@@ -596,6 +596,68 @@ def test_decontaminating_sink_matches_batch_scores(spark, sf_dir, tmp_path):
     assert admitted | set(quarantined) == {r.doc_id for r in train.select("doc_id").collect()}
 
 
+def test_srp_incremental_sink_admits_near_dup_free_corpus(spark, sf_dir, tmp_path):
+    """Embeddings streamed in vec_id order with exact twins injected
+    across AND within chunks: every later twin must be rejected, and the
+    admitted corpus must satisfy the sink's invariant — no two admitted
+    vectors verify >= threshold through a shared SRP band bucket."""
+    from flinkproject_spark.operators import dedup as dedup_ops
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    base = emb.limit(120).localCheckpoint(eager=True)
+    # twins of vecs 0-2 land in a LATER chunk (ids 900000+), a twin of
+    # vec 5 lands in the SAME chunk (id 6000, still first chunk range)
+    twins_later = base.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    twin_same = base.filter(F.col("vec_id") == 5).select(
+        F.lit(6000).alias("vec_id"), "embedding", "label"
+    )
+    allv = base.unionByName(twins_later).unionByName(twin_same)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import shutil
+    import time as _time
+
+    t0 = _time.time() - 100
+    chunks = [allv.filter(F.col("vec_id") <= 6000),
+              allv.filter((F.col("vec_id") > 6000) & (F.col("vec_id") < 900_000)),
+              allv.filter(F.col("vec_id") >= 900_000)]
+    for i, c in enumerate(chunks):
+        part = str(tmp_path / f"p{i}")
+        c.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.move(os.path.join(part, pf), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    corpus = str(tmp_path / "corpus")
+    sig_index = str(tmp_path / "sigidx")
+    stream = (
+        spark.readStream.schema(allv.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.srp_incremental_writer(corpus, sig_index, threshold=0.999)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = spark.read.parquet(corpus)
+    ids = {r.vec_id for r in got.select("vec_id").collect()}
+    assert {900_000, 900_001, 900_002, 6000}.isdisjoint(ids)  # twins rejected
+    assert {0, 1, 2, 5} <= ids  # originals admitted
+    # invariant: admitted corpus is near-dup-free under the same detector
+    assert dedup_ops.srp_lsh_near_dups(got, threshold=0.999).count() == 0
+    # index holds exactly the admitted signatures (4 bands each)
+    assert spark.read.parquet(sig_index).count() == len(ids) * 4
+
+
 def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):
     """Documents streamed in doc_id order through the incremental-dedup
     sink: the admitted corpus must equal the batch exact-dedup keeper set

@@ -338,6 +338,12 @@ def q_text_fingerprint(spark, sf):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
 
 
+def q_text_logprob(spark, sf):
+    """Corpus-relative unigram log-prob fluency score per doc; decimal-
+    summed log-probs for order-independent exactness (text.unigram_logprob_scores)."""
+    return text.unigram_logprob_scores(_t(spark, sf, "documents"))
+
+
 def q_text_gopher(spark, sf):
     """Gopher-rule quality gate: five named boolean rules + keep verdict
     per doc, all codegen'd string/array expressions (text.gopher_quality_flags)."""
@@ -700,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "text_gopher": q_text_gopher,
         "dedup_srp": q_dedup_srp,
+        "text_logprob": q_text_logprob,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1688,6 +1695,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "corpus_split": _corpus_split_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "text_logprob": """
+            WITH tok AS (
+              SELECT doc_id, t
+              FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            freq AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM freq),
+            lp AS (
+              SELECT t, CAST(round(ln(ct / total), 6) AS DECIMAL(18,6)) AS lp
+              FROM freq, tot)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+            FROM tok JOIN lp USING (t)
+            GROUP BY 1""",
         "text_gopher": f"""
             WITH d AS (
               SELECT doc_id, text, string_split_regex(text, '\\s+') AS x

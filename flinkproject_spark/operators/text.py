@@ -115,6 +115,55 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-relative fluency score: per-doc mean unigram log-probability
+    under the corpus' own empirical distribution — the KenLM-lite quality
+    signal (docs dominated by rare tokens score low: OOD, noise, mangled
+    encodings; docs of common tokens score high). Two passes:
+
+    1. token frequencies: explode -> one groupBy(token) shuffle; the total
+       count is a 1-row aggregate cross-joined back (metadata, not data).
+    2. per-doc mean: token rows join the frequency table on token (at
+       100 TB the vocab table is Zipf-small relative to the corpus and
+       AQE-broadcastable; otherwise it's a plain shuffle join), then one
+       groupBy(doc_id).
+
+    Numeric contract: each token's round(ln(p), 6) is cast to
+    DECIMAL(18, 6) BEFORE summing, so the per-doc sum is exact and
+    order-independent — a raw double sum varies with Spark's partial-agg
+    order and can never hash-match the oracle. The only double ops are
+    per-row ln and the final division, identical cross-engine.
+    """
+    tok = with_tokens(documents).select(
+        "doc_id", F.explode("x").alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count("*").alias("ct"))
+    total = freq.agg(F.sum("ct").cast("double").alias("total"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("ct") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        tok.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lp").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # cast the EXACT decimal sum to double BEFORE dividing: decimal
+            # division scale rules differ between engines, double math not
+            F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def gopher_quality_flags(
     documents: DataFrame,
     min_tokens: int = 10,

@@ -691,6 +691,29 @@ def test_domain_mix_hits_target_shares(tables):
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
 
 
+# --- unigram log-prob fluency -------------------------------------------------
+
+def test_unigram_logprob_ranks_rare_token_docs_lowest(spark):
+    """A doc made of corpus-common tokens must outscore a doc dominated by
+    hapax tokens, and every score is a negative mean log-probability."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the and and of to a the and"),
+            (2, "zxqv wkjy pqrs mnbv the and of to a a"),
+            (3, "the and of to a the and of to a"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob_scores(docs).collect()}
+    assert all(r.avg_logprob < 0 for r in out.values())
+    assert out[2].avg_logprob < out[1].avg_logprob  # hapax-heavy ranks lower
+    assert out[2].avg_logprob < out[3].avg_logprob
+    assert all(r.n_tokens == 10 for r in out.values())
+    # deterministic under recomputation (decimal-sum order independence)
+    again = {r.doc_id: r.avg_logprob for r in text.unigram_logprob_scores(docs).collect()}
+    assert again == {k: v.avg_logprob for k, v in out.items()}
+
+
 # --- Gopher quality rules -----------------------------------------------------
 
 def test_gopher_flags_name_the_failing_rule(spark):

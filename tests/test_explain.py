@@ -24,11 +24,12 @@ from tests.conftest import SF_DIR
 # set against every row (BroadcastNestedLoopJoin) — it exists as the recall
 # oracle for the IVF path, which is the at-scale variant. The multi-probe IVF
 # cross-joins the tiny query set against the tiny centroid table to rank
-# cells — also an intentional small-x-small BNL. corpus_mix cross-joins the
-# ONE-row budget scalar onto the |sources|-row rate table — metadata x
-# metadata, never data.
+# cells — also an intentional small-x-small BNL. corpus_mix and text_logprob
+# cross-join a ONE-row scalar (mix budget / corpus token total) onto a
+# vocab/rate table — metadata x metadata, never data.
 BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign", "corpus_mix",
+    "text_logprob",
 }
 
 

@@ -267,6 +267,13 @@ def q_dedup_clusters_star(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"), algorithm="star")
 
 
+def q_dedup_chunks(spark, sf):
+    """Sub-document exact dedup: disjoint 40-token chunks hashed and
+    grouped corpus-wide; duplicated chunks only, lexicographic keeper via
+    a single integer key (dedup.chunk_level_dedup)."""
+    return dedup.chunk_level_dedup(_t(spark, sf, "documents"))
+
+
 def q_dedup_srp(spark, sf):
     """Embedding near-dup via signed-random-projection LSH: int64-exact
     quantized hyperplane signatures (bit-identical to the oracle's SQL
@@ -707,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "dedup_srp": q_dedup_srp,
         "text_logprob": q_text_logprob,
+        "dedup_chunks": q_dedup_chunks,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1267,6 +1275,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
         "dedup_simhash": _simhash_sql(),
+        "dedup_chunks": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS x,
+                     len(string_split_regex(text, '\\s+')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, x, n, i AS chunk_id, i * 40 AS start
+              FROM d, unnest(generate_series(0,
+                     CAST(greatest((n + 39) // 40, 1) AS BIGINT) - 1)) AS u(i)),
+            h AS (
+              SELECT doc_id, chunk_id,
+                     md5(array_to_string(x[start + 1 : start + 40], ' ')) AS chunk_md5,
+                     doc_id * 1048576 + chunk_id AS k
+              FROM s)
+            SELECT chunk_md5,
+                   MIN(k) // 1048576 AS keeper_doc,
+                   MIN(k) % 1048576 AS keeper_chunk,
+                   COUNT(*) AS dup_ct,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM h GROUP BY 1
+            HAVING COUNT(*) > 1""",
         "dedup_srp": f"""
             WITH q AS (
               SELECT vec_id,

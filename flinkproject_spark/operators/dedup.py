@@ -627,6 +627,47 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame) -> DataFrame:
     )
 
 
+def chunk_level_dedup(documents: DataFrame, chunk_tokens: int = 40) -> DataFrame:
+    """Sub-document exact dedup: hash DISJOINT chunk_tokens-token chunks
+    (text.chunk_documents, overlap=0) and group identical chunks across
+    the corpus — the paragraph-granularity pass (boilerplate headers,
+    license blocks, templated sections repeat across documents whose
+    full texts differ, so doc-level dedup never sees them).
+
+    Same single hash-groupBy shuffle shape as exact_dedup, after a narrow
+    chunk explode. The keeper is the lexicographically smallest
+    (doc_id, chunk_id), encoded as one integer key (doc_id * 2^20 +
+    chunk_id — chunk counts are bounded far below 2^20 by document
+    length) so MIN() is a plain bigint aggregate both engines order
+    identically. Emits only duplicated chunks: (chunk_md5, keeper_doc,
+    keeper_chunk, dup_ct, n_docs)."""
+    from flinkproject_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(documents, chunk_tokens, overlap=0)
+    hashed = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        (F.col("doc_id") * F.lit(2**20) + F.col("chunk_id")).alias("k"),
+    )
+    return (
+        hashed.groupBy("chunk_md5")
+        .agg(
+            F.min("k").alias("mk"),
+            F.count("*").alias("dup_ct"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("dup_ct") > 1)
+        .select(
+            "chunk_md5",
+            F.expr(f"mk div {2**20}").alias("keeper_doc"),
+            F.pmod("mk", F.lit(2**20)).cast("bigint").alias("keeper_chunk"),
+            "dup_ct",
+            "n_docs",
+        )
+    )
+
+
 def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
     """Near-exact dedup: canonicalize text (lowercase, strip non-alnum,
     collapse whitespace) BEFORE hashing — the cheap pass that catches

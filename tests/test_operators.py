@@ -799,6 +799,40 @@ def test_contamination_check_bounds_and_exact_dup(spark):
     assert all(r.n_contaminated <= r.n_shingles for r in out.values())
 
 
+# --- chunk-level (sub-document) dedup ----------------------------------------
+
+def test_chunk_level_dedup_catches_shared_boilerplate(spark):
+    """Two docs that differ overall but share an aligned 40-token block
+    must surface that block as a duplicated chunk; fully distinct docs
+    contribute nothing."""
+    boiler = " ".join(f"w{i}" for i in range(40))
+    tail_a = " ".join(f"a{i}" for i in range(40))
+    tail_b = " ".join(f"b{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + tail_a, "en"),
+            (2, boiler + " " + tail_b, "en"),
+            (3, " ".join(f"c{i}" for i in range(80)), "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = dedup.chunk_level_dedup(docs).collect()
+    assert len(out) == 1  # exactly the shared block
+    r = out[0]
+    assert (r.keeper_doc, r.keeper_chunk) == (1, 0)
+    assert r.dup_ct == 2 and r.n_docs == 2
+
+
+def test_chunk_level_dedup_finds_corpus_duplicates(tables):
+    """The synthetic corpus contains exact-duplicate documents, so their
+    aligned chunks must all collide; keeper ids are members of their own
+    groups (sanity on the integer keeper encoding)."""
+    out = dedup.chunk_level_dedup(tables["documents"]).toPandas()
+    assert len(out) > 0
+    assert (out["dup_ct"] >= out["n_docs"]).all()
+    assert (out["keeper_chunk"] >= 0).all() and (out["keeper_doc"] >= 0).all()
+
+
 # --- SRP-LSH embedding near-dup ----------------------------------------------
 
 def test_srp_signatures_deterministic_and_complete(tables):

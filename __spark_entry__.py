@@ -603,6 +603,26 @@ def q_corpus_by_cluster(spark, sf):
     return sampling.corpus_quality_by_cluster(documents, embeddings)
 
 
+def q_corpus_pipeline_v2(spark, sf):
+    """The FULL-surface corpus build (plans/corpus.build_training_corpus_v2):
+    PII redaction -> Gopher rule gate -> decontamination vs the eval split
+    -> exact dedup on scrubbed text -> stratified sample -> token-budget
+    pack. Every stage is an individually-oracle-checked operator; this
+    query pins their composition."""
+    from flinkproject_spark.plans import corpus
+
+    docs = _t(spark, sf, "documents")
+    return corpus.build_training_corpus_v2(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 37 == 0),
+        max_contamination=0.2,
+        min_quality=0.5,
+        rates=SAMPLE_RATES,
+        default_rate=0.5,
+        budget_tokens=10_000,
+    )
+
+
 def q_corpus_pipeline(spark, sf):
     """The end-to-end training-corpus build (plans/corpus.py): exact-dedup
     winners -> quality gate -> deterministic stratified sample -> token-
@@ -715,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_srp": q_dedup_srp,
         "text_logprob": q_text_logprob,
         "dedup_chunks": q_dedup_chunks,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1643,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN embeddings e ON q.doc_id = e.vec_id
             GROUP BY 1""",
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "corpus_pipeline_v2": _corpus_pipeline_v2_sql(),
         "funnel": f"""
             WITH w1 AS (
               SELECT user_id, ts, event_type,
@@ -1847,6 +1869,92 @@ def _corpus_pipeline_sql() -> str:
                    + (len(list_distinct({toks}))::DOUBLE
                       / len({toks})::DOUBLE) * 0.5 AS quality_score
           FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+        gated AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        sampled AS (
+          SELECT * FROM gated
+          WHERE ({draw}) % {SAMPLE_MOD} <
+                CASE source {whens} ELSE {int(0.5 * SAMPLE_MOD)} END)
+        SELECT doc_id, lang, source, n_tokens, quality_score,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
+        FROM sampled
+        QUALIFY cum_tokens <= 10000"""
+
+
+def _corpus_pipeline_v2_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    draw = duck_hash64("'corpus-v1:' || CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * SAMPLE_MOD)}" for s, r in SAMPLE_RATES.items()
+    )
+    toks = "string_split_regex(text, '\\s+')"
+    sh = ("list_distinct(list_transform(range(1, len(x)-1), "
+          "i -> x[i] || ' ' || x[i+1] || ' ' || x[i+2]))")
+    return rf"""
+        WITH seeded AS (
+          SELECT doc_id, lang, source,
+                 text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' ip 10.0.0.1 ssn 123-45-6789' ELSE '' END AS text
+          FROM documents WHERE doc_id % 37 <> 0),
+        red AS (
+          SELECT doc_id, lang, source,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g'),
+                   '[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}', '<PHONE>', 'g'),
+                   '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '<IPV4>', 'g')
+                   AS text
+          FROM seeded),
+        gm AS (
+          SELECT doc_id,
+                 CAST(len({toks}) AS BIGINT) AS n_tokens,
+                 round(CAST(len(array_to_string({toks}, '')) AS DOUBLE)
+                       / CAST(len({toks}) AS DOUBLE), 6) AS mean_word_len,
+                 round((CAST(len(text) AS DOUBLE)
+                        - CAST(len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE))
+                       / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
+                 round(CAST(len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / CAST(len({toks}) AS DOUBLE), 6) AS alpha_word_ratio,
+                 CAST(len(list_intersect(list_distinct({toks}),
+                      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stopwords
+          FROM red),
+        gop AS (
+          SELECT doc_id FROM gm
+          WHERE n_tokens BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+            AND distinct_stopwords >= 2),
+        g1 AS (SELECT red.* FROM red JOIN gop USING (doc_id)),
+        tsh AS (
+          SELECT DISTINCT doc_id, unnest({sh}) AS s
+          FROM (SELECT doc_id, {toks} AS x FROM g1) WHERE len(x) >= 3),
+        bsh AS (
+          SELECT DISTINCT unnest({sh}) AS s
+          FROM (SELECT {toks} AS x FROM documents WHERE doc_id % 37 = 0)
+          WHERE len(x) >= 3),
+        cont AS (
+          SELECT t.doc_id,
+                 CAST(COALESCE(SUM(CASE WHEN b.s IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+                   / COUNT(*) AS pct
+          FROM tsh t LEFT JOIN bsh b ON t.s = b.s GROUP BY 1),
+        g2 AS (
+          SELECT g1.* FROM g1 JOIN cont ON g1.doc_id = cont.doc_id
+          WHERE round(cont.pct, 4) <= 0.2),
+        keepers AS (SELECT MIN(doc_id) AS doc_id FROM g2 GROUP BY md5(text)),
+        scored AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 len({toks})::BIGINT AS n_tokens,
+                 least(len({toks})::DOUBLE / 100.0, 1.0) * 0.5
+                   + (len(list_distinct({toks}))::DOUBLE
+                      / len({toks})::DOUBLE) * 0.5 AS quality_score
+          FROM g2 d JOIN keepers k ON d.doc_id = k.doc_id),
         gated AS (SELECT * FROM scored WHERE quality_score >= 0.5),
         sampled AS (
           SELECT * FROM gated

@@ -66,3 +66,77 @@ def build_training_corpus(
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def build_training_corpus_v2(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    max_contamination: float = 0.2,
+    min_quality: float = 0.5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    budget_tokens: int = 1_000_000_000,
+) -> DataFrame:
+    """The FULL-surface corpus build — every hygiene stage a production
+    pre-training pipeline runs, in canonical order, each stage an
+    oracle-checked operator:
+
+      1. PII redaction       (text.redact_pii — all downstream stages see
+                              scrubbed text, so hashes/shingles/tokens
+                              never touch raw PII; seeded deterministically
+                              here so redaction is observable on the
+                              synthetic corpus)
+      2. Gopher quality gate (text.gopher_quality_flags conjunction —
+                              named-rule rejection, scan-speed)
+      3. decontamination     (dedup.contamination_check vs the eval corpus;
+                              docs over max_contamination drop)
+      4. exact dedup         (dedup.exact_dedup on the REDACTED text —
+                              scrubbing first means two docs differing only
+                              in PII collapse to one)
+      5. stratified sampling (sampling.stratified_sample)
+      6. token-budget pack   (greedy quality-first prefix under budget)
+
+    Stage order is load-bearing: redaction before hashing (4) and before
+    shingling (3) so PII spans can't split otherwise-identical content;
+    the quality/contamination gates before sampling so rates apply to the
+    clean pool. Same shuffle budget as v1 plus one shingle-key shuffle
+    for stage 3.
+    """
+    from flinkproject_spark.operators import text as text_ops
+
+    red = text_ops.redact_pii(text_ops.seed_pii(documents)).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    base = red.join(documents.select("doc_id", "lang", "source"), "doc_id")
+    gop = text_ops.gopher_quality_flags(base).filter("keep").select("doc_id")
+    base = base.join(gop, "doc_id")
+    if benchmark is not None:
+        clean = dedup.contamination_check(base, benchmark).filter(
+            F.col("contamination_pct") <= max_contamination
+        ).select("doc_id")
+        base = base.join(clean, "doc_id")
+    keepers = dedup.exact_dedup(base).select(F.col("keeper_id").alias("doc_id"))
+    base = base.join(keepers, "doc_id")
+
+    x = F.split("text", r"\s+")
+    n_tok = F.size(x).cast("double")
+    uniq = F.size(F.array_distinct(x)).cast("double")
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(x).cast("bigint").alias("n_tokens"),
+        (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + (uniq / n_tok) * F.lit(0.5)
+        ).alias("quality_score"),
+    ).filter(F.col("quality_score") >= min_quality)
+    if rates:
+        scored = sampling.stratified_sample(scored, rates, default_rate=default_rate)
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -642,6 +642,40 @@ def test_dedup_clusters_manifest_covers_all_docs(tables):
             == out.groupby("cluster_id")["cluster_size"].first()).all()
 
 
+# --- full-surface corpus pipeline (v2) ----------------------------------------
+
+def test_corpus_pipeline_v2_hygiene_invariants(spark, tables):
+    """The composed build must deliver what each stage promises: within
+    budget, monotone packing order, deduped membership, and every member
+    passing the contamination gate it was filtered through."""
+    from flinkproject_spark.operators import dedup as dedup_ops, text as text_ops
+    from flinkproject_spark.plans import corpus
+
+    docs = tables["documents"]
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    out = corpus.build_training_corpus_v2(
+        train, benchmark=bench, budget_tokens=10_000
+    ).toPandas().sort_values("cum_tokens")
+    assert len(out) > 0 and out["cum_tokens"].iloc[-1] <= 10_000
+    assert (out["cum_tokens"].diff().dropna() > 0).all()  # strict packing order
+    assert out["doc_id"].is_unique
+    # members pass the contamination gate they were filtered through
+    kept = set(out["doc_id"])
+    cont = dedup_ops.contamination_check(
+        text_ops.redact_pii(text_ops.seed_pii(train)).select(
+            "doc_id", F.col("redacted").alias("text")
+        ),
+        bench,
+    ).toPandas()
+    bad = set(cont[cont["contamination_pct"] > 0.2]["doc_id"])
+    assert kept.isdisjoint(bad)
+    # members are exact-dedup keepers of their redacted text: unique hashes
+    red = text_ops.redact_pii(text_ops.seed_pii(train)).toPandas()
+    red_kept = red[red["doc_id"].isin(kept)]
+    assert red_kept["redacted"].is_unique
+
+
 # --- seeded corpus shuffle ----------------------------------------------------
 
 def test_shuffled_order_is_permutation_and_seeded(tables):

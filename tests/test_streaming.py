@@ -383,6 +383,26 @@ def test_sql_over_stream_matches_batch_sql(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_gopher_gate_streams_stateless(spark, sf_dir, tmp_path):
+    """The Gopher rule gate is a stateless projection: the SAME operator
+    runs on a streaming frame (scrub/filter-on-ingest hop) and must emit
+    exactly the batch verdicts."""
+    from flinkproject_spark.operators import text as text_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = replay.run_to_table(text_ops.gopher_quality_flags(stream))
+    want = text_ops.gopher_quality_flags(docs)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
 def test_redact_pii_streams_stateless(spark, sf_dir, tmp_path):
     """PII scrubbing on a live ingest stream: redact_pii is a stateless
     projection, so the SAME operator (not a twin) runs on the streaming

@@ -274,6 +274,12 @@ def q_dedup_chunks(spark, sf):
     return dedup.chunk_level_dedup(_t(spark, sf, "documents"))
 
 
+def q_dedup_chunks_apply(spark, sf):
+    """Chunk-dedup APPLICATION: strip duplicated non-keeper chunks and
+    reassemble clean text per doc (dedup.chunk_dedup_apply)."""
+    return dedup.chunk_dedup_apply(_t(spark, sf, "documents"))
+
+
 def q_dedup_srp(spark, sf):
     """Embedding near-dup via signed-random-projection LSH: int64-exact
     quantized hyperplane signatures (bit-identical to the oracle's SQL
@@ -736,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logprob": q_text_logprob,
         "dedup_chunks": q_dedup_chunks,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "dedup_chunks_apply": q_dedup_chunks_apply,
         # -- long-green backfill (driver-verified in CORRECTNESS_r02)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1317,6 +1324,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM h GROUP BY 1
             HAVING COUNT(*) > 1""",
+        "dedup_chunks_apply": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS x,
+                     len(string_split_regex(text, '\\s+')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, x, n, i AS chunk_id, i * 40 AS start
+              FROM d, unnest(generate_series(0,
+                     CAST(greatest((n + 39) // 40, 1) AS BIGINT) - 1)) AS u(i)),
+            h AS (
+              SELECT doc_id, chunk_id,
+                     array_to_string(x[start + 1 : start + 40], ' ') AS chunk_text,
+                     md5(array_to_string(x[start + 1 : start + 40], ' ')) AS chunk_md5,
+                     doc_id * 1048576 + chunk_id AS k
+              FROM s),
+            g AS (SELECT chunk_md5, MIN(k) AS mk, COUNT(*) AS ct FROM h GROUP BY 1),
+            kept AS (
+              SELECT h.* FROM h JOIN g USING (chunk_md5)
+              WHERE g.ct = 1 OR h.k = g.mk),
+            tot AS (SELECT doc_id, COUNT(*) AS n_total FROM h GROUP BY 1),
+            o AS (
+              SELECT doc_id,
+                     array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS clean_text,
+                     COUNT(*) AS n_chunks_kept
+              FROM kept GROUP BY 1)
+            SELECT o.doc_id, o.clean_text, o.n_chunks_kept,
+                   t.n_total - o.n_chunks_kept AS n_chunks_dropped
+            FROM o JOIN tot t ON o.doc_id = t.doc_id""",
         "dedup_srp": f"""
             WITH q AS (
               SELECT vec_id,

@@ -668,6 +668,57 @@ def chunk_level_dedup(documents: DataFrame, chunk_tokens: int = 40) -> DataFrame
     )
 
 
+def chunk_dedup_apply(documents: DataFrame, chunk_tokens: int = 40) -> DataFrame:
+    """APPLY chunk-level dedup: remove every duplicated chunk instance
+    except its corpus-wide keeper (lexicographically smallest
+    (doc_id, chunk_id)) and reassemble each document's surviving chunks in
+    order — the text-cleaning step that strips repeated boilerplate from
+    the non-keeper documents while leaving exactly one copy in the corpus.
+
+    Same shuffle budget as detection (one groupBy on the chunk hash to
+    find keepers, broadcast-size result of which is NOT assumed — the
+    keeper map joins back on chunk_md5, one more hash-keyed shuffle) plus
+    one groupBy(doc_id) to reassemble; ordering within a doc is an
+    array_sort over (chunk_id, text) structs, bounded by document length,
+    never a window. Docs whose every chunk was a non-keeper duplicate
+    vanish from the output (nothing survives); count columns make the
+    removal auditable. Returns (doc_id, clean_text, n_chunks_kept,
+    n_chunks_dropped)."""
+    from flinkproject_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(documents, chunk_tokens, overlap=0).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_md5"),
+        (F.col("doc_id") * F.lit(2**20) + F.col("chunk_id")).alias("k"),
+    )
+    groups = ch.groupBy("chunk_md5").agg(
+        F.min("k").alias("mk"), F.count("*").alias("ct")
+    )
+    marked = ch.join(groups, "chunk_md5")
+    kept = marked.filter((F.col("ct") == 1) | (F.col("k") == F.col("mk")))
+    totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    out = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).getField("chunk_text"),
+            ).alias("clean_text"),
+            F.count("*").alias("n_chunks_kept"),
+        )
+    )
+    return out.join(totals, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_chunks_kept",
+        (F.col("n_total") - F.col("n_chunks_kept")).alias("n_chunks_dropped"),
+    )
+
+
 def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
     """Near-exact dedup: canonicalize text (lowercase, strip non-alnum,
     collapse whitespace) BEFORE hashing — the cheap pass that catches

@@ -867,6 +867,27 @@ def test_chunk_level_dedup_finds_corpus_duplicates(tables):
     assert (out["keeper_chunk"] >= 0).all() and (out["keeper_doc"] >= 0).all()
 
 
+def test_chunk_dedup_apply_strips_boilerplate_keeps_one_copy(spark):
+    """The keeper doc retains the shared block; the non-keeper loses it
+    but keeps its unique tail in order; untouched docs pass through with
+    zero drops."""
+    boiler = " ".join(f"w{i}" for i in range(40))
+    tail_a = " ".join(f"a{i}" for i in range(40))
+    tail_b = " ".join(f"b{i}" for i in range(40))
+    uniq = " ".join(f"c{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + tail_a, "en"), (2, boiler + " " + tail_b, "en"),
+         (3, uniq, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup_apply(docs).collect()}
+    assert out[1].clean_text == boiler + " " + tail_a  # keeper intact
+    assert out[1].n_chunks_dropped == 0
+    assert out[2].clean_text == tail_b  # boilerplate stripped, tail survives
+    assert out[2].n_chunks_kept == 1 and out[2].n_chunks_dropped == 1
+    assert out[3].clean_text == uniq and out[3].n_chunks_dropped == 0
+
+
 # --- SRP-LSH embedding near-dup ----------------------------------------------
 
 def test_srp_signatures_deterministic_and_complete(tables):

@@ -697,65 +697,16 @@ def q_retention_cohorts(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles.  Queries whose correctness has
-    # never been driver-recorded come FIRST (the 27 round-2 additions /
-    # rotations, per VERDICT r02), followed by any new round-3 queries;
-    # long-green rows with CORRECTNESS_r01/r02 evidence back-fill the tail.
+    # entries against the DuckDB oracles.  Queries whose last driver check
+    # is oldest come FIRST (the 37 queries whose last driver evidence is
+    # CORRECTNESS_r02, per VERDICT r03 #1), preceded by any new round-4
+    # queries; rows driver-verified in r03 back-fill the tail, and the two
+    # rows-only-by-design queries sit at the very end.
     return {
-        # -- never driver-verified (round-2 additions, positions 51-77 in r02)
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "order_prorate": q_order_prorate,
-        "text_chunks": q_text_chunks,
-        "corpus_split": q_corpus_split,
-        "corpus_pack": q_corpus_pack,
-        "corpus_sample": q_corpus_sample,
-        "token_budget_pack": q_token_budget_pack,
-        "text_repetition": q_text_repetition,
-        "text_entropy": q_text_entropy,
-        "cluster_assign": q_cluster_assign,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_normalized": q_dedup_normalized,
-        "sim_quantize": q_sim_quantize,
-        "corpus_cube": q_corpus_cube,
-        "corpus_by_cluster": q_corpus_by_cluster,
-        "corpus_pipeline": q_corpus_pipeline,
-        "event_type_pivot": q_event_type_pivot,
-        "dedup_survivors": q_dedup_survivors,
-        "running_spend": q_running_spend,
-        "product_stats_approx": q_product_stats_approx,
-        # -- driver-green in r01 but rotated out of r02's first 50
-        "topn_per_nation": q_topn_per_nation,
-        "sliding_visitor_stats": q_sliding_visitor_stats,
-        "order_value_percentiles": q_order_value_percentiles,
-        "scd2_order_state": q_scd2_order_state,
-        "a8_interval_join_outer": q_a8_interval_join_outer,
-        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
-        # -- round-3 additions slot in here (inside the verified window)
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "text_redact_pii": q_text_redact_pii,
-        "contamination": q_contamination,
-        "corpus_shuffle": q_corpus_shuffle,
-        "corpus_mix": q_corpus_mix,
-        "text_gopher": q_text_gopher,
-        "dedup_srp": q_dedup_srp,
-        "text_logprob": q_text_logprob,
-        "dedup_chunks": q_dedup_chunks,
-        "corpus_pipeline_v2": q_corpus_pipeline_v2,
-        "dedup_chunks_apply": q_dedup_chunks_apply,
-        # -- long-green backfill (driver-verified in CORRECTNESS_r02)
-        "a1_project_orders": q_a1_project_orders,
-        "a2_filter_events": q_a2_filter_events,
-        "a3_explode_words": q_a3_explode_words,
-        "a4_split_routes": q_a4_split_routes,
-        "a5_union_streams": q_a5_union_streams,
-        "a6_visitor_stats": q_a6_visitor_stats,
-        "a6_visitor_stats_4d": q_a6_visitor_stats_4d,
-        "a7_window_distinct": q_a7_window_distinct,
-        "a8_interval_join": q_a8_interval_join,
-        "a8_payment_wide": q_a8_payment_wide,
-        "a9_order_wide": q_a9_order_wide,
-        "a9_product_wide": q_a9_product_wide,
+        # -- round-4 additions slot in here (inside the verified window)
+        # -- last driver-checked in r02 (positions 51-88 of the r03 dict);
+        #    rotated into the window per VERDICT r03 #1 so CORRECTNESS_r04
+        #    re-proves them on regenerated testdata
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
         "a12_bounce": q_a12_bounce,
@@ -773,7 +724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_stats": q_product_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_minhash_xx": q_dedup_minhash_xx,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_blocked": q_dedup_ngram_blocked,
@@ -794,6 +744,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "asof_last_order": q_asof_last_order,
         "gmv_rollup": q_gmv_rollup,
+        # -- long-green backfill (driver-verified in CORRECTNESS_r03)
+        "a1_project_orders": q_a1_project_orders,
+        "a2_filter_events": q_a2_filter_events,
+        "a3_explode_words": q_a3_explode_words,
+        "a4_split_routes": q_a4_split_routes,
+        "a5_union_streams": q_a5_union_streams,
+        "a6_visitor_stats": q_a6_visitor_stats,
+        "a6_visitor_stats_4d": q_a6_visitor_stats_4d,
+        "a7_window_distinct": q_a7_window_distinct,
+        "a8_interval_join": q_a8_interval_join,
+        "a8_payment_wide": q_a8_payment_wide,
+        "a9_order_wide": q_a9_order_wide,
+        "a9_product_wide": q_a9_product_wide,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "order_prorate": q_order_prorate,
+        "text_chunks": q_text_chunks,
+        "corpus_split": q_corpus_split,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
+        "token_budget_pack": q_token_budget_pack,
+        "text_repetition": q_text_repetition,
+        "text_entropy": q_text_entropy,
+        "cluster_assign": q_cluster_assign,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_normalized": q_dedup_normalized,
+        "sim_quantize": q_sim_quantize,
+        "corpus_cube": q_corpus_cube,
+        "corpus_by_cluster": q_corpus_by_cluster,
+        "corpus_pipeline": q_corpus_pipeline,
+        "event_type_pivot": q_event_type_pivot,
+        "dedup_survivors": q_dedup_survivors,
+        "running_spend": q_running_spend,
+        "topn_per_nation": q_topn_per_nation,
+        "sliding_visitor_stats": q_sliding_visitor_stats,
+        "order_value_percentiles": q_order_value_percentiles,
+        "scd2_order_state": q_scd2_order_state,
+        "a8_interval_join_outer": q_a8_interval_join_outer,
+        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "text_redact_pii": q_text_redact_pii,
+        "contamination": q_contamination,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_mix": q_corpus_mix,
+        "text_gopher": q_text_gopher,
+        "dedup_srp": q_dedup_srp,
+        "text_logprob": q_text_logprob,
+        "dedup_chunks": q_dedup_chunks,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "dedup_chunks_apply": q_dedup_chunks_apply,
+        # -- rows-only by design (no cross-engine oracle): pinned at the very
+        #    end so they never occupy a first-50 verification slot again
+        "product_stats_approx": q_product_stats_approx,
+        "dedup_minhash_xx": q_dedup_minhash_xx,
     }
 
 

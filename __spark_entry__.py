@@ -614,12 +614,13 @@ def q_corpus_pipeline_v2(spark, sf):
     PII redaction -> Gopher rule gate -> decontamination vs the eval split
     -> exact dedup on scrubbed text -> stratified sample -> token-budget
     pack. Every stage is an individually-oracle-checked operator; this
-    query pins their composition."""
+    query pins their composition. seed_pii is applied HERE (bench bridge,
+    mirroring q_text_redact_pii) — the plan itself feeds raw text."""
     from flinkproject_spark.plans import corpus
 
     docs = _t(spark, sf, "documents")
     return corpus.build_training_corpus_v2(
-        docs.filter(F.col("doc_id") % 37 != 0),
+        text.seed_pii(docs.filter(F.col("doc_id") % 37 != 0)),
         benchmark=docs.filter(F.col("doc_id") % 37 == 0),
         max_contamination=0.2,
         min_quality=0.5,
@@ -1946,9 +1947,9 @@ def _corpus_pipeline_v2_sql() -> str:
           SELECT doc_id, lang, source,
                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-                   '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g'),
-                   '[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}', '<PHONE>', 'g'),
-                   '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '<IPV4>', 'g')
+                   '\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\b', '<SSN>', 'g'),
+                   '\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\b', '<PHONE>', 'g'),
+                   '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IPV4>', 'g')
                    AS text
           FROM seeded),
         gm AS (

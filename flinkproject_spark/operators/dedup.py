@@ -949,14 +949,25 @@ def connected_components_star(
         return r.n, r.h
 
     sig = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         # bidirectional view for large-star (it needs every incident edge at u)
         bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         edges = _small_star(_large_star(bidir)).distinct().localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Mirror connected_components: the final groupBy('u').min('v') read
+        # assumes a star forest — on a non-converged graph it would silently
+        # return wrong labels, so fail loudly instead.
+        raise RuntimeError(
+            f"connected_components_star did not reach the edge-set fixpoint "
+            f"within max_iter={max_iter} rounds (O(log^2 n) expected); raise "
+            f"max_iter"
+        )
     # converged star forest: every non-center u has edges only to its
     # center (min-label); centers appear only on the v side
     centers = vertices.join(edges, vertices.id == edges.u, "left_anti")

@@ -494,10 +494,14 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     All-JVM row path: a chain of regexp_count + regexp_replace inside one
     projection (single codegen stage, zero shuffles, zero Python) — at
     100 TB this runs at scan speed and the only cost is the regex engine.
-    Per-class counts are taken on the ORIGINAL text (the classes are
-    mutually non-overlapping by construction: 3-2-4 vs 3-3-4 digit groups,
-    4-octet anchor for IPv4); replacement chains in PII_PATTERNS order,
-    EMAIL first, so no later pattern sees a partially-replaced span.
+    Per-class counts are taken on the ORIGINAL text. The digit classes
+    can't overlap each other (3-2-4 vs 3-3-4 digit groups, 4-octet anchor
+    for IPv4), but a digit group embedded in an email local part (e.g.
+    '555-123-4567@x.com' — '@' is a word boundary) counts as BOTH n_email
+    and n_phone, so n_pii can exceed the number of spans actually replaced;
+    replacement chains in PII_PATTERNS order, EMAIL first, so such a span
+    is replaced exactly once (as <EMAIL>) and no later pattern sees a
+    partially-replaced span.
     """
     counts = [
         F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{name.lower()}")

@@ -83,9 +83,11 @@ def build_training_corpus_v2(
 
       1. PII redaction       (text.redact_pii — all downstream stages see
                               scrubbed text, so hashes/shingles/tokens
-                              never touch raw PII; seeded deterministically
-                              here so redaction is observable on the
-                              synthetic corpus)
+                              never touch raw PII; production feeds raw
+                              text directly — the bench wrapper seeds
+                              synthetic PII via text.seed_pii BEFORE
+                              calling this plan so redaction is observable
+                              on the synthetic corpus)
       2. Gopher quality gate (text.gopher_quality_flags conjunction —
                               named-rule rejection, scan-speed)
       3. decontamination     (dedup.contamination_check vs the eval corpus;
@@ -104,7 +106,7 @@ def build_training_corpus_v2(
     """
     from flinkproject_spark.operators import text as text_ops
 
-    red = text_ops.redact_pii(text_ops.seed_pii(documents)).select(
+    red = text_ops.redact_pii(documents).select(
         "doc_id", F.col("redacted").alias("text")
     )
     base = red.join(documents.select("doc_id", "lang", "source"), "doc_id")

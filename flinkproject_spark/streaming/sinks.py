@@ -16,6 +16,7 @@ reference's at-least-once default (MyKafkaUtil.java:25-27).
 
 from __future__ import annotations
 
+import logging
 import tempfile
 from typing import Callable
 
@@ -159,6 +160,7 @@ def incremental_dedup_writer(
     with idempotent_parquet_writer-style batchId keying when the corpus
     path must survive replays.
     """
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     def fn(batch: DataFrame, batch_id: int) -> None:
@@ -172,9 +174,16 @@ def incremental_dedup_writer(
         )
         try:
             idx = spark.read.parquet(index_path)
-            admitted = winners.join(idx, "content_md5", "left_anti")
-        except Exception:
-            admitted = winners
+        except AnalysisException:
+            # First batch only — other failures (corrupt index, IO) must
+            # propagate rather than silently admit duplicates.
+            logging.getLogger(__name__).info(
+                "incremental_dedup_writer batch %d: no index at %s yet",
+                batch_id,
+                index_path,
+            )
+            idx = None
+        admitted = winners if idx is None else winners.join(idx, "content_md5", "left_anti")
         # about to append to the index this plan reads — break lineage
         admitted = admitted.localCheckpoint(eager=True)
         admitted.drop("content_md5").write.mode("append").parquet(corpus_path)
@@ -236,6 +245,8 @@ def srp_incremental_writer(
         return out.filter(F.col("cosine") >= threshold)
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         from flinkproject_spark.operators.dedup import srp_signatures
 
         spark = batch.sparkSession
@@ -244,6 +255,20 @@ def srp_incremental_writer(
         try:
             idx = spark.read.parquet(sig_index_path)
             corpus = spark.read.parquet(corpus_path)
+        except AnalysisException:
+            # First batch: neither the signature index nor the corpus
+            # exists yet.  Only PATH_NOT_FOUND-class failures mean that —
+            # corrupt files / schema drift / IO errors must propagate, or
+            # the sink would silently skip cross-corpus dedup and admit
+            # duplicates (the invariant this writer exists to guarantee).
+            logging.getLogger(__name__).info(
+                "srp_incremental_writer batch %d: no index at %s yet; "
+                "skipping cross-corpus check",
+                batch_id,
+                sig_index_path,
+            )
+            idx = None
+        if idx is not None:
             cand_x = (
                 sig.join(idx.withColumnRenamed("vec_id", "vec_b"), ["band", "bucket"])
                 .select(F.col("vec_id").alias("vec_a"), "vec_b")
@@ -252,8 +277,6 @@ def srp_incremental_writer(
             dropped = _verified_pairs(cand_x, batch, corpus).select(
                 F.col("vec_a").alias("vec_id")
             ).distinct()
-        except Exception:
-            pass  # first batch: no index yet
         # within-batch: candidates through shared buckets, lower id wins
         s2 = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
         cand_in = (

@@ -663,7 +663,7 @@ def test_corpus_pipeline_v2_hygiene_invariants(spark, tables):
     # members pass the contamination gate they were filtered through
     kept = set(out["doc_id"])
     cont = dedup_ops.contamination_check(
-        text_ops.redact_pii(text_ops.seed_pii(train)).select(
+        text_ops.redact_pii(train).select(
             "doc_id", F.col("redacted").alias("text")
         ),
         bench,
@@ -671,7 +671,7 @@ def test_corpus_pipeline_v2_hygiene_invariants(spark, tables):
     bad = set(cont[cont["contamination_pct"] > 0.2]["doc_id"])
     assert kept.isdisjoint(bad)
     # members are exact-dedup keepers of their redacted text: unique hashes
-    red = text_ops.redact_pii(text_ops.seed_pii(train)).toPandas()
+    red = text_ops.redact_pii(train).toPandas()
     red_kept = red[red["doc_id"].isin(kept)]
     assert red_kept["redacted"].is_unique
 

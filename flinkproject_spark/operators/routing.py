@@ -156,12 +156,16 @@ def upsert_parquet(df: DataFrame, path: str, pk: str, n_buckets: int = UPSERT_BU
     """
     from pyspark.sql import Window
 
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     bucket = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_buckets)).alias("pk_bucket")
     incoming = df.withColumn("pk_bucket", bucket)
     try:
         existing = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # Path-not-found = first upsert creates the table; corrupt/IO
+        # failures propagate rather than silently clobbering the dim.
         incoming.write.mode("overwrite").partitionBy("pk_bucket").parquet(path)
         return
     touched = [r[0] for r in incoming.select("pk_bucket").distinct().collect()]

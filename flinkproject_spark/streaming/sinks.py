@@ -145,6 +145,51 @@ def start_idempotent_parquet_sink(
     )
 
 
+def dim_enriching_writer(
+    out_path: str,
+    dim_path: str,
+    on: tuple[str, str],
+    how: str = "left",
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch dim enrichment with a FRESH dim snapshot — the Spark
+    analog of the reference's cache invalidation on dim update
+    (app/function/DimSinkFunction.java:49-51 deletes the Redis key when the
+    dim row changes, so DimAsyncFunction's next lookup reads the new value).
+    Spark has no lookup cache to invalidate; the equivalent freshness
+    guarantee is to re-read (and re-broadcast) the dim table INSIDE
+    foreachBatch, so an `upsert_parquet` landing between micro-batches is
+    visible to the very next batch.
+
+    The trap this sink exists to avoid: a stream-static join planned ONCE
+    (`spark.read.parquet(dim)` OUTSIDE foreachBatch) pins the parquet file
+    listing at plan time — dynamic-partition-overwrite upserts then leave
+    the join serving deleted files or stale rows for the life of the query.
+
+    Enriched rows append under `{out_path}` with the batch id stamped, so
+    tests (and audits) can see exactly which trigger saw which dim version.
+    Null-on-miss via the default left join (A9 semantics).
+
+    At 100 TB: dims are broadcast-sized by definition, so the per-trigger
+    re-read is one small scan + broadcast; on Delta the same foreachBatch
+    body reads a snapshot version, giving per-batch snapshot isolation.
+    """
+    stream_key, dim_pk = on
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        dim = spark.read.parquet(dim_path)
+        if "pk_bucket" in dim.columns:  # upsert_parquet layout detail
+            dim = dim.drop("pk_bucket")
+        joined = batch.join(
+            F.broadcast(dim), batch[stream_key] == dim[dim_pk], how
+        ).drop(dim_pk)
+        joined.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return fn
+
+
 def incremental_dedup_writer(
     corpus_path: str, index_path: str
 ) -> Callable[[DataFrame, int], None]:

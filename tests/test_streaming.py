@@ -347,6 +347,81 @@ def test_province_stats_stream_static_matches_batch(spark, sf_dir, orders_staged
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_dim_update_mid_replay_visible_next_batch(spark, sf_dir, tmp_path_factory):
+    """B6/B8 dim freshness — the reference invalidates the Redis cache when a
+    dim row changes (app/function/DimSinkFunction.java:49-51), so the NEXT
+    enrichment lookup sees the update. Spark analog under test:
+    sinks.dim_enriching_writer re-reads the dim snapshot inside foreachBatch,
+    so an upsert_parquet landing between micro-batches is reflected in the
+    very next batch's enrichment (and batches before the upsert keep the old
+    value — no retroactive rewrite)."""
+    base = tmp_path_factory.mktemp("dimfresh")
+    dim_path, out_path, stage_path = (
+        str(base / "dim"), str(base / "out"), str(base / "orders"),
+    )
+    customer = catalog.load_table(spark, sf_dir, "customer")
+    routing.upsert_parquet(
+        customer.select("c_custkey", "c_name"), dim_path, pk="c_custkey"
+    )
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    replay.stage_replay(
+        orders, stage_path, order_col="o_orderdate", tiebreak="o_orderkey",
+        chunks=2, heartbeat_keys=(),
+    )
+    # a customer ordering in BOTH micro-batches, so both dim versions get probed
+    c0 = spark.read.parquet(f"{stage_path}/00000.parquet").select("o_custkey")
+    c1 = spark.read.parquet(f"{stage_path}/00001.parquet").select("o_custkey")
+    shared = int(c0.intersect(c1).orderBy("o_custkey").first()[0])
+    orig_name = customer.filter(F.col("c_custkey") == shared).first()["c_name"]
+
+    enrich = sinks.dim_enriching_writer(
+        out_path, dim_path, on=("o_custkey", "c_custkey")
+    )
+
+    def fn(batch, batch_id):
+        enrich(batch, batch_id)
+        if batch_id == 0:  # the mid-replay dim update (a CDC writer racing us)
+            routing.upsert_parquet(
+                spark.createDataFrame(
+                    [(shared, "UPDATED-NAME")], "c_custkey bigint, c_name string"
+                ),
+                dim_path,
+                pk="c_custkey",
+            )
+
+    q = (
+        replay.read_replay(spark, stage_path)
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    out = spark.read.parquet(out_path)
+    assert out.count() == orders.count()  # every order enriched exactly once
+    assert sorted(r[0] for r in out.select("batch_id").distinct().collect()) == [0, 1]
+    by_batch = {
+        r.batch_id: r.c_name
+        for r in out.filter(F.col("o_custkey") == shared)
+        .select("batch_id", "c_name").distinct().collect()
+    }
+    assert by_batch[0] == orig_name        # pre-upsert batch: old value
+    assert by_batch[1] == "UPDATED-NAME"   # first post-upsert batch: fresh value
+    # untouched keys still enrich to the original dim in batch 1
+    others = (
+        out.filter((F.col("batch_id") == 1) & (F.col("o_custkey") != shared))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), F.col("c_name").alias("want")
+            ),
+            "o_custkey",
+        )
+    )
+    assert others.filter(F.col("c_name") != F.col("want")).count() == 0
+
+
 def test_interval_join_two_streams_matches_batch(spark, sf_dir, orders_staged, tmp_path_factory):
     lineitem = catalog.load_table(spark, sf_dir, "lineitem")
     li_path = str(tmp_path_factory.mktemp("replay") / "lineitem")

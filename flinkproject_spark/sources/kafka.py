@@ -38,6 +38,31 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+def kafka_reader_options(
+    topic: str,
+    servers: str = DEFAULT_SERVERS,
+    group_id: str | None = None,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """B1 contract — the EXACT option surface of the reference consumer
+    (MyKafkaUtil.java:46-55: bootstrap servers + topic + group id), as a
+    pure dict so tests pin it against golden fixtures without a broker.
+
+    Offset posture delta vs Flink: Spark tracks offsets in the query
+    checkpoint, not the consumer group — `kafka.group.id` is still set for
+    broker-side ACL/quota/monitoring parity, and `startingOffsets` only
+    applies on first start (checkpoint wins thereafter).
+    """
+    opts = {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if group_id:
+        opts["kafka.group.id"] = group_id
+    return opts
+
+
 def kafka_reader(
     spark: SparkSession,
     topic: str,
@@ -48,16 +73,14 @@ def kafka_reader(
     """B1 — the FlinkKafkaConsumer analog (MyKafkaUtil.java:46-55).
 
     Returns the configured DataStreamReader; `.load()` yields the standard
-    (key, value, topic, partition, offset, timestamp) frame.
+    (key, value, topic, partition, offset, timestamp) frame. All options
+    come from :func:`kafka_reader_options` (the contract-tested surface).
     """
-    r = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if group_id:
-        r = r.option("kafka.group.id", group_id)
+    r = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        topic, servers=servers, group_id=group_id, starting_offsets=starting_offsets
+    ).items():
+        r = r.option(k, v)
     return r
 
 
@@ -87,13 +110,34 @@ def json_topic(
     return kafka_reader(spark, topic, servers), parse
 
 
+def kafka_writer_options(
+    servers: str = DEFAULT_SERVERS, topic: str | None = None
+) -> dict[str, str]:
+    """B2 contract — the producer option surface (MyKafkaUtil.java:25-38).
+    With `topic=None` the sink routes per-record from the frame's `topic`
+    column (the dynamic `sinkTable` trick); a fixed topic pins it here.
+
+    Delivery-semantics delta vs the reference's EXACTLY_ONCE transactional
+    producer (MyKafkaUtil.java:29-38): Spark's Kafka sink is at-least-once
+    on top of checkpointed offsets; exactly-once OUTPUT is recovered either
+    downstream (consume with dedupe on a batch-deterministic key) or by the
+    batchId-keyed idempotent file sink (streaming.sinks
+    .idempotent_parquet_writer, replay-tested).
+    """
+    opts = {"kafka.bootstrap.servers": servers}
+    if topic:
+        opts["topic"] = topic
+    return opts
+
+
 def kafka_writer(df: DataFrame, servers: str = DEFAULT_SERVERS, topic: str | None = None):
     """B2 — producer sink builder. With `topic=None` the frame must carry a
     `topic` column (per-record dynamic routing, the `sinkTable` trick at
     MyKafkaUtil.java:29-38 / BaseDBApp.java:93-99); see
     streaming.sinks.kafka_value_frame for shaping rows into (topic, value).
+    All options come from :func:`kafka_writer_options`.
     """
-    w = df.writeStream.format("kafka").option("kafka.bootstrap.servers", servers)
-    if topic:
-        w = w.option("topic", topic)
+    w = df.writeStream.format("kafka")
+    for k, v in kafka_writer_options(servers=servers, topic=topic).items():
+        w = w.option(k, v)
     return w

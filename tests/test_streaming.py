@@ -235,6 +235,58 @@ def test_kafka_value_frame_shape(spark):
     assert '"id":1' in rows["t1"] and '"v":"b"' in rows["t2"]
 
 
+def test_kafka_reader_contract_golden(spark):
+    """B1/B3 contract: the exact consumer option surface the builders emit,
+    pinned as golden fixtures (MyKafkaUtil.java:46-55 — servers + topic +
+    group id; SQL connector :63-70 adds only the from_json projection).
+    No broker needed: the contract IS the options dict; kafka_reader applies
+    it verbatim."""
+    from flinkproject_spark.sources import kafka
+
+    assert kafka.kafka_reader_options("ods_base_log", group_id="base_log_app_group") == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "ods_base_log",
+        "startingOffsets": "latest",
+        "kafka.group.id": "base_log_app_group",
+    }
+    # multi-broker + replay-from-start posture
+    assert kafka.kafka_reader_options(
+        "ods_base_db", servers="b1:9092,b2:9092", starting_offsets="earliest"
+    ) == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "ods_base_db",
+        "startingOffsets": "earliest",
+    }
+    # builder constructs broker-free (the jar is only needed at .load())
+    assert kafka.kafka_reader(spark, "ods_base_log", group_id="g") is not None
+
+
+def test_kafka_writer_contract_golden(spark):
+    """B2 contract: producer options golden (fixed topic MyKafkaUtil.java:25-27
+    vs dynamic per-record topic :29-38), and the sink-ready wire frame is
+    EXACTLY (topic string, value string) — the shape format('kafka') requires."""
+    from flinkproject_spark.sources import kafka
+
+    assert kafka.kafka_writer_options() == {
+        "kafka.bootstrap.servers": "localhost:9092"
+    }
+    assert kafka.kafka_writer_options(servers="b1:9092", topic="dwd_page_log") == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "topic": "dwd_page_log",
+    }
+    df = spark.createDataFrame([(1, "a", "t1")], ["id", "v", "sink"])
+    wire = sinks.kafka_value_frame(df, topic_col="sink")
+    assert wire.schema.simpleString() == "struct<topic:string,value:string>"
+    fixed = sinks.kafka_value_frame(df.drop("sink"), topic="dwd_fixed")
+    assert fixed.schema.simpleString() == "struct<topic:string,value:string>"
+    # writer builder applies the golden options and accepts a STREAMING wire
+    # frame (writeStream requires one; the rate source stands in broker-free)
+    stream_wire = sinks.kafka_value_frame(
+        spark.readStream.format("rate").load(), topic="dwd_fixed"
+    )
+    assert kafka.kafka_writer(stream_wire, topic="dwd_fixed") is not None
+
+
 def test_kafka_wire_format_roundtrip_dynamic_topic(spark, sf_dir):
     """Producer->consumer wire-format round trip WITHOUT a broker: shape
     rows with kafka_value_frame (per-record dynamic topic, the reference's

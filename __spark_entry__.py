@@ -145,6 +145,15 @@ def q_a12_bounce_strict(spark, sf):
     return state.detect_bounces_strict(_t(spark, sf, "events"))
 
 
+def q_a12_bounce_cep(spark, sf):
+    """A12 via the GENERALIZED CEP operator (operators/cep.py): bounce as a
+    begin(entry).next(entry).within instance — same oracle as the strict
+    twin, different engine path (shared NFA core, applyInPandas)."""
+    from flinkproject_spark.operators import cep
+
+    return cep.detect_bounces_cep(_t(spark, sf, "events"))
+
+
 def q_a13_sessionize(spark, sf):
     out = state.sessionize(_t(spark, sf, "events"))
     return out.select(
@@ -236,6 +245,17 @@ def q_dedup_exact(spark, sf):
 
 def q_dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_precision(spark, sf):
+    """128-hash/16-band published-practice MinHash tier (VERDICT r03 #4)."""
+    return dedup.minhash_lsh_dedup_precision(_t(spark, sf, "documents"))
+
+
+def q_minhash_pr_report(spark, sf):
+    """Measured candidate precision/recall of the 128/16 tier vs the exact
+    inverted-index ground truth."""
+    return dedup.minhash_precision_recall(_t(spark, sf, "documents"))
 
 
 def q_dedup_minhash_xx(spark, sf):
@@ -705,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only-by-design queries sit at the very end.
     return {
         # -- round-4 additions slot in here (inside the verified window)
+        "dedup_minhash_precision": q_dedup_minhash_precision,
+        "minhash_pr_report": q_minhash_pr_report,
+        "a12_bounce_cep": q_a12_bounce_cep,
         # -- last driver-checked in r02 (positions 51-88 of the r03 dict);
         #    rotated into the window per VERDICT r03 #1 so CORRECTNESS_r04
         #    re-proves them on regenerated testdata
@@ -825,23 +848,27 @@ sh AS (
 )"""
 
 
-def _minhash_sql() -> str:
+def _minhash_core(num_hashes: int = 16, bands: int = 4) -> str:
+    """CTE block `ex -> based -> mh -> banded -> cand` for an arbitrary
+    (num_hashes, bands) LSH configuration — mirrors minhash_signatures +
+    lsh_candidate_pairs. Assumes a preceding `sh` CTE (_SHINGLES)."""
     from flinkproject_spark.functions import MINHASH_P, minhash_coeffs
 
+    rpb = num_hashes // bands
     mins = ",\n    ".join(
         "min(({a} * hb + {b}) % {p}) AS h{i}".format(
             a=minhash_coeffs(i)[0], b=minhash_coeffs(i)[1], p=MINHASH_P, i=i
         )
-        for i in range(16)
+        for i in range(num_hashes)
     )
-    bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(h{4*b}::VARCHAR || ',' || h{4*b+1}::VARCHAR || ',' "
-        f"|| h{4*b+2}::VARCHAR || ',' || h{4*b+3}::VARCHAR) AS bucket FROM mh"
-        for b in range(4)
+    band_sqls = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM mh".format(
+            b=b,
+            concat=" || ',' || ".join(f"h{b*rpb+r}::VARCHAR" for r in range(rpb)),
+        )
+        for b in range(bands)
     )
-    return f"""
-WITH {_SHINGLES.strip()},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    return f"""ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 based AS (SELECT doc_id, ({H64.format(x='s')} % {MINHASH_P}) AS hb FROM ex),
 mh AS (
   SELECT doc_id,
@@ -849,13 +876,21 @@ mh AS (
   FROM based GROUP BY doc_id
 ),
 banded AS (
-{bands}
+{band_sqls}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH {_SHINGLES.strip()},
+{_minhash_core(num_hashes, bands)}
 SELECT doc_a, doc_b,
        round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
              / (len(sa.shingles) + len(sb.shingles)
@@ -865,7 +900,50 @@ JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
 WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
       / (len(sa.shingles) + len(sb.shingles)
-         - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= 0.5
+         - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE >= {threshold}
+"""
+
+
+def _minhash_pr_report_sql(
+    num_hashes: int = dedup.PRECISION_NUM_HASHES,
+    bands: int = dedup.PRECISION_BANDS,
+    threshold: float = dedup.PRECISION_THRESHOLD,
+) -> str:
+    """Oracle twin of minhash_precision_recall: exact ground truth via the
+    unblocked inverted shingle index, LSH candidates via _minhash_core,
+    full-outer metrics."""
+    return f"""
+WITH {_SHINGLES.strip()},
+{_minhash_core(num_hashes, bands)},
+exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+nsh AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN nsh na ON na.doc_id = doc_a
+  JOIN nsh nb ON nb.doc_id = doc_b
+  WHERE inter::DOUBLE / (na.n_sh + nb.n_sh - inter)::DOUBLE >= {threshold}
+),
+joined AS (
+  SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+         t.doc_a IS NOT NULL AS is_true,
+         c.doc_a IS NOT NULL AS is_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(CASE WHEN is_true THEN 1 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN is_cand THEN 1 END) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 END) AS BIGINT) AS n_hit,
+       round(SUM(CASE WHEN is_true AND is_cand THEN 1 END)::DOUBLE
+             / SUM(CASE WHEN is_true THEN 1 END)::DOUBLE, 6) AS recall,
+       round(SUM(CASE WHEN is_true AND is_cand THEN 1 END)::DOUBLE
+             / SUM(CASE WHEN is_cand THEN 1 END)::DOUBLE, 6) AS precision
+FROM joined
 """
 
 
@@ -1011,7 +1089,7 @@ _LANG_CASE = "CASE " + " ".join(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "a1_project_orders": f"""
             SELECT o_orderkey AS order_id, o_custkey AS user_id,
                    o_orderstatus AS order_status,
@@ -1253,6 +1331,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
             FROM documents GROUP BY 1""",
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_precision": _minhash_sql(
+            dedup.PRECISION_NUM_HASHES, dedup.PRECISION_BANDS, dedup.PRECISION_THRESHOLD
+        ),
+        "minhash_pr_report": _minhash_pr_report_sql(),
         "dedup_clusters": _clusters_sql(),
         "dedup_clusters_star": _clusters_sql(),
         "text_redact_pii": r"""
@@ -1849,6 +1931,10 @@ def oracle_sql() -> dict[str, str]:
             FROM pos p JOIN off o USING (shard)""",
         "corpus_pack": _corpus_pack_sql(),
     }
+    # the CEP-instance bounce is semantically identical to the strict twin;
+    # they share one oracle (UserJumpDetailApp.java:68-117 branches)
+    d["a12_bounce_cep"] = d["a12_bounce_strict"]
+    return d
 
 
 def _corpus_sample_sql() -> str:

@@ -189,6 +189,122 @@ def minhash_lsh_dedup(
     return jaccard_verify(cands, shingled, threshold)
 
 
+# Published-practice LSH setting (e.g. Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better": ~128 permutations): 128
+# hashes in 16 bands of 8 rows puts the S-curve midpoint at
+# (1/16)^(1/8) ~= 0.707 with a much sharper transition than the 16/4
+# demo tier — fewer false candidates below the threshold AND fewer
+# missed pairs above it.
+PRECISION_NUM_HASHES = 128
+PRECISION_BANDS = 16
+PRECISION_THRESHOLD = 0.7
+
+
+def minhash_lsh_dedup_precision(
+    documents: DataFrame, n: int = 3, hash_fn: HashFn | None = None
+) -> DataFrame:
+    """The production-precision MinHash tier: 128 hashes / 16 bands, tau=0.7.
+
+    Same plan shape as the demo tier (single banding explode, grouped
+    bucket expansion, one shuffle per stage) — only the constants change,
+    so the 100 TB properties carry over. The wider signature costs 128
+    integer affine transforms per shingle row, all map-side.
+    """
+    return minhash_lsh_dedup(
+        documents,
+        num_hashes=PRECISION_NUM_HASHES,
+        bands=PRECISION_BANDS,
+        n=n,
+        threshold=PRECISION_THRESHOLD,
+        hash_fn=hash_fn,
+    )
+
+
+def exact_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT ground-truth near-dup pairs: every pair with true shingle
+    Jaccard >= threshold, with no LSH and no blocking approximation.
+
+    Exact without O(n^2): for threshold > 0 a qualifying pair must share
+    at least one shingle, so the unblocked inverted shingle index (posting
+    list per shingle -> pair expansion -> shared-shingle count) generates a
+    superset of the truth and the Jaccard filter finishes the job. This is
+    `blocked_ngram_jaccard` minus the (lang, len_band) blocking — the
+    calibration oracle for measuring LSH recall, not the at-scale dedup
+    path (posting lists for stop-shingles are unbounded without blocking).
+    """
+    rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
+    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    postings = (
+        rows.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    inter = (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter").cast("double")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_precision_recall(
+    documents: DataFrame,
+    num_hashes: int = PRECISION_NUM_HASHES,
+    bands: int = PRECISION_BANDS,
+    n: int = 3,
+    threshold: float = PRECISION_THRESHOLD,
+    hash_fn: HashFn | None = None,
+) -> DataFrame:
+    """Measured candidate-generation quality of an LSH configuration
+    against the exact ground truth (`exact_jaccard_pairs`).
+
+    Returns ONE row: (n_true, n_cand, n_hit, recall, precision) where
+    recall = hit/true (fraction of real >=threshold pairs the bands
+    surface) and precision = hit/cand (fraction of surfaced candidates
+    that are real — the wasted-verification rate is 1 - precision).
+    Post-verification output precision is always 1.0 by construction
+    (jaccard_verify filters); these metrics price the candidate stage,
+    which is what the bands/rows knobs trade off.
+
+    Calibration utility: run it on a sample to pick (num_hashes, bands)
+    for a corpus, the same role `recall_at_k` plays for the IVF tier.
+    """
+    truth = exact_jaccard_pairs(documents, n, threshold)
+    sigs = minhash_signatures(documents, num_hashes, n, hash_fn=hash_fn)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    t = truth.select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+    c = cands.select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
+    joined = t.join(c, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum("is_cand").cast("bigint").alias("n_cand"),
+        F.sum(
+            F.when(F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), 1)
+        ).cast("bigint").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+    )
+
+
 def xxhash64_mod(col: Column) -> Column:
     """The production-tier shingle hash: one JVM xxhash64 (no md5 string
     round-trip), reduced into the MinHash field. NOT cross-engine

@@ -284,6 +284,90 @@ def detect_bounces_stream(
 
 
 # ---------------------------------------------------------------------------
+# Generalized CEP pattern operator (streaming form of operators.cep)
+# ---------------------------------------------------------------------------
+def cep_pattern_stream(
+    events: DataFrame,
+    steps: list,
+    within_s: int,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming `begin -> next(strict) -> within` pattern matching: the
+    same machine as the batch `operators.cep.cep_pattern` (shared
+    `advance_machine` core), driven by `applyInPandasWithState` with an
+    event-time timer per live partial match so the timeout branch fires on
+    silence, not just on later data — the full Flink-CEP timeout
+    side-output analog (UserJumpDetailApp.java:101-117).
+
+    State = (JSON partial match, last event second); both O(pattern
+    length). The timer sits at first_matched_ts + within_s, watermark-
+    bounded, so state cannot outlive the pattern budget.
+    """
+    from flinkproject_spark.operators import cep
+
+    events, preds = cep._compile_steps(events, steps)
+    n = len(preds)
+    out_schema = cep.output_schema(n, key_col)
+    pcols = [c for c in events.columns if c.startswith("__cep_p")]
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if key[0] == HEARTBEAT_ID:
+            return
+        blob, last_s = state.get if state.exists else (None, None)
+        partial = cep.deserialize_partial(blob)
+        if state.hasTimedOut:
+            state.update((cep.serialize_partial([]), last_s))
+            if partial:
+                yield pd.DataFrame(
+                    [cep._emit_row(int(key[0]), "timeout", partial, n, key_col)]
+                )
+            return
+        pdf = _ordered(pdfs)
+        if not len(pdf):
+            return
+        pdf = pdf.assign(ts_s=_ts_ms(pdf["ts"]) // 1000)
+        recs = pdf[["event_id", "ts_s", "event_type", *pcols]].to_dict("records")
+        emissions, partial, last_s = cep.advance_machine(
+            recs, partial, None if last_s is None else int(last_s), preds, within_s
+        )
+        state.update((cep.serialize_partial(partial), int(last_s)))
+        if partial:
+            _safe_timeout(state, (partial[0][1] + within_s) * 1000)
+        if emissions:
+            yield pd.DataFrame(
+                [cep._emit_row(int(key[0]), kind, p, n, key_col) for kind, p in emissions]
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="partial string, last_s bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def detect_bounces_cep_stream(
+    events: DataFrame, session_gap_min: int = 30, bounce_gap_min: int = 10
+) -> DataFrame:
+    """A12 as a `cep_pattern_stream` instance — begin(entry).next(entry)
+    .within(bounce_gap), both branches projecting the first step's event.
+    Replay-parity with the oracle-checked batch twins is pinned by test."""
+    from pyspark.sql import functions as F
+
+    from flinkproject_spark.operators import cep
+
+    entry = cep.session_entry_pred(session_gap_min)
+    pat = cep_pattern_stream(events, [entry, entry], within_s=bounce_gap_min * 60)
+    return pat.select(
+        F.col("s0_event_id").alias("event_id"),
+        F.col("s0_ts").alias("ts"),
+        "user_id",
+        F.col("s0_event_type").alias("event_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Conversion funnel as a keyed state machine (analytics.funnel's twin)
 # ---------------------------------------------------------------------------
 def funnel_stream(

@@ -160,6 +160,33 @@ def test_bounce_stream_matches_batch_incl_timeout_path(spark, events, staged):
     assert got.select("user_id").distinct().count() == events.select("user_id").distinct().count()
 
 
+def test_cep_bounce_stream_matches_batch(spark, events, staged):
+    """The generalized-CEP instance of bounce (begin(entry).next(entry)
+    .within) replayed against the oracle-checked batch operator — both
+    timer-driven and data-driven timeout paths exercised."""
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.detect_bounces_cep_stream(wm))
+    want = state.detect_bounces(events)  # == strict at default params
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_cep_stream_sql_pattern_matches_batch(spark, events, staged):
+    """General streaming/batch parity of the CEP operator on a pattern with
+    JVM SQL predicates (view -> click within 5 min) over the full events
+    replay — the shared `advance_machine` core makes this structural, but
+    the timer wiring and state round-trip are streaming-only code."""
+    from flinkproject_spark.operators import cep
+
+    steps = ["event_type = 'view'", "event_type = 'click'"]
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.cep_pattern_stream(wm, steps, within_s=300))
+    want = cep.cep_pattern(events, steps, within_s=300)
+    cols = want.columns
+    assert got.count() > 0
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
 def test_unique_visits_dropdup_counts(spark, events, staged):
     got = replay.run_to_table(jobs.unique_visits_dropdup_stream(_stream(spark, staged)))
     want = state.unique_visits(events)
@@ -552,6 +579,43 @@ def test_redact_pii_streams_stateless(spark, sf_dir, tmp_path):
 
 
 # --- checkpoint recovery: stop mid-replay, restart, exactly-once output ----
+
+def test_stateful_ops_under_rocksdb_state_store(spark, events, staged):
+    """The production state-backend posture (VERDICT r03 #8): the same
+    applyInPandasWithState operators run unchanged on Spark's bundled
+    RocksDB state store provider (SPARK_GRAFT_STATE_STORE=rocksdb wires it
+    into the session factory; here the runtime conf is set directly so one
+    session exercises both providers). Timer + state round-trip semantics
+    must be provider-independent: bounce (event-time timers, JSON-free
+    tuple state) replayed under RocksDB == the oracle-checked batch twin."""
+    from flinkproject_spark.session import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+        got = replay.run_to_table(stateful.detect_bounces_stream(wm))
+        want = state.detect_bounces(events)
+        cols = want.columns
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
+def test_state_store_env_flag_selects_rocksdb(monkeypatch):
+    from flinkproject_spark import session as sess
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    assert sess.state_store_conf() == {}
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    assert sess.state_store_conf() == {
+        "spark.sql.streaming.stateStore.providerClass": sess.ROCKSDB_PROVIDER
+    }
+
 
 def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path):
     """The reference leaves checkpointing commented out (FlinkCDC.java:22-30);

@@ -111,6 +111,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "headline_total": round(sum(timings[q] for q in HEADLINE), 3),
+        # query count next to the total so cross-round comparisons of
+        # full_query_set_total stay apples-to-apples as the surface grows
+        "n_queries": len(timings),
         "repeats": REPEATS,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -173,6 +173,7 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_ratio: float = 0.8,
     min_distinct_stopwords: int = 2,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Gopher-style rule bundle (Rae et al. 2021 §A1.1 heuristics, the
     standard pre-training quality gate): each rule is a NAMED boolean
@@ -200,8 +201,13 @@ def gopher_quality_flags(
     stop_ct = F.size(
         F.array_intersect(F.array_distinct("x"), F.array(*[F.lit(s) for s in STOPWORDS]))
     )
+    # passthrough=True keeps every input column alongside the flags so a
+    # pipeline can CHAIN this as a filter (`.filter("keep")`) instead of
+    # joining flag rows back to the corpus — a join whose both sides derive
+    # from the same subplan, which Catalyst re-executes per side.
+    base_cols = documents.columns if passthrough else ["doc_id"]
     flags = d.select(
-        "doc_id",
+        *base_cols,
         F.size("x").cast("bigint").alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(n_sym / n_chars, 6).alias("symbol_ratio"),
@@ -487,7 +493,7 @@ def seed_pii(documents: DataFrame) -> DataFrame:
     return documents.withColumn("text", t)
 
 
-def redact_pii(documents: DataFrame) -> DataFrame:
+def redact_pii(documents: DataFrame, passthrough: bool = False) -> DataFrame:
     """Scrub PII spans to <CLASS> placeholder tokens, reporting per-doc
     match counts per class — the audit trail a compliance pass needs.
 
@@ -510,8 +516,12 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     red = F.col("text")
     for name, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"<{name}>")
+    # passthrough=True carries every input column so a pipeline can swap
+    # `redacted` in for `text` without joining doc metadata back (a
+    # self-join that re-executes the scan+regex subplan per side).
+    base_cols = documents.columns if passthrough else ["doc_id"]
     return documents.select(
-        "doc_id",
+        *base_cols,
         *counts,
         sum(
             (F.regexp_count("text", F.lit(p)).cast("bigint") for _, p in PII_PATTERNS),

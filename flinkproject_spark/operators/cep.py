@@ -22,7 +22,8 @@ Semantics (Flink CEP `begin/next/within` subset):
   `timeout` row carrying the steps matched so far (Flink's timeout
   side-output). Timeouts are detected both by a later event arriving past
   the deadline (event-time proof) and — in streaming — by the watermark
-  timer, so silence also fires them;
+  timer, so silence also fires them; in batch, end-of-key-data is the
+  watermark reaching +inf, so a live partial match flushes as a timeout;
 - a completed match emits a `match` row with every step's event; the
   completing event is then re-tested against step 0 so back-to-back
   matches chain (the behavior the gap-derived entry predicate needs, and
@@ -32,54 +33,63 @@ Predicates come in two tiers:
 
 - a SQL boolean expression string — evaluated JVM-side (whole-stage
   codegen) into a precomputed column BEFORE the state machine, so the
-  Python loop only reads a bool. The preferred form for stateless
+  Python loop only reads a bool array. The preferred form for stateless
   predicates;
 - a Python callable ``(row: dict, gap_s: int | None) -> bool`` where
   `gap_s` is the whole-second gap to the key's PREVIOUS event (None for
   the first) — for predicates that need the inter-event gap (the
   reference's `lastPageId == null` session-entry is exactly this once
-  page metadata is gap-derived).
+  page metadata is gap-derived). A callable may carry a ``.vectorized``
+  attribute (`fn(gaps: int64 ndarray) -> bool ndarray`, GAP_NONE == no
+  previous event) to stay on the array path; plain callables fall back
+  to per-row evaluation.
 
-Scale posture: one shuffle on the key column, then a per-key sequential
-machine over (ts, event_id)-ordered rows — the same cost shape as any
-keyed CEP engine. State is O(pattern length) per key; in streaming every
-partial match carries a watermark-bounded timer, so state cannot outlive
-`within_s` + watermark delay.
+Execution shape (the part that matters at 100 TB):
+
+- ONE shuffle: `repartition(key).sortWithinPartitions(key, ts, id)` then
+  `mapInPandas` over whole partitions — NOT `groupBy(key).applyInPandas`,
+  whose per-group pandas invocation costs ~1 ms and dominated wall time
+  at 10^4-10^6 keys (measured 11 s -> ~1.5 s at sf0.1 on this exact
+  operator). Key boundaries are detected inside the sequential scan;
+  cross-Arrow-batch machine state carries through the partition iterator.
+- Per batch, every predicate evaluates VECTORIZED into a bool matrix
+  (SQL columns / .vectorized callables); the per-row Python loop does
+  only integer compares and list appends. Per-key state is O(pattern
+  length).
 """
 
 from __future__ import annotations
 
 import json
-from typing import Any, Callable, Iterable, Sequence
+from typing import Any, Callable, Iterable, Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-StepPred = "str | Callable[[dict, int | None], bool]"
-
 _TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+#: sentinel in gap arrays for "this key has no previous event"
+GAP_NONE = -1
 
 
 def _compile_steps(
     events: DataFrame, steps: Sequence[Any]
-) -> tuple[DataFrame, list[Callable[[dict, Any], bool]]]:
-    """Precompute string predicates as JVM boolean columns `__cep_p{i}`;
-    wrap everything into uniform (row_dict, gap_s) -> bool callables."""
-    preds: list[Callable[[dict, Any], bool]] = []
+) -> tuple[DataFrame, list, list]:
+    """Materialize string predicates as JVM boolean columns `__cep_p{i}`.
+
+    Returns (events_with_pred_cols, steps_list, is_sql_flags)."""
+    is_sql = []
     for i, s in enumerate(steps):
         if isinstance(s, str):
             events = events.withColumn(f"__cep_p{i}", F.expr(s).cast("boolean"))
-
-            def pred(row: dict, gap_s, i=i) -> bool:
-                return bool(row[f"__cep_p{i}"])
-
-            preds.append(pred)
+            is_sql.append(True)
         elif callable(s):
-            preds.append(s)
+            is_sql.append(False)
         else:  # pragma: no cover - guard
             raise TypeError(f"step {i}: expected SQL string or callable, got {type(s)}")
-    return events, preds
+    return events, list(steps), is_sql
 
 
 def output_schema(n_steps: int, key_col: str = "user_id") -> str:
@@ -89,67 +99,120 @@ def output_schema(n_steps: int, key_col: str = "user_id") -> str:
     return ", ".join(cols)
 
 
-def _emit_row(key: int, kind: str, partial: list, n_steps: int, key_col: str) -> dict:
-    row = {key_col: key, "match_kind": kind}
-    for i in range(n_steps):
-        if i < len(partial):
-            eid, ts_s, etype = partial[i]
-            row[f"s{i}_event_id"] = int(eid)
-            row[f"s{i}_ts"] = pd.Timestamp(ts_s, unit="s").strftime(_TS_FMT)
-            row[f"s{i}_event_type"] = etype
+def gap_array(
+    keys: np.ndarray, ts: np.ndarray, cur_key, last_s
+) -> np.ndarray:
+    """Vectorized per-row gap to the previous event of the SAME key
+    (GAP_NONE where none), honoring carried (cur_key, last_s) state from a
+    previous Arrow batch / micro-batch."""
+    m = len(ts)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    prev = np.empty(m, dtype=np.int64)
+    same = np.empty(m, dtype=bool)
+    prev[1:] = ts[:-1]
+    same[1:] = keys[1:] == keys[:-1]
+    if cur_key is not None and last_s is not None and keys[0] == cur_key:
+        prev[0], same[0] = int(last_s), True
+    else:
+        prev[0], same[0] = 0, False
+    return np.where(same, ts - prev, np.int64(GAP_NONE))
+
+
+def pred_matrix(
+    pdf: pd.DataFrame, gaps: np.ndarray, steps: Sequence[Any], is_sql: Sequence[bool]
+) -> np.ndarray:
+    """[n_rows x n_steps] bool matrix; vectorized wherever the step allows
+    (SQL column or .vectorized callable), per-row dicts only as fallback."""
+    m, n = len(pdf), len(steps)
+    P = np.empty((m, n), dtype=bool)
+    records = None
+    for i, step in enumerate(steps):
+        if is_sql[i]:
+            P[:, i] = pdf[f"__cep_p{i}"].fillna(False).to_numpy(dtype=bool)
+        elif hasattr(step, "vectorized"):
+            P[:, i] = step.vectorized(gaps)
         else:
-            row[f"s{i}_event_id"] = None
-            row[f"s{i}_ts"] = None
-            row[f"s{i}_event_type"] = None
-    return row
+            if records is None:
+                records = pdf.to_dict("records")
+            P[:, i] = [
+                step(r, None if g == GAP_NONE else int(g))
+                for r, g in zip(records, gaps)
+            ]
+    return P
 
 
-def advance_machine(
-    recs: Iterable[dict],
-    partial: list,
-    last_s: "int | None",
-    preds: Sequence[Callable[[dict, Any], bool]],
+def run_machine(
+    keys: np.ndarray,
+    eids: np.ndarray,
+    ts: np.ndarray,
+    etypes: np.ndarray,
+    P: np.ndarray,
     within_s: int,
-) -> tuple[list[tuple[str, list]], list, "int | None"]:
-    """The pure state machine, shared verbatim by the batch and streaming
-    forms (their replay-parity is structural, not coincidental).
-
-    `recs` must be (ts, event_id)-ordered dicts with `event_id`, `ts_s`
-    (whole seconds), `event_type`, plus any `__cep_p{i}` columns. Returns
-    (emissions, partial, last_s) where each emission is
-    ('match' | 'timeout', matched_steps).
-    """
-    out: list[tuple[str, list]] = []
-    n = len(preds)
-    for r in recs:
-        t = int(r["ts_s"])
-        gap = None if last_s is None else t - last_s
+    cur_key,
+    partial: list,
+) -> tuple[list, list, Any]:
+    """The sequential NFA core, shared verbatim by the batch and streaming
+    forms (their replay-parity is structural, not coincidental). Inputs are
+    (key, ts, event_id)-ordered arrays; a key change flushes the previous
+    key's live partial as a timeout (its data ended). Returns
+    (emissions, partial, cur_key) where each emission is
+    (key, 'match' | 'timeout', [(event_id, ts_s, event_type), ...])."""
+    out: list = []
+    n = P.shape[1]
+    for i in range(len(ts)):
+        k = keys[i]
+        if cur_key is None or k != cur_key:
+            if partial:
+                out.append((cur_key, "timeout", partial))
+            partial = []
+            cur_key = k
+        t = ts[i]
         # event-time proof of timeout: this event is past the deadline
         if partial and t > partial[0][1] + within_s:
-            out.append(("timeout", list(partial)))
+            out.append((k, "timeout", partial))
             partial = []
         consumed = False
         if partial:
-            if preds[len(partial)](r, gap):
-                partial.append((int(r["event_id"]), t, r["event_type"]))
+            if P[i, len(partial)]:
+                partial = partial + [(int(eids[i]), int(t), etypes[i])]
                 consumed = True
                 if len(partial) == n:
-                    out.append(("match", list(partial)))
+                    out.append((k, "match", partial))
                     # after-match: the completing event may seed a new attempt
                     partial = (
-                        [(int(r["event_id"]), t, r["event_type"])]
-                        if preds[0](r, gap)
-                        else []
+                        [(int(eids[i]), int(t), etypes[i])] if P[i, 0] else []
                     )
             else:
                 partial = []  # strict `next` contiguity: abort, no output
-        if not partial and not consumed and preds[0](r, gap):
-            partial = [(int(r["event_id"]), t, r["event_type"])]
+        if not partial and not consumed and P[i, 0]:
+            partial = [(int(eids[i]), int(t), etypes[i])]
             if n == 1:
-                out.append(("match", list(partial)))
+                out.append((k, "match", partial))
                 partial = []
-        last_s = t
-    return out, partial, last_s
+    return out, partial, cur_key
+
+
+def emissions_frame(emissions: list, n_steps: int, key_col: str) -> pd.DataFrame:
+    """Columnar output build: one DataFrame per batch of emissions, step
+    timestamps formatted in ONE vectorized strftime (not per value)."""
+    out = pd.DataFrame(
+        {
+            key_col: pd.Series([int(e[0]) for e in emissions], dtype="int64"),
+            "match_kind": [e[1] for e in emissions],
+        }
+    )
+    for i in range(n_steps):
+        eid = [e[2][i][0] if len(e[2]) > i else None for e in emissions]
+        tss = [float(e[2][i][1]) if len(e[2]) > i else np.nan for e in emissions]
+        ety = [e[2][i][2] if len(e[2]) > i else None for e in emissions]
+        out[f"s{i}_event_id"] = pd.Series(eid, dtype="object")
+        fmt = pd.to_datetime(pd.Series(tss, dtype="float64"), unit="s").dt.strftime(
+            _TS_FMT
+        )
+        out[f"s{i}_ts"] = fmt.where(fmt.notna(), None)
+        out[f"s{i}_event_type"] = pd.Series(ety, dtype="object")
+    return out
 
 
 def serialize_partial(partial: list) -> str:
@@ -168,46 +231,59 @@ def cep_pattern(
     within_s: int,
     key_col: str = "user_id",
 ) -> DataFrame:
-    """Batch form: groupBy(key).applyInPandas running the shared machine
-    over each key's (ts, event_id)-ordered events; end-of-data flushes any
-    live partial match as a `timeout` (batch end == watermark at +inf)."""
-    events, preds = _compile_steps(events, steps)
-    n = len(preds)
+    """Batch form: one shuffle co-locating each key, a within-partition
+    (key, ts, event_id) sort, then `mapInPandas` streaming whole Arrow
+    batches through the shared machine with cross-batch state carry —
+    end-of-data flushes any live partial match as a `timeout` (batch end
+    == watermark at +inf)."""
+    events, steps, is_sql = _compile_steps(events, steps)
+    n = len(steps)
     schema = output_schema(n, key_col)
-    pcols = [c for c in events.columns if c.startswith("__cep_p")]
+    pcols = [f"__cep_p{i}" for i in range(n) if is_sql[i]]
     proj = events.select(
         key_col,
         "event_id",
-        (F.unix_timestamp("ts")).alias("ts_s"),
+        F.unix_timestamp("ts").alias("ts_s"),
         "event_type",
         *pcols,
     )
+    part = proj.repartition(F.col(key_col)).sortWithinPartitions(
+        key_col, "ts_s", "event_id"
+    )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_s", "event_id"], kind="mergesort")
-        key = int(pdf[key_col].iloc[0])
-        recs = pdf.to_dict("records")
-        emissions, partial, _ = advance_machine(recs, [], None, preds, within_s)
-        if partial:
-            emissions.append(("timeout", partial))
-        rows = [_emit_row(key, kind, p, n, key_col) for kind, p in emissions]
-        if not rows:
-            return pd.DataFrame(
-                {f.split(" ")[0]: pd.Series(dtype="object") for f in schema.split(", ")}
+    def run_part(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key, partial, last_s = None, [], None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy()
+            eids = pdf["event_id"].to_numpy()
+            ts = pdf["ts_s"].to_numpy()
+            etypes = pdf["event_type"].to_numpy()
+            gaps = gap_array(keys, ts, cur_key, last_s)
+            P = pred_matrix(pdf, gaps, steps, is_sql)
+            emissions, partial, cur_key = run_machine(
+                keys, eids, ts, etypes, P, within_s, cur_key, partial
             )
-        return pd.DataFrame(rows)
+            last_s = int(ts[-1])
+            if emissions:
+                yield emissions_frame(emissions, n, key_col)
+        if partial:
+            yield emissions_frame([(cur_key, "timeout", partial)], n, key_col)
 
-    return proj.groupBy(key_col).applyInPandas(run, schema)
+    return part.mapInPandas(run_part, schema)
 
 
 def session_entry_pred(session_gap_min: int = 30):
     """The reference's `lastPageId == null` session-entry predicate,
-    gap-derived: first event ever, or > session_gap after the previous."""
+    gap-derived: first event ever, or > session_gap after the previous.
+    Carries a .vectorized form so the matrix build stays on numpy."""
     gap_s = session_gap_min * 60
 
     def pred(row: dict, gap) -> bool:
         return gap is None or gap > gap_s
 
+    pred.vectorized = lambda gaps: (gaps == GAP_NONE) | (gaps > gap_s)
     return pred
 
 

@@ -303,12 +303,13 @@ def cep_pattern_stream(
     length). The timer sits at first_matched_ts + within_s, watermark-
     bounded, so state cannot outlive the pattern budget.
     """
+    import numpy as np
+
     from flinkproject_spark.operators import cep
 
-    events, preds = cep._compile_steps(events, steps)
-    n = len(preds)
+    events, steps, is_sql = cep._compile_steps(events, steps)
+    n = len(steps)
     out_schema = cep.output_schema(n, key_col)
-    pcols = [c for c in events.columns if c.startswith("__cep_p")]
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if key[0] == HEARTBEAT_ID:
@@ -318,25 +319,32 @@ def cep_pattern_stream(
         if state.hasTimedOut:
             state.update((cep.serialize_partial([]), last_s))
             if partial:
-                yield pd.DataFrame(
-                    [cep._emit_row(int(key[0]), "timeout", partial, n, key_col)]
-                )
+                yield cep.emissions_frame([(int(key[0]), "timeout", partial)], n, key_col)
             return
         pdf = _ordered(pdfs)
         if not len(pdf):
             return
-        pdf = pdf.assign(ts_s=_ts_ms(pdf["ts"]) // 1000)
-        recs = pdf[["event_id", "ts_s", "event_type", *pcols]].to_dict("records")
-        emissions, partial, last_s = cep.advance_machine(
-            recs, partial, None if last_s is None else int(last_s), preds, within_s
+        k0 = int(key[0])
+        ts = (_ts_ms(pdf["ts"]) // 1000).to_numpy()
+        keys = np.full(len(pdf), k0, dtype=np.int64)
+        gaps = cep.gap_array(keys, ts, k0, None if last_s is None else int(last_s))
+        pdf = pdf.assign(ts_s=ts)
+        P = cep.pred_matrix(pdf, gaps, steps, is_sql)
+        emissions, partial, _ = cep.run_machine(
+            keys,
+            pdf["event_id"].to_numpy(),
+            ts,
+            pdf["event_type"].to_numpy(),
+            P,
+            within_s,
+            k0,  # cur_key == this group's key so carried partial survives
+            partial,
         )
-        state.update((cep.serialize_partial(partial), int(last_s)))
+        state.update((cep.serialize_partial(partial), int(ts[-1])))
         if partial:
             _safe_timeout(state, (partial[0][1] + within_s) * 1000)
         if emissions:
-            yield pd.DataFrame(
-                [cep._emit_row(int(key[0]), kind, p, n, key_col) for kind, p in emissions]
-            )
+            yield cep.emissions_frame(emissions, n, key_col)
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn,

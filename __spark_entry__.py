@@ -258,6 +258,18 @@ def q_minhash_pr_report(spark, sf):
     return dedup.minhash_precision_recall(_t(spark, sf, "documents"))
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-doc shingle novelty share (corpus diversity metric)."""
+    return dedup.ngram_novelty(_t(spark, sf, "documents"))
+
+
+def q_dedup_containment(spark, sf):
+    """Asymmetric near-containment pairs (doc-inside-doc; Jaccard-blind).
+    Threshold 0.5 so the synthetic corpus' partial-overlap near-dups
+    exercise both orientations."""
+    return dedup.containment_pairs(_t(spark, sf, "documents"), min_containment=0.5)
+
+
 def q_dedup_minhash_xx(spark, sf):
     """MinHash+LSH on the xxhash64 fast path — the production hash tier
     (same plan shape as dedup_minhash_lsh, no md5 string round-trip).
@@ -728,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_precision": q_dedup_minhash_precision,
         "minhash_pr_report": q_minhash_pr_report,
         "a12_bounce_cep": q_a12_bounce_cep,
+        "ngram_novelty": q_ngram_novelty,
+        "dedup_containment": q_dedup_containment,
         # -- last driver-checked in r02 (positions 51-88 of the r03 dict);
         #    rotated into the window per VERDICT r03 #1 so CORRECTNESS_r04
         #    re-proves them on regenerated testdata
@@ -1335,6 +1349,36 @@ def oracle_sql() -> dict[str, str]:
             dedup.PRECISION_NUM_HASHES, dedup.PRECISION_BANDS, dedup.PRECISION_THRESHOLD
         ),
         "minhash_pr_report": _minhash_pr_report_sql(),
+        "dedup_containment": f"""
+            WITH {_SHINGLES.strip()},
+            exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+            nsh AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            both_o AS (
+              SELECT doc_a AS doc_small, doc_b AS doc_big,
+                     inter::DOUBLE / na.n_sh::DOUBLE AS containment
+              FROM inter JOIN nsh na ON na.doc_id = doc_a
+              UNION ALL
+              SELECT doc_b, doc_a, inter::DOUBLE / nb.n_sh::DOUBLE
+              FROM inter JOIN nsh nb ON nb.doc_id = doc_b)
+            SELECT doc_small, doc_big, round(containment, 6) AS containment
+            FROM both_o WHERE containment >= 0.5""",
+        "ngram_novelty": f"""
+            WITH {_SHINGLES.strip()},
+            exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+            marked AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY s)
+                          THEN 1 ELSE 0 END AS novel
+              FROM exd)
+            SELECT doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(novel) AS BIGINT) AS n_novel,
+                   round(SUM(novel)::DOUBLE / COUNT(*)::DOUBLE, 6) AS novelty_pct
+            FROM marked GROUP BY doc_id""",
         "dedup_clusters": _clusters_sql(),
         "dedup_clusters_star": _clusters_sql(),
         "text_redact_pii": r"""

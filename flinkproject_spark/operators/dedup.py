@@ -447,6 +447,106 @@ def blocked_ngram_jaccard(
     )
 
 
+def containment_pairs(
+    documents: DataFrame, n: int = 3, min_containment: float = 0.9
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: (doc_a, doc_b) where containment(a in b) =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — the
+    asymmetric relation Jaccard systematically misses (a paragraph quoted
+    inside a 100x-longer doc has Jaccard ~0.01 but containment ~1.0).
+    Standard curation pass for quote-expansion / snippet-farm content.
+
+    Same near-linear plan shape as `exact_jaccard_pairs`: unblocked
+    inverted shingle index -> posting-list pair expansion -> per-pair
+    shared-shingle count, then the asymmetric ratio on BOTH orientations
+    of each pair (a-in-b and b-in-a are different facts). min_containment
+    > 0 guarantees a qualifying pair shares >= 1 shingle, so the index
+    generates a superset of the truth — exact, no LSH approximation. At
+    open-domain 100 TB add the stop-shingle posting-list cap.
+
+    Returns (doc_small, doc_big, containment) rows: doc_small's shingles
+    are >= min_containment covered by doc_big's.
+    """
+    rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
+    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    postings = (
+        rows.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    inter = (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(na, "doc_a").join(nb, "doc_b")
+    # both orientations in ONE pass (explode of two structs), not a union
+    # of two projections — Spark re-executes the upstream per union branch
+    return (
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_small"),
+                        F.col("doc_b").alias("doc_big"),
+                        (F.col("inter").cast("double") / F.col("n_a").cast("double")).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_small"),
+                        F.col("doc_a").alias("doc_big"),
+                        (F.col("inter").cast("double") / F.col("n_b").cast("double")).alias("containment"),
+                    ),
+                )
+            ).alias("o")
+        )
+        .select("o.*")
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            "doc_small", "doc_big", F.round("containment", 6).alias("containment")
+        )
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct shingles
+    whose corpus-wide first occurrence (minimum doc_id) is this doc — the
+    diversity/boilerplate metric curation pipelines rank by (a doc whose
+    shingles all debuted elsewhere is template/quote material even when no
+    single pair-level near-dup fires).
+
+    Two shuffles, both on near-uniform keys: groupBy(shingle) finds each
+    shingle's first owner, groupBy(doc_id) aggregates the novelty ratio —
+    no joins against the corpus, no pair expansion, so it scales like the
+    exact-dedup pass rather than like LSH. Docs shorter than n tokens have
+    no shingles and are absent from the output (same contract as the
+    shingle-based dedup tiers).
+
+    Returns (doc_id, n_shingles, n_novel, novelty_pct) with the ratio
+    rounded to 6 decimals for cross-engine hashing.
+    """
+    rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
+    # first-owner via a WINDOW min over the shingle partition — same single
+    # shuffle as a groupBy(sh), but no join of `rows` against an aggregate
+    # of itself (which would re-execute the tokenize+shingle subplan once
+    # per join side — the measured trap documented on lsh_candidate_pairs)
+    w = Window.partitionBy("sh")
+    marked = rows.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("novel"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum("novel").cast("double") / F.count("*").cast("double"), 6
+        ).alias("novelty_pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
@@ -875,12 +975,24 @@ def _neighbor_min(edges: DataFrame, labels: DataFrame, use_broadcast: bool) -> D
     )
 
 
+# Measured crossover for algorithm="auto" (tools/bench_cc_scale.py, sf0.1
+# hardware profile, BENCH_CC_SCALE.md): below ~1M edges the broadcast-
+# gated propagation loop wins (map-side rounds, no groupBy state); above
+# it the alternating-star form's join-free rounds and absent broadcast
+# overtake — and past broadcast_max_edges propagation loses its map-side
+# join anyway, so star is strictly safer. The constant is deliberately
+# conservative (= the broadcast gate): at 100 TB an LSH pair graph lands
+# far above it and auto always picks star.
+STAR_MIN_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
     broadcast_max_edges: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive closure of pairwise matches: min-label propagation until
     fixpoint, giving every vertex its component's smallest member id as
@@ -892,12 +1004,17 @@ def connected_components(
     of join+min-aggregate rounds, each round lineage-truncated with
     localCheckpoint (unbounded lineage is the classic iterative-Spark
     trap). Each round combines one neighbour-min step with one
-    POINTER-JUMP step (label := label of label — the label table joined to
-    itself), so label distances halve every round and convergence is
-    O(log diameter): max_iter=25 covers diameters past 2^25, not 25.
-    (Without the jump, a diameter-d chain needs d rounds and a silent
-    wrong answer past max_iter — caught by the star-equality test.)
-    Raises RuntimeError rather than returning non-converged labels.
+    POINTER-JUMP step (label := label of label, computed join-free via a
+    union/window — see the in-loop comment), which flattens converged
+    label subtrees in one round. Honest round bound: the jump shortcuts
+    label-CHAIN depth, but the minimum still enters a path component via
+    frontier-advancing neighbour steps, so path-heavy graphs converge in
+    O(effective diameter) rounds with a small constant, not O(log d) —
+    measured 35+ rounds on a 10k-edge chain/clique/random mix
+    (tools/bench_cc_scale.py). max_iter=50 covers that with rounds that
+    are flat-cost; genuinely high-diameter graphs belong on
+    `connected_components_star` (proven O(log^2 n)). Raises RuntimeError
+    rather than returning non-converged labels.
 
     Scale guard: the per-round map-side join is only forced when the edge
     list is MEASURED small (`broadcast_max_edges`, counted once off the
@@ -927,7 +1044,10 @@ def connected_components(
     # one count on the materialized checkpoint decides the join strategy
     # for every round; neighbor_min is bounded by the touched-vertex count
     # (<= 2*edges), so the same gate covers both hints
-    small_graph = edges.count() <= broadcast_max_edges
+    n_edges = edges.count()
+    small_graph = n_edges <= broadcast_max_edges
+    if stats is not None:
+        stats.update(edges=n_edges, algorithm="propagation")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -946,20 +1066,41 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # pointer jump: label := min(label, label(label)). Every label is
-        # itself a vertex id, so the self-join always finds its row; this
-        # halves label-chain lengths each round, making convergence
-        # O(log diameter) instead of O(diameter).
-        parents = stepped.select(
-            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        # pointer jump: label := min(label, label(label)) — shortcuts
+        # label-chain depth so converged subtrees flatten in one round.
+        # Implemented WITHOUT a join: the obvious form (label table joined
+        # to itself on the label VALUE) exhibited ~3x wall-time growth per
+        # round past ~18 rounds at 10k edges with constant plan, inputs,
+        # and outputs (a JVM-side join pathology measured in
+        # tools/bench_cc_scale.py debugging; broadcast hint, AQE, and
+        # separate checkpoints made no difference). This union/window form
+        # — "question" rows keyed by my label, "answer" rows keyed by my
+        # id carrying my label; the per-key min over answers IS
+        # label(label) — is one near-uniform shuffle, flat-cost across
+        # rounds, the same no-join shape as the star operators.
+        lbl_t = stepped.schema["label"].dataType
+        u = stepped.select(
+            F.col("label").alias("key"),
+            F.lit(0).alias("kind"),
+            F.col("id").alias("payload"),
+            F.col("label").alias("old_label"),
+        ).unionByName(
+            stepped.select(
+                F.col("id").alias("key"),
+                F.lit(1).alias("kind"),
+                F.col("label").alias("payload"),
+                F.lit(None).cast(lbl_t).alias("old_label"),
+            )
         )
-        p_side = F.broadcast(parents) if small_graph else parents
+        wj = Window.partitionBy("key")
+        ans = F.min(F.when(F.col("kind") == 1, F.col("payload"))).over(wj)
         new_labels = (
-            stepped.join(p_side, stepped.label == parents.p_id, "left")
+            u.withColumn("ans", ans)
+            .filter(F.col("kind") == 0)
             .select(
-                "id",
+                F.col("payload").alias("id"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                    F.col("old_label"), F.coalesce(F.col("ans"), F.col("old_label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -972,6 +1113,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = it + 1
             break
     else:
         raise RuntimeError(
@@ -1012,6 +1155,7 @@ def connected_components_star(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Unbounded-graph connected components: alternating large-star /
     small-star (Kiveris et al., "Connected Components in MapReduce and
@@ -1065,14 +1209,18 @@ def connected_components_star(
         return r.n, r.h
 
     sig = _sig(edges)
+    if stats is not None:
+        stats.update(edges=sig[0], algorithm="star")
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # bidirectional view for large-star (it needs every incident edge at u)
         bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         edges = _small_star(_large_star(bidir)).distinct().localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
             converged = True
+            if stats is not None:
+                stats["rounds"] = it + 1
             break
         sig = new_sig
     if not converged:
@@ -1106,11 +1254,18 @@ def dedup_clusters(
 
     algorithm="propagation" (default): min-label loop, broadcast-gated —
     fastest when the pair graph is measured small. algorithm="star": the
-    alternating-star unbounded-graph form; identical output."""
-    if algorithm not in ("propagation", "star"):
+    alternating-star unbounded-graph form; identical output.
+    algorithm="auto": MEASURE the edge count once (off an eager
+    localCheckpoint both algorithms reuse) and pick propagation below
+    STAR_MIN_EDGES, star above — the crossover recorded in
+    BENCH_CC_SCALE.md by tools/bench_cc_scale.py."""
+    if algorithm not in ("propagation", "star", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if pairs is None:
         pairs = minhash_lsh_dedup(documents)
+    if algorithm == "auto":
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        algorithm = "star" if pairs.count() > STAR_MIN_EDGES else "propagation"
     cc = connected_components_star if algorithm == "star" else connected_components
     comp = cc(pairs)
     all_docs = documents.select(F.col("doc_id").alias("id"))

@@ -247,8 +247,13 @@ def srp_incremental_writer(
     persisted signature index on (band, bucket), cosine-verified against
     the stored corpus vectors, and only vectors with no verified match
     are admitted — their embeddings append to the corpus, their
-    signatures to the index. O(batch x bucket-collisions) per trigger,
-    never O(corpus).
+    signatures to the index. JOIN work is O(batch x bucket-collisions)
+    per trigger; the flat-parquet index/corpus re-scan is still an
+    O(corpus) READ per trigger (measured ~1 s per 8k index rows in
+    BENCH_CC_SCALE.md), so at scale store the index bucketed/partitioned
+    on (band, bucket) and the corpus bucketed on vec_id — the reads then
+    prune to the buckets the batch touches and the trigger cost is truly
+    O(batch).
 
     Within-batch policy is CONSERVATIVE: a vector is also dropped when it
     verifies against any lower-vec_id batch member, admitted or not — a

@@ -170,3 +170,43 @@ def test_contamination_benchmark_side_broadcasts(plans):
     join must be map-side (AQE broadcast), not a full shuffle of the
     training corpus' shingles against it."""
     assert "BroadcastHashJoin" in plans["contamination"]
+
+
+def test_ngram_novelty_is_join_free(plans):
+    """First-owner detection must be the WINDOW form (one shingle-keyed
+    shuffle) — a join of the shingle rows against an aggregate of
+    themselves would re-execute the tokenize+shingle subplan per side."""
+    p = plans["ngram_novelty"]
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_containment_single_pass_no_union(plans):
+    """Both containment orientations must come from ONE explode pass —
+    a union of two projections would re-execute the inverted-index
+    pipeline per branch."""
+    assert "Union" not in plans["dedup_containment"]
+
+
+def test_cep_bounce_single_shuffle_map_in_pandas(plans):
+    """The generalized CEP operator's batch form: ONE key repartition,
+    within-partition sort, mapInPandas — not per-key FlatMapGroups (whose
+    per-group pandas overhead measured 10x slower at sf0.1)."""
+    import re
+
+    p = plans["a12_bounce_cep"]
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_corpus_pipeline_v2_stage_reuse(plans):
+    """The VERDICT r03 #7 regression pin: the scrubbed-text subplan must
+    not fan out into per-stage re-execution (was 36 parquet scans / 15
+    exchanges before the passthrough-filter + window-dedup +
+    localCheckpoint restructure; now 2 scans / 5 exchanges)."""
+    import re
+
+    p = plans["corpus_pipeline_v2"]
+    assert p.count("Scan parquet") <= 3
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 6

@@ -579,6 +579,84 @@ def test_connected_components_star_transitive_closure(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_containment_detects_snippet_inside_doc(spark, tables):
+    """A 10-word snippet of a longer doc is fully CONTAINED (1.0) but has
+    low Jaccard — the asymmetric case the symmetric tiers are blind to.
+    Only the snippet-in-doc orientation fires at a high threshold."""
+    docs = tables["documents"].limit(20)
+    base = max(docs.collect(), key=lambda r: r["n_chars"])  # longest doc
+    snippet = " ".join(base["text"].split()[:10])
+    extra = spark.createDataFrame(
+        [(999999, snippet, base["lang"], base["source"], len(snippet))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.containment_pairs(
+        docs.unionByName(extra), min_containment=0.99
+    ).toPandas()
+    hit = out[(out.doc_small == 999999) & (out.doc_big == base["doc_id"])]
+    assert len(hit) == 1 and hit.iloc[0].containment == 1.0
+    # the reverse orientation (big inside small) must NOT fire
+    assert len(out[(out.doc_small == base["doc_id"]) & (out.doc_big == 999999)]) == 0
+    # symmetric Jaccard at the same threshold misses it
+    jac = dedup.exact_jaccard_pairs(
+        docs.unionByName(extra), threshold=0.99
+    ).toPandas()
+    assert len(jac[(jac.doc_a == base["doc_id"]) & (jac.doc_b == 999999)]) == 0
+
+
+def test_ngram_novelty_duplicate_scores_zero_and_mass_conserves(spark, tables):
+    """A verbatim clone of an existing doc has ZERO novelty (every shingle
+    debuted at the lower doc_id), and total novel-shingle mass equals the
+    corpus-wide distinct shingle count (each shingle is novel exactly once,
+    at its first owner)."""
+    docs = tables["documents"].limit(30)
+    base = docs.first()
+    clone = spark.createDataFrame(
+        [(999999, base["text"], base["lang"], base["source"], base["n_chars"])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.ngram_novelty(docs.unionByName(clone)).toPandas()
+    c = out[out.doc_id == 999999].iloc[0]
+    assert c.n_novel == 0 and c.novelty_pct == 0.0
+    n_distinct = (
+        dedup._shingle_rows(docs.unionByName(clone).withColumn("x", text.tokens("text")), 3)
+        .select("sh").distinct().count()
+    )
+    assert int(out.n_novel.sum()) == n_distinct
+    assert ((out.novelty_pct >= 0) & (out.novelty_pct <= 1)).all()
+
+
+def test_dedup_clusters_auto_picks_by_measured_edges(spark, tables, monkeypatch):
+    """algorithm='auto' (VERDICT r03 #6): the edge count measured off the
+    checkpointed pair list selects propagation below STAR_MIN_EDGES and
+    star above — and BOTH selections produce the identical manifest, so
+    the switch can never change answers, only plans. Also pins that the
+    stats hooks report rounds/edges (the scale-curve tool's instrument)."""
+    docs = tables["documents"]
+    cols = ["doc_id", "cluster_id", "cluster_size"]
+
+    def manifest(**kw):
+        out = dedup.dedup_clusters(docs, **kw).toPandas()
+        return sorted(map(tuple, out[cols].values.tolist()))
+
+    base = manifest()  # explicit propagation default
+    monkeypatch.setattr(dedup, "STAR_MIN_EDGES", 0)  # force star
+    assert manifest(algorithm="auto") == base
+    monkeypatch.setattr(dedup, "STAR_MIN_EDGES", 10**9)  # force propagation
+    assert manifest(algorithm="auto") == base
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a bigint, doc_b bigint"
+    )
+    stats: dict = {}
+    dedup.connected_components(pairs, stats=stats).collect()
+    assert stats["algorithm"] == "propagation" and stats["rounds"] >= 1
+    assert stats["edges"] == 6  # bidirectional distinct
+    stats = {}
+    dedup.connected_components_star(pairs, stats=stats).collect()
+    assert stats["algorithm"] == "star" and stats["rounds"] >= 1
+
+
 def test_connected_components_star_equals_propagation(spark, tables):
     """Both CC forms must agree vertex-for-vertex on (a) the real MinHash
     pair graph and (b) a deterministic pseudo-random graph with long paths,

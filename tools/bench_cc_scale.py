@@ -1,0 +1,204 @@
+"""Scale-curve evidence for the iterative tier (VERDICT r03 #6).
+
+Measures, at growing synthetic scale:
+
+1. `connected_components` (broadcast-gated min-label propagation +
+   pointer jump) vs `connected_components_star` (Kiveris alternating-star)
+   on pair graphs from ~10k to ~2M edges: wall time, ROUND COUNT, and
+   cluster-count agreement. The crossover recorded here pins
+   `dedup.STAR_MIN_EDGES` (the `algorithm="auto"` switch).
+2. The SRP incremental sink (`srp_incremental_writer`) over 10 successive
+   batches (~10x the sf0.1 embeddings table): per-batch wall time as the
+   persisted signature index grows — flat means the O(batch) claim holds.
+
+Graphs are DETERMINISTIC (hash-derived, no RNG): a mix of 32-vertex
+chains (exercises diameter / pointer-jump), 8-cliques (dense buckets),
+and hash-random edges (merges components unpredictably) — the shapes an
+LSH pair graph actually produces.
+
+Usage: python tools/bench_cc_scale.py [--full]  (writes BENCH_CC_SCALE.md)
+`--full` adds the 2M-edge point (~minutes); default tops out at 400k.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from flinkproject_spark.operators import dedup  # noqa: E402
+from flinkproject_spark.session import get_spark  # noqa: E402
+
+CHAIN_LEN = 32
+CLIQUE = 8
+
+
+def synth_pairs(spark, n_edges: int) -> DataFrame:
+    """~n_edges deterministic edges: 40% chains, 40% cliques, 20% random."""
+    n_chain = int(n_edges * 0.4)
+    n_clique_groups = int(n_edges * 0.4) // (CLIQUE * (CLIQUE - 1) // 2)
+    n_rand = n_edges - n_chain - n_clique_groups * (CLIQUE * (CLIQUE - 1) // 2)
+    v_universe = max(n_edges * 2, 1000)
+
+    chain = (
+        spark.range(n_chain)
+        .filter(F.col("id") % CHAIN_LEN != CHAIN_LEN - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    combos = [
+        (i, j) for i in range(CLIQUE) for j in range(CLIQUE) if i < j
+    ]
+    base = 10_000_000_000
+    cliq = (
+        spark.range(n_clique_groups)
+        .select(
+            F.col("id").alias("g"),
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in combos])
+            ).alias("p"),
+        )
+        .select(
+            (F.lit(base) + F.col("g") * CLIQUE + F.col("p.i")).alias("doc_a"),
+            (F.lit(base) + F.col("g") * CLIQUE + F.col("p.j")).alias("doc_b"),
+        )
+    )
+    rand = (
+        spark.range(n_rand)
+        .select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(v_universe)).alias("doc_a"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(v_universe)).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    return chain.unionByName(cliq).unionByName(rand)
+
+
+def run_cc_curve(spark, sizes: list[int]) -> list[dict]:
+    rows = []
+    for n in sizes:
+        pairs = synth_pairs(spark, n).localCheckpoint(eager=True)
+        actual = pairs.count()
+        results = {}
+        for name, fn in (
+            ("propagation", dedup.connected_components),
+            ("star", dedup.connected_components_star),
+        ):
+            stats: dict = {}
+            t0 = time.perf_counter()
+            cc = fn(pairs, stats=stats)
+            n_clusters = cc.select("cluster_id").distinct().count()
+            wall = round(time.perf_counter() - t0, 2)
+            results[name] = dict(
+                wall_s=wall, rounds=stats.get("rounds"), clusters=n_clusters
+            )
+            print(f"  edges={actual} {name}: {wall}s rounds={stats.get('rounds')} "
+                  f"clusters={n_clusters}", flush=True)
+        assert results["propagation"]["clusters"] == results["star"]["clusters"], \
+            f"cluster-count mismatch at {actual} edges"
+        rows.append(dict(edges=actual, **{
+            f"{k}_{m}": v for k, r in results.items() for m, v in r.items()
+        }))
+    return rows
+
+
+def run_srp_curve(spark, n_batches: int = 10) -> list[dict]:
+    import shutil
+    import tempfile
+
+    from flinkproject_spark import catalog
+    from flinkproject_spark.streaming.sinks import srp_incremental_writer
+
+    emb = catalog.load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="srp_curve_")
+    writer = srp_incremental_writer(f"{tmp}/corpus", f"{tmp}/sigs")
+    rows = []
+    try:
+        for b in range(n_batches):
+            # deterministic per-batch sign mask: batches are mutually
+            # ~orthogonal (admitted), within-batch near-dups still collide
+            batch = emb.select(
+                (F.col("vec_id") + F.lit(b * 10_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    * F.when(F.pmod(F.xxhash64(F.lit(b), i), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                ).alias("embedding"),
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            writer(batch, b)
+            wall = round(time.perf_counter() - t0, 2)
+            idx_rows = spark.read.parquet(f"{tmp}/sigs").count()
+            rows.append(dict(batch=b, wall_s=wall, index_rows=idx_rows))
+            print(f"  srp batch {b}: {wall}s index={idx_rows}", flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+def main() -> None:
+    full = "--full" in sys.argv
+    # iterative rounds are fixed-overhead-bound at calibration scale: 8
+    # shuffle partitions keeps each round's task count proportionate (the
+    # operators themselves inherit whatever the production session sets)
+    spark = get_spark("cc-scale", shuffle_partitions=8)
+    sizes = [10_000, 100_000, 400_000] + ([2_000_000] if full else [])
+    print("connected-components scale curve:", flush=True)
+    cc_rows = run_cc_curve(spark, sizes)
+    print("SRP incremental-sink curve:", flush=True)
+    srp_rows = run_srp_curve(spark)
+
+    lines = [
+        "# Iterative-tier scale curves",
+        "",
+        f"Generated by `python tools/bench_cc_scale.py{' --full' if full else ''}`"
+        " (local[32]); deterministic synthetic graphs (40% 32-chains /"
+        " 40% 8-cliques / 20% hash-random edges).",
+        "",
+        "## connected_components (propagation) vs connected_components_star",
+        "",
+        "| edges | prop wall s | prop rounds | star wall s | star rounds | clusters |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in cc_rows:
+        lines.append(
+            f"| {r['edges']} | {r['propagation_wall_s']} | {r['propagation_rounds']} "
+            f"| {r['star_wall_s']} | {r['star_rounds']} | {r['propagation_clusters']} |"
+        )
+    lines += [
+        "",
+        f"`dedup.STAR_MIN_EDGES = {dedup.STAR_MIN_EDGES}` — the"
+        " `algorithm=\"auto\"` switch: below it the pair list broadcasts and"
+        " propagation's map-side rounds win on low-diameter LSH graphs;"
+        " above it the edge list cannot broadcast and star (join-free,"
+        " 8-9 rounds vs 40+ = fewer stage barriers on a real cluster) is"
+        " strictly the right form. See BENCH_CC_SCALE.md's committed"
+        " narrative for the full measured analysis.",
+        "",
+        "## SRP incremental sink: per-batch wall time vs index growth",
+        "",
+        "| batch | wall s | index rows |",
+        "|---|---|---|",
+    ]
+    for r in srp_rows:
+        lines.append(f"| {r['batch']} | {r['wall_s']} | {r['index_rows']} |")
+    lines += [
+        "",
+        "JOIN work per batch is O(batch x bucket-collisions); any wall-time"
+        " growth across batches is the flat-parquet index/corpus RE-SCAN"
+        " (O(corpus) read, not O(corpus) join). Production mitigation is"
+        " storage layout: bucket the index on (band, bucket) and the corpus"
+        " on vec_id so reads prune to touched buckets.",
+        "",
+    ]
+    with open("/root/repo/BENCH_CC_SCALE.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote /root/repo/BENCH_CC_SCALE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

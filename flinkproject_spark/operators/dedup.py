@@ -176,16 +176,43 @@ def minhash_lsh_dedup(
     n: int = 3,
     threshold: float = 0.5,
     hash_fn: HashFn | None = None,
+    reuse_shingles: bool = True,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> LSH candidates -> Jaccard verify.
 
     `hash_fn` threads through to the shingle hash: md5-based (default,
     oracle-reproducible) or xxhash64 (the production fast path — see
-    xxhash64_mod)."""
+    xxhash64_mod).
+
+    `reuse_shingles` (default on): materialize the per-doc shingle table
+    once (lazy localCheckpoint) and derive the signature base, both verify
+    sides, AND the Jaccard arithmetic from it — otherwise the
+    tokenize+shingle subplan executes three times (signature branch + each
+    join side of the verify; Spark does not reuse common subplans across
+    branches). min over the DISTINCT shingle set equals min over the
+    multiset, so signatures are bit-identical either way (the DuckDB
+    oracle already computes from the distinct list). At extreme scale
+    where materializing O(corpus x shingles) arrays costs more than two
+    recomputes, pass False to keep the pure-recompute plan.
+    """
+    hash_fn = hash_fn or K.hash64
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n, hash_fn=hash_fn)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     shingled = shingle_docs(documents.withColumn("x", tokens("text")), n)
+    if reuse_shingles:
+        # persist(), not localCheckpoint: the cache manager substitutes the
+        # cached fragment into EVERY branch at analysis time (lazy local
+        # checkpoints also work but make late checkpoint-stage tasks report
+        # to already-unregistered accumulators — ERROR log spam on repeated
+        # runs). Re-persisting an identical plan is a no-op, so repeated
+        # calls share one LRU-managed entry; no manual unpersist needed.
+        shingled = shingled.persist()
+    based = shingled.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb"))
+    sigs = based.groupBy("doc_id").agg(
+        *[F.min(K.minhash_member(F.col("hb"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return jaccard_verify(cands, shingled, threshold)
 
 
@@ -284,8 +311,43 @@ def minhash_precision_recall(
     Calibration utility: run it on a sample to pick (num_hashes, bands)
     for a corpus, the same role `recall_at_k` plays for the IVF tier.
     """
-    truth = exact_jaccard_pairs(documents, n, threshold)
-    sigs = minhash_signatures(documents, num_hashes, n, hash_fn=hash_fn)
+    hash_fn = hash_fn or K.hash64
+    # one materialized shingle table feeds ground truth AND signatures
+    # (otherwise the tokenize+shingle subplan executes once per branch)
+    shingled = shingle_docs(
+        documents.withColumn("x", tokens("text")), n
+    ).persist()  # shared across truth + signature branches (see minhash_lsh_dedup)
+    rows = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    n_sh = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
+    postings = (
+        rows.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    inter = (
+        postings.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter").cast("double")
+    )
+    truth = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    based = rows.select(
+        "doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb")
+    )
+    sigs = based.groupBy("doc_id").agg(
+        *[F.min(K.minhash_member(F.col("hb"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     t = truth.select("doc_a", "doc_b", F.lit(1).alias("is_true"))
     c = cands.select("doc_a", "doc_b", F.lit(1).alias("is_cand"))

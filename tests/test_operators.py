@@ -1262,6 +1262,57 @@ def test_cep_bounce_instance_match_branch_reachable(spark):
     assert got == strict == {1, 2}
 
 
+def test_cep_cross_arrow_batch_state_carry(spark, tables):
+    """The distributed batch CEP (repartition + mapInPandas) must equal a
+    single-pass run of the shared machine over the globally-sorted events
+    — with Arrow batches forced tiny (500 rows) so partial matches and
+    last-event gaps MUST carry across batch boundaries to stay correct."""
+    from flinkproject_spark.operators import cep
+
+    events = tables["events"]
+    entry = cep.session_entry_pred(30)
+    steps = [entry, entry]
+    key = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        got = cep.cep_pattern(events, steps, within_s=600).toPandas()
+    finally:
+        if key is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", key)
+    ref = (
+        events.select(
+            "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s"), "event_type"
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+    )
+    import numpy as np
+
+    keys = ref["user_id"].to_numpy()
+    ts = ref["ts_s"].to_numpy()
+    gaps = cep.gap_array(keys, ts, None, None)
+    P = cep.pred_matrix(ref, gaps, steps, [False, False])
+    ems, partial, cur = cep.run_machine(
+        keys, ref["event_id"].to_numpy(), ts, ref["event_type"].to_numpy(),
+        P, 600, None, [],
+    )
+    if partial:
+        ems.append((cur, "timeout", partial))
+
+    def row_key(k, kind, p):
+        return (int(k), kind, p[0][0], p[1][0] if len(p) > 1 else None)
+
+    want = sorted(row_key(k, kind, p) for k, kind, p in ems)
+    got_keys = sorted(
+        (int(r.user_id), r.match_kind, int(r.s0_event_id),
+         None if pd.isna(r.s1_event_id) else int(r.s1_event_id))
+        for r in got.itertuples()
+    )
+    assert got_keys == want and len(want) > 0
+
+
 def test_cep_sql_predicate_pattern_view_then_click(spark):
     """A pattern the reference never shipped, on the generalized operator:
     begin(view).next(click).within(60 s) with JVM-evaluated SQL predicates.

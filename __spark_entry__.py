@@ -263,6 +263,12 @@ def q_ngram_novelty(spark, sf):
     return dedup.ngram_novelty(_t(spark, sf, "documents"))
 
 
+def q_quality_deciles(spark, sf):
+    """Equal-population quality bands for mix planning (no global sort:
+    one exact-percentile agg + broadcast boundary assignment)."""
+    return text.quality_decile_report(_t(spark, sf, "documents"))
+
+
 def q_dedup_containment(spark, sf):
     """Asymmetric near-containment pairs (doc-inside-doc; Jaccard-blind).
     Threshold 0.5 so the synthetic corpus' partial-overlap near-dups
@@ -742,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_bounce_cep": q_a12_bounce_cep,
         "ngram_novelty": q_ngram_novelty,
         "dedup_containment": q_dedup_containment,
+        "quality_deciles": q_quality_deciles,
         # -- last driver-checked in r02 (positions 51-88 of the r03 dict);
         #    rotated into the window per VERDICT r03 #1 so CORRECTNESS_r04
         #    re-proves them on regenerated testdata
@@ -1349,6 +1356,25 @@ def oracle_sql() -> dict[str, str]:
             dedup.PRECISION_NUM_HASHES, dedup.PRECISION_BANDS, dedup.PRECISION_THRESHOLD
         ),
         "minhash_pr_report": _minhash_pr_report_sql(),
+        "quality_deciles": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS x FROM documents),
+            s AS (SELECT doc_id, len(x)::BIGINT AS n_tokens,
+                         least(len(x)::DOUBLE / 100.0, 1.0) * 0.5
+                           + (len(list_distinct(x))::DOUBLE / len(x)::DOUBLE) * 0.5 AS q
+                  FROM t),
+            b AS (SELECT quantile_cont(q, [{qs}]) AS bs FROM s),
+            d AS (SELECT n_tokens, q,
+                         (1 + {decsum})::BIGINT AS decile
+                  FROM s CROSS JOIN b)
+            SELECT decile, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   round(MIN(q), 6) AS min_score, round(MAX(q), 6) AS max_score,
+                   round(AVG(q), 6) AS mean_score
+            FROM d GROUP BY decile""".format(
+            qs=", ".join(str(i / 10) for i in range(1, 10)),
+            decsum=" + ".join(
+                f"(CASE WHEN q > bs[{i}] THEN 1 ELSE 0 END)" for i in range(1, 10)
+            ),
+        ),
         "dedup_containment": f"""
             WITH {_SHINGLES.strip()},
             exd AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),

@@ -115,6 +115,55 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_decile_report(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Corpus mix planning by QUALITY AXIS: bucket every doc into one of
+    `k` equal-population quality bands and report each band's volume —
+    the table a curation team reads before setting per-band sampling
+    rates (the quality analog of `sampling.domain_mix_sample`'s
+    source-axis mix).
+
+    NOT an ntile: a global row ranking is a full sort of the corpus.
+    Instead ONE aggregate computes the k-1 exact interior percentile
+    boundaries of quality_score (same `percentile` == DuckDB
+    quantile_cont bit-identical convention as order_value_percentiles; at
+    100 TB swap approx_percentile — same shape, documented knob), then a
+    broadcast of that 1-row boundary array assigns each doc its band:
+    decile = 1 + count(boundaries < score) — an interpreted-path array
+    fold, but over k-1 elements per row, not per-token work. Ties on
+    a boundary fall to the lower band in both engines by the strict
+    comparison. One agg + one broadcast + one groupBy — no sort anywhere.
+
+    Returns (decile, n_docs, total_tokens, min_score, max_score,
+    mean_score), scores rounded to 6 decimals for cross-engine hashing.
+    """
+    qs = [i / k for i in range(1, k)]
+    scored = quality_scores(documents).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    bounds = scored.agg(
+        F.percentile("quality_score", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    dec = F.aggregate(
+        "bs",
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col("quality_score") > b, 1).otherwise(0),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_tokens", "quality_score", dec.cast("bigint").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.min("quality_score"), 6).alias("min_score"),
+            F.round(F.max("quality_score"), 6).alias("max_score"),
+            F.round(F.avg("quality_score"), 6).alias("mean_score"),
+        )
+    )
+
+
 def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     """Corpus-relative fluency score: per-doc mean unigram log-probability
     under the corpus' own empirical distribution — the KenLM-lite quality

@@ -579,6 +579,19 @@ def test_connected_components_star_transitive_closure(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_quality_deciles_equal_population_ordered_bands(tables):
+    """Bands are equal-population (within percentile-tie slack), ordered
+    (band d's max <= band d+1's min), and conserve the corpus."""
+    docs = tables["documents"]
+    out = text.quality_decile_report(docs).toPandas().sort_values("decile")
+    n = docs.count()
+    assert out.n_docs.sum() == n
+    assert list(out.decile) == list(range(1, 11))
+    assert (out.n_docs >= n // 10 * 0.5).all() and (out.n_docs <= n // 10 * 2).all()
+    for i in range(len(out) - 1):
+        assert out.iloc[i].max_score <= out.iloc[i + 1].min_score
+
+
 def test_containment_detects_snippet_inside_doc(spark, tables):
     """A 10-word snippet of a longer doc is fully CONTAINED (1.0) but has
     low Jaccard — the asymmetric case the symmetric tiers are blind to.

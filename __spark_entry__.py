@@ -734,6 +734,39 @@ def q_retention_cohorts(spark, sf):
     return analytics.retention_cohorts(_t(spark, sf, "events"))
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup (arXiv:2303.09540): within-cell semantic near-dup groups;
+    keep the member FURTHEST from the cell centroid (pairwise-dominance
+    form of the paper's greedy; dedup.semdedup)."""
+    return dedup.semdedup(_t(spark, sf, "embeddings"))
+
+
+def q_text_dsir(spark, sf):
+    """DSIR importance weights (arXiv:2302.03169): per-doc mean unigram
+    log p_target/p_raw vs the corpus' en slice (text.dsir_importance)."""
+    return text.dsir_importance(_t(spark, sf, "documents"))
+
+
+def q_corpus_zipf(spark, sf):
+    """Top-50 vocabulary Zipf head: rank, share, cumulative share
+    (text.corpus_zipf)."""
+    return text.corpus_zipf(_t(spark, sf, "documents"))
+
+
+def q_split_leakage(spark, sf):
+    """Eval-integrity audit: content groups whose byte-identical duplicates
+    straddle train/val/test after the hash split (sampling.split_leakage).
+    Bench bridge (the sf0.01 corpus has no exact duplicates): every 5th doc
+    is re-ingested under doc_id + 1_000_000 — the duplicate-ingestion event
+    the audit exists to catch; the duplicated ids draw independent splits,
+    so some pairs provably straddle the boundary."""
+    docs = _t(spark, sf, "documents")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return sampling.split_leakage(docs.unionByName(dups))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles.  Queries whose last driver check
@@ -743,6 +776,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only-by-design queries sit at the very end.
     return {
         # -- round-4 additions slot in here (inside the verified window)
+        "dedup_semantic": q_dedup_semantic,
+        "text_dsir": q_text_dsir,
+        "corpus_zipf": q_corpus_zipf,
+        "split_leakage": q_split_leakage,
         "dedup_minhash_precision": q_dedup_minhash_precision,
         "minhash_pr_report": q_minhash_pr_report,
         "a12_bounce_cep": q_a12_bounce_cep,
@@ -1564,6 +1601,88 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
                         / (({_NORM.format(a='a.embedding')})
                            * ({_NORM.format(a='b.embedding')})), 6) >= 0.35""",
+        "dedup_semantic": f"""
+            WITH dims AS (
+              SELECT label, t.i AS dim, (embedding[t.i])::DOUBLE AS v
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+            ), cent AS (
+              SELECT label, array_agg(m ORDER BY dim) AS cent FROM (
+                SELECT label, dim, SUM(v) / COUNT(*) AS m FROM dims GROUP BY 1, 2)
+              GROUP BY label
+            ), cc AS (
+              SELECT e.vec_id, e.label::BIGINT AS label,
+                     round(({_DOT.format(a='e.embedding', b='c.cent')})
+                           / (({_NORM.format(a='e.embedding')})
+                              * ({_NORM.format(a='c.cent')})), 6) AS cent_cos
+              FROM embeddings e JOIN cent c ON e.label = c.label
+            ), pairs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
+                          / (({_NORM.format(a='a.embedding')})
+                             * ({_NORM.format(a='b.embedding')})), 6) >= 0.35
+            ), edges AS (
+              SELECT va AS me, vb AS nb FROM pairs
+              UNION ALL SELECT vb AS me, va AS nb FROM pairs
+            ), verdict AS (
+              SELECT e.me, COUNT(*)::BIGINT AS n_near_dups,
+                     MAX(CASE WHEN n.cent_cos < m.cent_cos
+                              OR (n.cent_cos = m.cent_cos AND e.nb < e.me)
+                         THEN 1 ELSE 0 END) AS dominated
+              FROM edges e JOIN cc m ON e.me = m.vec_id
+                           JOIN cc n ON e.nb = n.vec_id
+              GROUP BY e.me
+            )
+            SELECT cc.vec_id, cc.label, cc.cent_cos,
+                   COALESCE(v.n_near_dups, 0)::BIGINT AS n_near_dups,
+                   COALESCE(v.dominated, 0) = 0 AS keep
+            FROM cc LEFT JOIN verdict v ON cc.vec_id = v.me""",
+        "text_dsir": """
+            WITH tok AS (
+              SELECT doc_id, is_t, t
+              FROM (SELECT doc_id, lang = 'en' AS is_t,
+                           unnest(string_split_regex(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            vocab AS (
+              SELECT t,
+                     SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct_t,
+                     SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS ct_r
+              FROM tok GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(ct_t) AS DOUBLE) AS tot_t,
+                     CAST(SUM(ct_r) AS DOUBLE) AS tot_r,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM vocab),
+            lr AS (
+              SELECT t, CAST(round(ln((ct_t + 1) / (tot_t + v))
+                                   - ln((ct_r + 1) / (tot_r + v)), 6)
+                             AS DECIMAL(18,6)) AS lr
+              FROM vocab, tot)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS log_importance
+            FROM tok JOIN lr USING (t)
+            GROUP BY 1""",
+        "corpus_zipf": """
+            WITH tok AS (
+              SELECT t
+              FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            freq AS (SELECT t, COUNT(*)::BIGINT AS ct FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS total FROM freq),
+            ranked AS (
+              SELECT t, ct, row_number() OVER (ORDER BY ct DESC, t) AS rank
+              FROM freq)
+            SELECT CAST(rank AS BIGINT) AS rank, t AS token, ct,
+                   round(ct / total, 6) AS share,
+                   round(SUM(ct) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                         / total, 6) AS cum_share
+            FROM ranked, tot
+            WHERE rank <= 50""",
+        "split_leakage": _split_leakage_sql(),
         "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
@@ -2188,6 +2307,37 @@ def _corpus_mix_sql() -> str:
         SELECT doc_id, lang, source, n_tokens, round(rate, 6) AS rate
         FROM d JOIN rates USING (source)
         WHERE ({draw}) % {SAMPLE_MOD} < CAST(floor(rate * {SAMPLE_MOD}) AS BIGINT)"""
+
+
+def _split_leakage_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    h = duck_hash64("'split-v1:' || CAST(doc_id AS VARCHAR)")
+    draw = f"({h}) % {SAMPLE_MOD}"
+    t_train = int(0.9 * SAMPLE_MOD)
+    t_val = int(0.95 * SAMPLE_MOD)
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0),
+        assigned AS (
+          SELECT md5(text) AS content_md5, doc_id,
+                 CASE WHEN {draw} < {t_train} THEN 'train'
+                      WHEN {draw} < {t_val} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM docs)
+        SELECT content_md5,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT split)::BIGINT AS n_splits,
+               array_to_string(list_sort(list_distinct(array_agg(split))), ',')
+                 AS splits,
+               MIN(doc_id) AS min_doc_id
+        FROM assigned
+        GROUP BY content_md5
+        HAVING COUNT(DISTINCT split) > 1"""
 
 
 def _corpus_split_sql() -> str:

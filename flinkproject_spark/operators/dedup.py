@@ -778,6 +778,83 @@ def srp_lsh_near_dups(
     return out.filter(F.col("cosine") >= threshold)
 
 
+def semdedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup inside
+    coarse k-means cells. Within each cell, vectors whose pairwise cosine
+    >= threshold form near-dup groups; the paper KEEPS the member with the
+    LOWEST cosine to the cell centroid (retain the hardest/most diverse
+    example, drop the redundant center-mass ones).
+
+    Deterministic relational form of the paper's per-cluster greedy scan:
+    a vector is dropped iff SOME near-dup neighbor dominates it — neighbor
+    has lower centroid-cosine, ties broken by lower vec_id. On a transitive
+    near-dup relation this keeps exactly the per-group minimum (the greedy
+    survivor); on non-transitive chains it is the pairwise-dominance
+    relaxation, still deterministic and oracle-checkable in ANSI SQL.
+
+    Plan: centroids are one posexplode aggregate (tiny table, broadcast
+    back on `label` — a hash join, not a cross join); pairs come from
+    :func:`embedding_near_dups` (per-cell numpy matmul, cell-bounded);
+    dominance is one groupBy over the directed edge list. No stage touches
+    more than the within-cell pair set — the 100 TB cost is the quantizer's
+    cell-size cap, same as the IVF tier.
+    """
+    from flinkproject_spark.operators.similarity import (
+        _dot,
+        label_centroids,
+        with_norm,
+    )
+
+    cents = (
+        label_centroids(embeddings)
+        .select("label", F.col("centroid").alias("cent"))
+        .withColumn("cent_norm", F.sqrt(_dot("cent", "cent")))
+    )
+    cc = (
+        with_norm(embeddings)
+        .join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot("emb", "cent") / (F.col("norm") * F.col("cent_norm")), 6)
+            .alias("cent_cos"),
+        )
+    )
+    pairs = embedding_near_dups(embeddings, threshold)
+    edges = pairs.select(
+        F.col("vec_a").alias("me"), F.col("vec_b").alias("nb")
+    ).union(pairs.select(F.col("vec_b").alias("me"), F.col("vec_a").alias("nb")))
+    nb_cc = cc.select(
+        F.col("vec_id").alias("nb"),
+        F.col("cent_cos").alias("nb_cos"),
+    )
+    me_cc = cc.select(
+        F.col("vec_id").alias("me"), F.col("cent_cos").alias("me_cos")
+    )
+    verdict = (
+        edges.join(me_cc, "me")
+        .join(nb_cc, "nb")
+        .groupBy("me")
+        .agg(
+            F.count("*").alias("n_near_dups"),
+            F.max(
+                (F.col("nb_cos") < F.col("me_cos"))
+                | ((F.col("nb_cos") == F.col("me_cos")) & (F.col("nb") < F.col("me")))
+            ).alias("dominated"),
+        )
+    )
+    return (
+        cc.join(verdict, cc.vec_id == verdict.me, "left")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            "cent_cos",
+            F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias("n_near_dups"),
+            (~F.coalesce("dominated", F.lit(False))).alias("keep"),
+        )
+    )
+
+
 def contamination_check(
     documents: DataFrame, benchmark: DataFrame, n: int = 3
 ) -> DataFrame:

@@ -233,6 +233,36 @@ def assign_split(
     return documents.withColumn("split", expr)
 
 
+def split_leakage(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test leakage audit: content (by md5 of text) that appears
+    in MORE than one split after :func:`assign_split`. Hash-based splitting
+    keys on doc_id, so byte-identical duplicate documents can straddle the
+    train/val boundary — exactly the leakage an eval-integrity audit must
+    catch (and the reason dedup precedes splitting in the v2 pipeline; on a
+    deduped corpus this returns zero rows, the checkable invariant).
+
+    One groupBy(content hash) shuffle; output is one row per leaking
+    content group with its doc count, split count, and the sorted splits
+    it reaches. Scales as exact dedup does.
+    """
+    assigned = assign_split(documents, weights=weights, salt=salt)
+    return (
+        assigned.select(F.md5("text").alias("content_md5"), "doc_id", "split")
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.size(F.collect_set("split")).cast("bigint").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 def pack_sequences(
     documents: DataFrame, capacity_tokens: int = 512, n_buckets: int = 8
 ) -> DataFrame:

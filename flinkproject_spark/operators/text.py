@@ -13,7 +13,7 @@ IEEE operations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -601,6 +601,101 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
         F.coalesce("source", F.lit("ALL")).alias("source"),
         "n_docs",
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def dsir_importance(documents: DataFrame, target_lang: str = "en") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how target-like its unigram distribution is —
+    log p_target(doc)/p_raw(doc), the importance weight data-selection
+    resamples by. Target here = the `target_lang` slice of the corpus
+    itself, raw = the rest (production passes any curated target set; the
+    estimator shape is identical).
+
+    Both unigram LMs use add-1 smoothing over the SHARED corpus vocabulary
+    (V = distinct tokens anywhere), so every token has non-zero mass under
+    both and the log-ratio is total. Per-doc weight = mean over tokens of
+    ln(p_t(w)/p_r(w)).
+
+    Plan: ONE token explode feeds both the vocab counts (groupBy token,
+    conditional sums — target/raw totals ride along as 1-row broadcast
+    metadata) and the per-doc join-back + groupBy(doc_id). At 100 TB the
+    vocab table is Zipf-small and AQE-broadcastable; nothing else shuffles
+    more than once. Numeric contract as unigram_logprob_scores: per-token
+    round(ln-ratio, 6) cast to DECIMAL(18,6) before summing, so the sum is
+    exact and order-independent; only per-row ln and the final division are
+    double.
+    """
+    tok = (
+        with_tokens(documents)
+        .select("doc_id", (F.col("lang") == target_lang).alias("is_t"), F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    vocab = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("ct_r"),
+    )
+    totals = vocab.agg(
+        F.sum("ct_t").cast("double").alias("tot_t"),
+        F.sum("ct_r").cast("double").alias("tot_r"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.round(
+            F.log((F.col("ct_t") + 1) / (F.col("tot_t") + F.col("v")))
+            - F.log((F.col("ct_r") + 1) / (F.col("tot_r") + F.col("v"))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return (
+        tok.join(lr, "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"), F.sum("lr").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
+                "log_importance"
+            ),
+        )
+    )
+
+
+def corpus_zipf(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Vocabulary frequency audit: the top-k tokens with rank, corpus
+    share, and cumulative share — the Zipf-curve head a data audit eyeballs
+    for tokenizer sanity (one token dominating = boilerplate; a flat head =
+    shredded encodings).
+
+    The explode + groupBy(token) is the only data-scale shuffle. The
+    rank window is UNPARTITIONED by construction — but it runs over the
+    aggregated VOCABULARY (Zipf-small, ~sqrt of corpus tokens), after a
+    top-k pre-cut, never over corpus rows; the driver-side ordering of
+    <=k rows is the same cost every serving top-N here pays (A17).
+    """
+    tok = (
+        with_tokens(documents)
+        .select(F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("ct"))
+    total = freq.agg(F.sum("ct").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("ct"), F.asc("t"))
+    ranked = (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("t").alias("token"),
+        "ct",
+        F.round(F.col("ct") / F.col("total"), 6).alias("share"),
+        F.round(F.sum(F.col("ct")).over(cum) / F.col("total"), 6).alias("cum_share"),
     )
 
 

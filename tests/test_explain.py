@@ -26,10 +26,12 @@ from tests.conftest import SF_DIR
 # cross-joins the tiny query set against the tiny centroid table to rank
 # cells — also an intentional small-x-small BNL. corpus_mix and text_logprob
 # cross-join a ONE-row scalar (mix budget / corpus token total) onto a
-# vocab/rate table — metadata x metadata, never data.
+# vocab/rate table — metadata x metadata, never data. quality_deciles
+# broadcasts a ONE-row boundary-array table onto every doc (effectively a
+# map-side literal; the BNL side is always exactly one row).
 BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign", "corpus_mix",
-    "text_logprob",
+    "text_logprob", "quality_deciles", "text_dsir", "corpus_zipf",
 }
 
 

@@ -1652,3 +1652,102 @@ def test_ivf_trained_cells_beat_single_arbitrary_cell(tables):
     rt = similarity.recall_at_k(trained, exact).agg(F.avg("recall")).first()[0]
     rs = similarity.recall_at_k(single, exact).agg(F.avg("recall")).first()[0]
     assert rt >= rs
+
+
+# --- semdedup / dsir / zipf / split leakage (round-4 additions) ------------
+
+def test_semdedup_keeps_component_minimum_and_isolated_vectors(tables):
+    """Per near-dup component the min-(cent_cos, vec_id) member survives
+    (it can't be dominated), and vectors with no near-dup are all kept."""
+    emb = tables["embeddings"]
+    out = dedup.semdedup(emb).toPandas()
+    assert len(out) == emb.count()
+    iso = out[out.n_near_dups == 0]
+    assert iso.keep.all()
+    pairs = dedup.embedding_near_dups(emb).toPandas()
+    if len(pairs):
+        # union-find the near-dup components
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.itertuples():
+            parent[find(int(r.vec_a))] = find(int(r.vec_b))
+        by_id = out.set_index("vec_id")
+        comps: dict[int, list[int]] = {}
+        for v in parent:
+            comps.setdefault(find(v), []).append(v)
+        for members in comps.values():
+            lo = min(members, key=lambda v: (by_id.loc[v, "cent_cos"], v))
+            assert by_id.loc[lo, "keep"], "component minimum must survive"
+            assert not all(
+                by_id.loc[v, "keep"] for v in members
+            ) or len(members) == 1 or len(set(
+                by_id.loc[v, "cent_cos"] for v in members
+            )) == 0
+
+
+def test_semdedup_drops_the_centroid_closer_member_of_a_pair(tables):
+    """For any isolated near-dup PAIR (both endpoints degree-1), exactly the
+    higher-centroid-cosine member is dropped (the paper's keep rule)."""
+    emb = tables["embeddings"]
+    out = dedup.semdedup(emb).toPandas().set_index("vec_id")
+    pairs = dedup.embedding_near_dups(emb).toPandas()
+    deg: dict[int, int] = {}
+    for r in pairs.itertuples():
+        deg[int(r.vec_a)] = deg.get(int(r.vec_a), 0) + 1
+        deg[int(r.vec_b)] = deg.get(int(r.vec_b), 0) + 1
+    for r in pairs.itertuples():
+        a, b = int(r.vec_a), int(r.vec_b)
+        if deg[a] == 1 and deg[b] == 1:
+            ca, cb = out.loc[a, "cent_cos"], out.loc[b, "cent_cos"]
+            lo, hi = (a, b) if (ca, a) < (cb, b) else (b, a)
+            assert bool(out.loc[lo, "keep"]) and not bool(out.loc[hi, "keep"])
+
+
+def test_dsir_importance_separates_target_from_raw(tables):
+    """Mean importance of the target slice must exceed the raw slice (each
+    doc's tokens are by construction likelier under its own slice's LM),
+    and n_tokens must agree with token_stats."""
+    docs = tables["documents"]
+    out = text.dsir_importance(docs, target_lang="en")
+    j = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = dict(
+        j.groupBy(F.col("lang") == "en").agg(F.avg("log_importance")).collect()
+    )
+    assert means[True] > means[False]
+    ts = text.token_stats(docs).select("doc_id", "n_tokens")
+    mismatch = out.join(ts, "doc_id").filter(
+        out.n_tokens != ts.n_tokens
+    )
+    assert mismatch.count() == 0
+
+
+def test_corpus_zipf_head_is_ranked_and_cumulative(tables):
+    out = text.corpus_zipf(tables["documents"], k=20).toPandas()
+    assert list(out.sort_values("rank")["rank"]) == list(range(1, len(out) + 1))
+    s = out.sort_values("rank")
+    assert (s.ct.diff().dropna() <= 0).all(), "counts must be non-increasing"
+    assert (s.cum_share.diff().dropna() > 0).all()
+    # per-row 6-dp rounding: sum-of-rounds drifts from round-of-sum by
+    # up to k*5e-7
+    assert abs(s.share.sum() - s.cum_share.iloc[-1]) < 1e-5
+
+
+def test_split_leakage_zero_on_deduped_corpus_nonzero_on_duplicated(tables):
+    """The pipeline invariant the audit encodes: dedup-then-split leaks
+    nothing; duplicate ingestion leaks."""
+    docs = tables["documents"]
+    keepers = docs.join(
+        dedup.dedup_survivors(docs).select("doc_id"), "doc_id", "left_semi"
+    )
+    assert sampling.split_leakage(keepers).count() == 0
+    dups = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    leaked = sampling.split_leakage(docs.unionByName(dups))
+    assert leaked.count() > 0
+    assert leaked.filter(F.col("n_splits") < 2).count() == 0

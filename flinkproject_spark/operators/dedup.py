@@ -785,72 +785,67 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     LOWEST cosine to the cell centroid (retain the hardest/most diverse
     example, drop the redundant center-mass ones).
 
-    Deterministic relational form of the paper's per-cluster greedy scan:
-    a vector is dropped iff SOME near-dup neighbor dominates it — neighbor
-    has lower centroid-cosine, ties broken by lower vec_id. On a transitive
-    near-dup relation this keeps exactly the per-group minimum (the greedy
+    Deterministic form of the paper's per-cluster greedy scan: a vector is
+    dropped iff SOME near-dup neighbor dominates it — neighbor has lower
+    centroid-cosine, ties broken by lower vec_id. On a transitive near-dup
+    relation this keeps exactly the per-group minimum (the greedy
     survivor); on non-transitive chains it is the pairwise-dominance
     relaxation, still deterministic and oracle-checkable in ANSI SQL.
 
-    Plan: centroids are one posexplode aggregate (tiny table, broadcast
-    back on `label` — a hash join, not a cross join); pairs come from
-    :func:`embedding_near_dups` (per-cell numpy matmul, cell-bounded);
-    dominance is one groupBy over the directed edge list. No stage touches
-    more than the within-cell pair set — the 100 TB cost is the quantizer's
-    cell-size cap, same as the IVF tier.
+    FUSED single-pass execution: everything the verdict needs — the cell
+    centroid (= mean of the cell's own vectors, exactly what
+    label_centroids computes per label), each member's centroid cosine, the
+    pairwise cosine matrix, and the dominance test — is a function of ONE
+    cell's vectors, so it all happens inside one
+    `groupBy(label).applyInPandas` Arrow batch as numpy matmuls. ONE scan,
+    ONE shuffle, one Python stage. (The first cut composed
+    label_centroids + embedding_near_dups + three relational joins; each
+    DataFrame reference re-executed its subplan — 16 scans / 30 exchanges
+    for the same answer. Composability lost, 100 TB sanity won.) Cell
+    population bounds the O(m^2) matrices — the coarse quantizer's
+    cell-size cap is the knob, same as the matmul near-dup tier. Rounding
+    to 6 decimals keeps both cosines bit-identical to the DuckDB oracle.
     """
-    from flinkproject_spark.operators.similarity import (
-        _dot,
-        label_centroids,
-        with_norm,
-    )
+    import numpy as np
+    import pandas as pd
 
-    cents = (
-        label_centroids(embeddings)
-        .select("label", F.col("centroid").alias("cent"))
-        .withColumn("cent_norm", F.sqrt(_dot("cent", "cent")))
-    )
-    cc = (
-        with_norm(embeddings)
-        .join(F.broadcast(cents), "label")
-        .select(
-            "vec_id",
-            "label",
-            F.round(_dot("emb", "cent") / (F.col("norm") * F.col("cent_norm")), 6)
-            .alias("cent_cos"),
+    def cell_verdict(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+        cent = X.mean(axis=0)
+        cc = np.round(
+            (X @ cent) / (np.linalg.norm(X, axis=1) * np.linalg.norm(cent)), 6
         )
-    )
-    pairs = embedding_near_dups(embeddings, threshold)
-    edges = pairs.select(
-        F.col("vec_a").alias("me"), F.col("vec_b").alias("nb")
-    ).union(pairs.select(F.col("vec_b").alias("me"), F.col("vec_a").alias("nb")))
-    nb_cc = cc.select(
-        F.col("vec_id").alias("nb"),
-        F.col("cent_cos").alias("nb_cos"),
-    )
-    me_cc = cc.select(
-        F.col("vec_id").alias("me"), F.col("cent_cos").alias("me_cos")
-    )
-    verdict = (
-        edges.join(me_cc, "me")
-        .join(nb_cc, "nb")
-        .groupBy("me")
-        .agg(
-            F.count("*").alias("n_near_dups"),
-            F.max(
-                (F.col("nb_cos") < F.col("me_cos"))
-                | ((F.col("nb_cos") == F.col("me_cos")) & (F.col("nb") < F.col("me")))
-            ).alias("dominated"),
+        m = len(ids)
+        if m < 2:
+            near = np.zeros((m, m), dtype=bool)
+        else:
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.round(Xn @ Xn.T, 6)
+            near = (S >= threshold) & ~np.eye(m, dtype=bool)
+        dom = near & (
+            (cc[None, :] < cc[:, None])
+            | ((cc[None, :] == cc[:, None]) & (ids[None, :] < ids[:, None]))
         )
-    )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": np.full(m, int(pdf["label"].iloc[0]), dtype=np.int64),
+                "cent_cos": cc,
+                "n_near_dups": near.sum(axis=1).astype(np.int64),
+                "keep": ~dom.any(axis=1),
+            }
+        )
+
     return (
-        cc.join(verdict, cc.vec_id == verdict.me, "left")
-        .select(
-            "vec_id",
-            F.col("label").cast("bigint").alias("label"),
-            "cent_cos",
-            F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias("n_near_dups"),
-            (~F.coalesce("dominated", F.lit(False))).alias("keep"),
+        embeddings.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            cell_verdict,
+            "vec_id bigint, label bigint, cent_cos double, "
+            "n_near_dups bigint, keep boolean",
         )
     )
 

@@ -767,6 +767,24 @@ def q_split_leakage(spark, sf):
     return sampling.split_leakage(docs.unionByName(dups))
 
 
+def q_text_bigram_logprob(spark, sf):
+    """Interpolated bigram-LM fluency score per document
+    (text.bigram_logprob_scores)."""
+    return text.bigram_logprob_scores(_t(spark, sf, "documents"))
+
+
+def q_corpus_weighted_sample(spark, sf):
+    """Efraimidis-Spirakis weighted sampling without replacement: 20 docs
+    per source, inclusion odds proportional to quality
+    (sampling.weighted_sample)."""
+    return sampling.weighted_sample(_t(spark, sf, "documents"))
+
+
+def q_text_tfidf(spark, sf):
+    """Top-10 distinctive tokens per source by tf-idf (text.tfidf_terms)."""
+    return text.tfidf_terms(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles.  Queries whose last driver check
@@ -777,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions slot in here (inside the verified window)
         "dedup_semantic": q_dedup_semantic,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "text_tfidf": q_text_tfidf,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -1683,6 +1704,61 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked, tot
             WHERE rank <= 50""",
         "split_leakage": _split_leakage_sql(),
+        "corpus_weighted_sample": _weighted_sample_sql(),
+        "text_bigram_logprob": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS x
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(x)),
+                                           i -> x[i] || ' ' || x[i + 1])) AS b
+              FROM d WHERE len(x) >= 2),
+            bgw AS (
+              SELECT doc_id, b, split_part(b, ' ', 1) AS w1,
+                     split_part(b, ' ', 2) AS w2
+              FROM bg),
+            ct_b AS (SELECT b, MIN(w1) AS w1, MIN(w2) AS w2,
+                            COUNT(*) AS ct_b FROM bgw GROUP BY b),
+            ct_l AS (SELECT w1, COUNT(*) AS ct_l FROM bgw GROUP BY w1),
+            uni AS (
+              SELECT t, COUNT(*) AS ct_u
+              FROM (SELECT unnest(x) AS t FROM d) GROUP BY t),
+            tot AS (SELECT CAST(SUM(ct_u) AS DOUBLE) AS total FROM uni),
+            lp AS (
+              SELECT ct_b.b,
+                     CAST(round(ln(0.75 * (ct_b.ct_b / ct_l.ct_l)
+                                   + 0.25 * (uni.ct_u / total)), 6)
+                          AS DECIMAL(18,6)) AS lp
+              FROM ct_b JOIN ct_l USING (w1)
+                        JOIN uni ON uni.t = ct_b.w2, tot)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                     AS avg_bigram_logprob
+            FROM bgw JOIN lp USING (b)
+            GROUP BY 1""",
+        "text_tfidf": """
+            WITH tok AS (
+              SELECT doc_id, source, t
+              FROM (SELECT doc_id, source,
+                           unnest(string_split_regex(text, '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            tf AS (SELECT source, t, COUNT(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT t, COUNT(*)::BIGINT AS df
+                      FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+            nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+            scored AS (
+              SELECT source, t, tf, df,
+                     round(tf * ln(n_docs / df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (t), nd)
+            SELECT source, t AS token, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                               ORDER BY tfidf DESC, t) AS rk
+                  FROM scored)
+            WHERE rk <= 10""",
         "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
@@ -2307,6 +2383,33 @@ def _corpus_mix_sql() -> str:
         SELECT doc_id, lang, source, n_tokens, round(rate, 6) AS rate
         FROM d JOIN rates USING (source)
         WHERE ({draw}) % {SAMPLE_MOD} < CAST(floor(rate * {SAMPLE_MOD}) AS BIGINT)"""
+
+
+def _weighted_sample_sql() -> str:
+    from flinkproject_spark.functions import duck_hash64
+    from flinkproject_spark.operators.sampling import SAMPLE_MOD
+
+    h = duck_hash64("'wsample-v1:' || CAST(doc_id AS VARCHAR)")
+    toks = "string_split_regex(text, '\\s+')"
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, lang, source,
+                 len({toks})::BIGINT AS n_tokens,
+                 least(len({toks})::DOUBLE / 100.0, 1.0) * 0.5
+                   + (len(list_distinct({toks}))::DOUBLE
+                      / len({toks})::DOUBLE) * 0.5 AS q,
+                 round(ln((({h}) % {SAMPLE_MOD} + 0.5) / {float(SAMPLE_MOD)})
+                       / greatest(least(len({toks})::DOUBLE / 100.0, 1.0) * 0.5
+                                  + (len(list_distinct({toks}))::DOUBLE
+                                     / len({toks})::DOUBLE) * 0.5, 0.01),
+                       6) AS priority
+          FROM documents)
+        SELECT doc_id, lang, source, n_tokens,
+               round(q, 6) AS quality_score, priority, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY priority DESC, doc_id) AS rk
+              FROM scored)
+        WHERE rk <= 20"""
 
 
 def _split_leakage_sql() -> str:

@@ -233,6 +233,54 @@ def assign_split(
     return documents.withColumn("split", expr)
 
 
+def weighted_sample(
+    documents: DataFrame,
+    k: int = 20,
+    stratum_col: str = "source",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006): each item draws uniform u,
+    gets priority u^(1/w), and the k highest priorities win; inclusion
+    probability is proportional to weight, and the whole draw is one
+    distributed top-k (the standard way to quality-weight a subsample
+    without a sequential pass).
+
+    Determinism: u comes from the md5 hash draw (same kernel as
+    stratified_sample), so verdicts are reproducible across runs, engines,
+    and repartitioning — and the DuckDB oracle replays them exactly. We
+    rank by the priority's log, ln(u)/w (monotone in u^(1/w); w > 0),
+    rounded to 6 dp with doc_id tiebreak so the top-k frontier is
+    engine-identical.
+
+    Weight = the shared quality composite (_quality_scored), floored at
+    0.01 so zero-quality docs keep a positive weight. Plan: narrow
+    projection -> per-stratum window top-k. The window partitions by
+    stratum; at 100 TB swap the exact window for a per-partition partial
+    top-k + merge (the similarity._partial_topk pattern) — same output,
+    bounded reducer.
+    """
+    scored = _quality_scored(documents)
+    u = (_keep_hash("doc_id", salt) + 0.5) / F.lit(float(SAMPLE_MOD))
+    w_col = F.greatest(F.col("quality_score"), F.lit(0.01))
+    pri = F.round(F.log(u) / w_col, 6)
+    win = Window.partitionBy(stratum_col).orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        scored.withColumn("priority", pri)
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round("quality_score", 6).alias("quality_score"),
+            "priority",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def split_leakage(
     documents: DataFrame,
     weights: dict[str, float] | None = None,

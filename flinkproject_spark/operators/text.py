@@ -213,6 +213,67 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob_scores(documents: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Bigram-LM fluency: per-doc mean ln of the Jelinek-Mercer-interpolated
+    bigram probability  lam * p(w2|w1) + (1-lam) * p(w2)  under the corpus'
+    own counts — the next step up from unigram_logprob_scores (word-salad
+    with common words scores high on unigrams but low here; real phrase
+    structure scores high on both). Docs need >= 2 tokens to have a bigram;
+    shorter docs are absent from the output (documented contract).
+
+    p(w2|w1) = ct(w1 w2) / ct(w1 ·) with the left-context count taken over
+    bigram starts (so final tokens don't inflate it); p(w2) is the plain
+    unigram MLE. Self-scoring means no unseen bigrams; the interpolation
+    still smooths sharp conditionals, and on a stream the same table-join
+    shape backs off gracefully.
+
+    Plan: ONE bigram explode feeds the bigram counts, the left-context
+    counts, and the per-doc join-back; the unigram table is the
+    unigram_logprob explode. All probability tables are vocab-sized
+    (Zipf-small, AQE-broadcastable). Same DECIMAL(18,6) contract as the
+    unigram op: round(ln, 6) before the order-independent exact sum.
+    """
+    d = with_tokens(documents)
+    bg = d.select("doc_id", F.explode(word_ngrams(F.col("x"), 2)).alias("b"))
+    bg = bg.withColumn("w1", F.split("b", " ")[0]).withColumn("w2", F.split("b", " ")[1])
+    ct_b = bg.groupBy("b").agg(
+        F.first("w1").alias("w1"), F.first("w2").alias("w2"), F.count("*").alias("ct_b")
+    )
+    ct_l = bg.groupBy("w1").agg(F.count("*").alias("ct_l"))
+    tok = d.select(F.explode("x").alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("ct_u"))
+    total = uni.agg(F.sum("ct_u").cast("double").alias("total"))
+    lp = (
+        ct_b.join(ct_l, "w1")
+        .join(uni.withColumnRenamed("t", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    F.lit(lam) * (F.col("ct_b") / F.col("ct_l"))
+                    + F.lit(1.0 - lam) * (F.col("ct_u") / F.col("total"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        bg.join(lp, "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"), F.sum("lp").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+    )
+
+
 def gopher_quality_flags(
     documents: DataFrame,
     min_tokens: int = 10,
@@ -626,9 +687,16 @@ def dsir_importance(documents: DataFrame, target_lang: str = "en") -> DataFrame:
     exact and order-independent; only per-row ln and the final division are
     double.
     """
+    return score_against_vocab(documents, dsir_vocab(documents, target_lang))
+
+
+def dsir_vocab(documents: DataFrame, target_lang: str = "en") -> DataFrame:
+    """The train-once half of DSIR: per-token smoothed log-ratio table
+    (t, lr) — tiny (Zipf vocab), persisted in production and replayed
+    against every ingest batch by the streaming sink."""
     tok = (
         with_tokens(documents)
-        .select("doc_id", (F.col("lang") == target_lang).alias("is_t"), F.explode("x").alias("t"))
+        .select((F.col("lang") == target_lang).alias("is_t"), F.explode("x").alias("t"))
         .filter(F.col("t") != "")
     )
     vocab = tok.groupBy("t").agg(
@@ -640,7 +708,7 @@ def dsir_importance(documents: DataFrame, target_lang: str = "en") -> DataFrame:
         F.sum("ct_r").cast("double").alias("tot_r"),
         F.count("*").cast("double").alias("v"),
     )
-    lr = vocab.crossJoin(F.broadcast(totals)).select(
+    return vocab.crossJoin(F.broadcast(totals)).select(
         "t",
         F.round(
             F.log((F.col("ct_t") + 1) / (F.col("tot_t") + F.col("v")))
@@ -650,8 +718,24 @@ def dsir_importance(documents: DataFrame, target_lang: str = "en") -> DataFrame:
         .cast("decimal(18,6)")
         .alias("lr"),
     )
+
+
+def score_against_vocab(documents: DataFrame, vocab_lr: DataFrame) -> DataFrame:
+    """The apply half of DSIR: mean log-ratio per document under a
+    (possibly persisted) vocab table. Tokens ABSENT from the vocab score a
+    neutral 0 log-ratio (both smoothed LMs assign an OOV the same
+    1/(tot+V)-class mass, so the ratio is ~1) — the property that makes
+    the streaming sink's train-once/score-forever split sound. On the
+    training corpus itself every token is in-vocab, so this reduces
+    exactly to the one-pass form the oracle checks."""
+    tok = (
+        with_tokens(documents)
+        .select("doc_id", F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+    )
     return (
-        tok.join(lr, "t")
+        tok.join(vocab_lr, "t", "left")
+        .withColumn("lr", F.coalesce("lr", F.lit(0).cast("decimal(18,6)")))
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_tokens"), F.sum("lr").alias("s"))
         .select(
@@ -696,6 +780,62 @@ def corpus_zipf(documents: DataFrame, k: int = 50) -> DataFrame:
         "ct",
         F.round(F.col("ct") / F.col("total"), 6).alias("share"),
         F.round(F.sum(F.col("ct")).over(cum) / F.col("total"), 6).alias("cum_share"),
+    )
+
+
+def tfidf_terms(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Distinctive vocabulary per source: top-k tokens by tf-idf, the
+    classic what-makes-this-domain-different audit (and the feature the
+    DSIR hashed-n-gram estimator generalizes).
+
+    tf = token occurrences within the source; df = number of DOCUMENTS
+    containing the token anywhere; idf = ln(N_docs / df) (df >= 1 by
+    construction, no smoothing needed). Ranking key rounds to 6 dp with
+    token tiebreak so the frontier is engine-identical.
+
+    Plan: one explode feeds both aggregates — (source, token) tf counts
+    and per-token df via a distinct doc-token pass; N_docs rides along as
+    a 1-row broadcast. The top-k window partitions by source over the
+    SOURCE-VOCAB aggregate (Zipf-small), never over corpus rows.
+    """
+    tok = (
+        with_tokens(documents)
+        .select("doc_id", "source", F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = tok.groupBy("source", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    n_docs = documents.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source",
+            "t",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            "source",
+            F.col("t").alias("token"),
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 

@@ -386,6 +386,41 @@ def decontaminating_writer(
     return fn
 
 
+def dsir_selecting_writer(
+    corpus_path: str, vocab_path: str, min_importance: float = 0.0
+) -> Callable[[DataFrame, int], None]:
+    """Importance-select-on-ingest (the streaming half of DSIR, arXiv:
+    2302.03169): each micro-batch of documents is scored against the
+    PERSISTED log-ratio vocab table (text.dsir_vocab, trained once on the
+    reference corpus), docs at or above `min_importance` append to the
+    corpus, the rest to a `<corpus>_rejected` side channel with their
+    scores — nothing silently dropped, same dirty-side-output discipline
+    as the decontaminating sink.
+
+    O(batch) per trigger: the batch's tokens join the Zipf-small vocab
+    (AQE-broadcastable); tokens unseen at train time score a neutral 0
+    (score_against_vocab's OOV contract), so a drifting stream degrades
+    toward indifference, never a crash or a skew blow-up.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.text import score_against_vocab
+
+        spark = batch.sparkSession
+        vocab = spark.read.parquet(vocab_path)
+        scores = score_against_vocab(batch, vocab)
+        scored = batch.join(scores, "doc_id", "left").fillna(
+            {"n_tokens": 0, "log_importance": 0.0}
+        )
+        scored = scored.localCheckpoint(eager=True)  # score once, write twice
+        keep = scored.filter(F.col("log_importance") >= min_importance)
+        drop = scored.filter(F.col("log_importance") < min_importance)
+        keep.write.mode("append").parquet(corpus_path)
+        drop.write.mode("append").parquet(f"{corpus_path}_rejected")
+
+    return fn
+
+
 def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:
     """B11 — the `.print()` debug sink (BaseLogApp.java:132-134)."""
     return df.writeStream.format("console").option("numRows", rows).start()

@@ -31,7 +31,8 @@ from tests.conftest import SF_DIR
 # map-side literal; the BNL side is always exactly one row).
 BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign", "corpus_mix",
-    "text_logprob", "quality_deciles", "text_dsir", "corpus_zipf",
+    "text_logprob", "quality_deciles", "text_dsir", "corpus_zipf", "text_tfidf",
+    "text_bigram_logprob",
 }
 
 

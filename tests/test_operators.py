@@ -1751,3 +1751,72 @@ def test_split_leakage_zero_on_deduped_corpus_nonzero_on_duplicated(tables):
     leaked = sampling.split_leakage(docs.unionByName(dups))
     assert leaked.count() > 0
     assert leaked.filter(F.col("n_splits") < 2).count() == 0
+
+
+def test_weighted_sample_exact_k_per_stratum_and_repartition_stable(tables):
+    docs = tables["documents"]
+    out = sampling.weighted_sample(docs, k=15)
+    per = dict(out.groupBy("source").count().collect())
+    sizes = dict(docs.groupBy("source").count().collect())
+    for s, n in sizes.items():
+        assert per.get(s, 0) == min(15, n)
+    assert out.filter(F.col("rk") > 15).count() == 0
+    again = sampling.weighted_sample(docs.repartition(13), k=15)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_weighted_sample_priorities_are_log_domain_valid(spark):
+    """ln(u)/w with u in (0,1) and w > 0 is strictly negative — a
+    non-negative priority would mean a broken draw or weight floor."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e f g h i j " * 10, "a a a a a"],
+        "lang": ["en", "en"],
+        "source": ["s", "s"],
+        "n_chars": [200, 9],
+    })
+    out = sampling.weighted_sample(spark.createDataFrame(pdf), k=2).toPandas()
+    assert len(out) == 2 and (out.priority < 0).all()
+
+
+def test_tfidf_terms_ranked_and_universal_tokens_zero(tables):
+    docs = tables["documents"]
+    out = text.tfidf_terms(docs, k=8).toPandas()
+    n_docs = docs.count()
+    for _, g in out.groupby("source"):
+        s = g.sort_values("rk")
+        assert (s.tfidf.diff().dropna() <= 1e-12).all()
+        assert list(s.rk) == list(range(1, len(s) + 1))
+    universal = out[out.df == n_docs]
+    assert (universal.tfidf == 0).all()
+
+
+def test_bigram_logprob_matches_hand_computed_interpolation(spark):
+    import math
+
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b", "a b", "a c"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [3, 3, 3],
+    })
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_bigram_logprob)
+        for r in text.bigram_logprob_scores(spark.createDataFrame(pdf)).collect()
+    }
+    # ct("a b")=2, ct("a c")=1, left ct(a)=3; uni a=3 b=2 c=1, total=6
+    lp_ab = round(math.log(0.75 * (2 / 3) + 0.25 * (2 / 6)), 6)
+    lp_ac = round(math.log(0.75 * (1 / 3) + 0.25 * (1 / 6)), 6)
+    assert out[1] == (1, lp_ab) and out[2] == (1, lp_ab)
+    assert out[3] == (1, lp_ac)
+
+
+def test_bigram_logprob_covers_exactly_docs_with_two_plus_tokens(tables):
+    docs = tables["documents"]
+    out = text.bigram_logprob_scores(docs)
+    eligible = text.token_stats(docs).filter(F.col("n_tokens") >= 2).count()
+    assert out.count() == eligible
+    assert out.filter(F.col("avg_bigram_logprob") > 0).count() == 0

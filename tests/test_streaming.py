@@ -1114,3 +1114,52 @@ def test_interval_join_outer_stream_matches_batch(spark, sf_dir, orders_staged, 
     want = interval_join_outer(catalog.load_table(spark, sf_dir, "orders"), lineitem)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_dsir_selecting_sink_matches_batch_scores(spark, sf_dir, tmp_path):
+    """[S] Documents replayed through the DSIR-selecting sink against a
+    persisted vocab table: corpus + rejected must partition the input
+    exactly as batch score_against_vocab would at the same threshold, with
+    per-doc scores carried on the reject channel and nothing dropped."""
+    from flinkproject_spark.operators import text as text_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    vocab_path = str(tmp_path / "vocab")
+    text_ops.dsir_vocab(docs, target_lang="en").write.parquet(vocab_path)
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.dsir_selecting_writer(corpus, vocab_path, min_importance=0.0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    vocab = spark.read.parquet(vocab_path)
+    want = {
+        r.doc_id: r.log_importance
+        for r in text_ops.score_against_vocab(docs, vocab).collect()
+    }
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    rejected = {
+        r.doc_id: r.log_importance
+        for r in spark.read.parquet(f"{corpus}_rejected").collect()
+    }
+    assert admitted == {d for d, s in want.items() if s >= 0.0}
+    assert rejected == {d: s for d, s in want.items() if s < 0.0}  # scores carried
+    assert admitted | set(rejected) == set(want)
+    # batch-boundary independence: re-ingesting in ONE batch gives the
+    # same partition (train-once vocab => score is batch-shape-free)
+    corpus2 = str(tmp_path / "corpus2")
+    sinks.dsir_selecting_writer(corpus2, vocab_path, min_importance=0.0)(docs, 0)
+    admitted2 = {r.doc_id for r in spark.read.parquet(corpus2).select("doc_id").collect()}
+    assert admitted2 == admitted

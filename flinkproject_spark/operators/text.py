@@ -239,7 +239,9 @@ def bigram_logprob_scores(documents: DataFrame, lam: float = 0.75) -> DataFrame:
     ct_b = bg.groupBy("b").agg(
         F.first("w1").alias("w1"), F.first("w2").alias("w2"), F.count("*").alias("ct_b")
     )
-    ct_l = bg.groupBy("w1").agg(F.count("*").alias("ct_l"))
+    # left-context counts roll up from the bigram counts (vocab-sized input)
+    # rather than a third corpus explode — one fewer full scan
+    ct_l = ct_b.groupBy("w1").agg(F.sum("ct_b").alias("ct_l"))
     tok = d.select(F.explode("x").alias("t"))
     uni = tok.groupBy("t").agg(F.count("*").alias("ct_u"))
     total = uni.agg(F.sum("ct_u").cast("double").alias("total"))

@@ -767,6 +767,13 @@ def q_split_leakage(spark, sf):
     return sampling.split_leakage(docs.unionByName(dups))
 
 
+def q_corpus_profile(spark, sf):
+    """Fused one-pass per-document audit: token stats + quality + Gopher
+    gate + lang-ID + fingerprint in ONE codegen'd projection
+    (text.corpus_profile)."""
+    return text.corpus_profile(_t(spark, sf, "documents"))
+
+
 def q_text_bigram_logprob(spark, sf):
     """Interpolated bigram-LM fluency score per document
     (text.bigram_logprob_scores)."""
@@ -798,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "text_tfidf": q_text_tfidf,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "corpus_profile": q_corpus_profile,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -1705,6 +1713,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 50""",
         "split_leakage": _split_leakage_sql(),
         "corpus_weighted_sample": _weighted_sample_sql(),
+        "corpus_profile": f"""
+            WITH d AS (
+              SELECT doc_id, lang, source, text, n_chars,
+                     string_split_regex(text, '\\s+') AS x
+              FROM documents),
+            s AS (
+              SELECT *,
+                {_LANG_SCORES}
+              FROM d)
+            SELECT doc_id, lang, source,
+                   CAST(len(x) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(x)) AS BIGINT) AS n_unique,
+                   n_chars::DOUBLE / len(x)::DOUBLE AS avg_token_len,
+                   len(list_filter(x, t -> {_STOP_OR}))::DOUBLE
+                     / len(x)::DOUBLE AS stopword_ratio,
+                   len(list_distinct(x))::DOUBLE / len(x)::DOUBLE AS diversity,
+                   least(len(x)::DOUBLE / 100.0, 1.0) * 0.5
+                     + (len(list_distinct(x))::DOUBLE / len(x)::DOUBLE) * 0.5
+                     AS quality_score,
+                   round(CAST(len(array_to_string(x, '')) AS DOUBLE)
+                         / CAST(len(x) AS DOUBLE), 6) AS mean_word_len,
+                   round((CAST(len(text) AS DOUBLE)
+                          - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
+                         / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
+                   (CAST(len(x) AS BIGINT) BETWEEN 10 AND 100000)
+                     AND (round(CAST(len(array_to_string(x, '')) AS DOUBLE)
+                                / CAST(len(x) AS DOUBLE), 6) BETWEEN 2.0 AND 12.0)
+                     AND (round((CAST(len(text) AS DOUBLE)
+                                 - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
+                                / CAST(len(text) AS DOUBLE), 6) <= 0.1)
+                     AND (round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                                / CAST(len(x) AS DOUBLE), 6) >= 0.8)
+                     AND (len(list_intersect(list_distinct(x),
+                              ['the', 'a', 'of', 'and', 'to'])) >= 2)
+                     AS gopher_keep,
+                   {_LANG_CASE} AS predicted_lang,
+                   md5(list_aggregate(list_sort(list_distinct(x)),
+                                      'string_agg', ' ')) AS fingerprint
+            FROM s""",
         "text_bigram_logprob": """
             WITH d AS (
               SELECT doc_id, string_split_regex(text, '\\s+') AS x

@@ -667,6 +667,79 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_profile(documents: DataFrame) -> DataFrame:
+    """The FUSED one-pass per-document audit: everything token_stats,
+    quality_scores, gopher_quality_flags, lang_id, and fingerprints compute
+    per document, in ONE projection — one scan, ZERO shuffles, fully
+    whole-stage-codegen.
+
+    Why it exists: a corpus audit that runs the five standalone operators
+    scans the 100 TB corpus five times; every one of their outputs is a
+    narrow per-row function of the same token array, so the single fused
+    scan is the plan a profiler should ship. The standalone operators stay
+    the composable/oracle-granular forms; per-column equality with each of
+    them is pinned by test (the fusion can never drift from its parts).
+    """
+    d = with_tokens(documents)
+    n_tok = F.size("x").cast("double")
+    uniq = F.size(F.array_distinct("x")).cast("double")
+    stop_ct = F.size(F.expr(
+        "filter(x, t -> t IN ({}))".format(", ".join(f"'{s}'" for s in STOPWORDS))
+    )).cast("double")
+    mean_wlen = F.length(F.concat_ws("", "x")).cast("double") / n_tok
+    n_chars_d = F.length("text").cast("double")
+    n_sym = n_chars_d - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    ).cast("double")
+    alpha_words = F.size(F.expr("filter(x, w -> w rlike '[A-Za-z]')")).cast("double")
+    distinct_stop = F.size(
+        F.array_intersect(F.array_distinct("x"), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    langs = list(LANG_MARKERS)
+    scores = {
+        lg: F.size(F.expr(
+            "filter(x, t -> t IN ({}))".format(", ".join(f"'{m}'" for m in ms))
+        ))
+        for lg, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = None
+    for lg in reversed(langs):
+        cond = scores[lg] == best
+        pred = F.when(cond, F.lit(lg)) if pred is None else F.when(cond, F.lit(lg)).otherwise(pred)
+    n_tokens_b = F.size("x").cast("bigint")
+    mean_wlen_r = F.round(mean_wlen, 6)
+    symbol_r = F.round(n_sym / n_chars_d, 6)
+    alpha_r = F.round(alpha_words / n_tok, 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens_b.alias("n_tokens"),
+        uniq.cast("bigint").alias("n_unique"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        (stop_ct / n_tok).alias("stopword_ratio"),
+        (uniq / n_tok).alias("diversity"),
+        (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+            + (uniq / n_tok) * F.lit(0.5)
+        ).alias("quality_score"),
+        mean_wlen_r.alias("mean_word_len"),
+        symbol_r.alias("symbol_ratio"),
+        (
+            n_tokens_b.between(10, 100_000)
+            & mean_wlen_r.between(2.0, 12.0)
+            & (symbol_r <= 0.1)
+            & (alpha_r >= 0.8)
+            & (distinct_stop >= 2)
+        ).alias("gopher_keep"),
+        pred.alias("predicted_lang"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("x")))).alias(
+            "fingerprint"
+        ),
+    )
+
+
 def dsir_importance(documents: DataFrame, target_lang: str = "en") -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
     score every document by how target-like its unigram distribution is —

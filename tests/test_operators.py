@@ -1820,3 +1820,40 @@ def test_bigram_logprob_covers_exactly_docs_with_two_plus_tokens(tables):
     eligible = text.token_stats(docs).filter(F.col("n_tokens") >= 2).count()
     assert out.count() == eligible
     assert out.filter(F.col("avg_bigram_logprob") > 0).count() == 0
+
+
+def test_corpus_profile_equals_each_component_operator(tables):
+    """The fused one-scan audit can never drift from its parts: every
+    column must equal the standalone operator's output, doc by doc."""
+    docs = tables["documents"]
+    prof = text.corpus_profile(docs).toPandas().set_index("doc_id").sort_index()
+
+    ts = text.token_stats(docs).toPandas().set_index("doc_id").sort_index()
+    assert (prof.n_tokens == ts.n_tokens).all()
+    assert (prof.n_unique == ts.n_unique).all()
+    assert (prof.avg_token_len == ts.avg_token_len).all()
+
+    q = text.quality_scores(docs).toPandas().set_index("doc_id").sort_index()
+    assert (prof.stopword_ratio == q.stopword_ratio).all()
+    assert (prof.diversity == q.diversity).all()
+    assert (prof.quality_score == q.quality_score).all()
+
+    g = text.gopher_quality_flags(docs).toPandas().set_index("doc_id").sort_index()
+    assert (prof.mean_word_len == g.mean_word_len).all()
+    assert (prof.symbol_ratio == g.symbol_ratio).all()
+    assert (prof.gopher_keep == g.keep).all()
+
+    li = text.lang_id(docs).toPandas().set_index("doc_id").sort_index()
+    assert (prof.predicted_lang == li.predicted_lang).all()
+
+    fp = text.fingerprints(docs).toPandas().set_index("doc_id").sort_index()
+    assert (prof.fingerprint == fp.fingerprint).all()
+
+
+def test_corpus_profile_plan_is_one_scan_no_shuffle(spark, sf_dir):
+    df = text.corpus_profile(catalog.load_table(spark, sf_dir, "documents"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0

@@ -154,6 +154,17 @@ def q_a12_bounce_cep(spark, sf):
     return cep.detect_bounces_cep(_t(spark, sf, "events"))
 
 
+def q_cep_followedby(spark, sf):
+    """Relaxed-contiguity CEP: begin(purchase).followedBy(purchase)
+    .within(2h) — repeat-purchase detection with arbitrary intervening
+    events, a pattern strict `next` cannot express (cep.repeat_event_cep).
+    The single-greedy-run semantics make the stateful output exactly
+    lead()-expressible, so the oracle is full-strength SQL."""
+    from flinkproject_spark.operators import cep
+
+    return cep.repeat_event_cep(_t(spark, sf, "events"))
+
+
 def q_a13_sessionize(spark, sf):
     out = state.sessionize(_t(spark, sf, "events"))
     return out.select(
@@ -806,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "text_bigram_logprob": q_text_bigram_logprob,
         "corpus_profile": q_corpus_profile,
+        "cep_followedby": q_cep_followedby,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -1713,6 +1725,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 50""",
         "split_leakage": _split_leakage_sql(),
         "corpus_weighted_sample": _weighted_sample_sql(),
+        "cep_followedby": f"""
+            WITH p AS (
+              SELECT user_id, event_id, ts, event_type,
+                     lead(event_id) OVER w AS n_id,
+                     lead(ts) OVER w AS n_ts,
+                     lead(event_type) OVER w AS n_type
+              FROM events WHERE event_type = 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   CASE WHEN n_ts IS NOT NULL
+                          AND date_diff('second', ts, n_ts) <= 7200
+                        THEN 'match' ELSE 'timeout' END AS match_kind,
+                   event_id AS s0_event_id,
+                   strftime(ts, '{FMT}') AS s0_ts,
+                   event_type AS s0_event_type,
+                   CASE WHEN n_ts IS NOT NULL
+                          AND date_diff('second', ts, n_ts) <= 7200
+                        THEN n_id END AS s1_event_id,
+                   CASE WHEN n_ts IS NOT NULL
+                          AND date_diff('second', ts, n_ts) <= 7200
+                        THEN strftime(n_ts, '{FMT}') END AS s1_ts,
+                   CASE WHEN n_ts IS NOT NULL
+                          AND date_diff('second', ts, n_ts) <= 7200
+                        THEN n_type END AS s1_event_type
+            FROM p""",
         "corpus_profile": f"""
             WITH d AS (
               SELECT doc_id, lang, source, text, n_chars,

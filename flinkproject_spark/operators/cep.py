@@ -151,15 +151,27 @@ def run_machine(
     within_s: int,
     cur_key,
     partial: list,
+    strict: "np.ndarray | None" = None,
 ) -> tuple[list, list, Any]:
     """The sequential NFA core, shared verbatim by the batch and streaming
     forms (their replay-parity is structural, not coincidental). Inputs are
     (key, ts, event_id)-ordered arrays; a key change flushes the previous
     key's live partial as a timeout (its data ended). Returns
     (emissions, partial, cur_key) where each emission is
-    (key, 'match' | 'timeout', [(event_id, ts_s, event_type), ...])."""
+    (key, 'match' | 'timeout', [(event_id, ts_s, event_type), ...]).
+
+    `strict[j]` (j = the step a live partial is waiting on) selects the
+    contiguity of that transition: True = Flink `next` (a non-matching
+    event ABORTS the partial), False = Flink `followedBy` (a non-matching
+    event is SKIPPED; the partial stays live until it matches or times
+    out). Default: all-strict. Single-greedy-run subset of Flink's NFA:
+    one live partial per key, and a skipped event never seeds a competing
+    attempt while a partial is live — deterministic and replay-stable by
+    construction."""
     out: list = []
     n = P.shape[1]
+    if strict is None:
+        strict = np.ones(n, dtype=bool)
     for i in range(len(ts)):
         k = keys[i]
         if cur_key is None or k != cur_key:
@@ -183,8 +195,9 @@ def run_machine(
                     partial = (
                         [(int(eids[i]), int(t), etypes[i])] if P[i, 0] else []
                     )
-            else:
+            elif strict[len(partial)]:
                 partial = []  # strict `next` contiguity: abort, no output
+            # else: relaxed `followedBy` — skip this event, partial lives
         if not partial and not consumed and P[i, 0]:
             partial = [(int(eids[i]), int(t), etypes[i])]
             if n == 1:
@@ -225,11 +238,29 @@ def deserialize_partial(blob: "str | None") -> list:
     return [(int(e), int(t), et) for e, t, et in json.loads(blob)]
 
 
+def strict_array(n: int, contiguity: "Sequence[str] | None") -> np.ndarray:
+    """Translate a per-transition contiguity list (entries for steps
+    1..n-1: 'next' | 'followedBy') into the machine's strict[] array.
+    None = all-'next' (the reference pattern's shape). A `times(k)`
+    quantifier is spelled by repeating the predicate k times in `steps`
+    with the wanted contiguity — no extra operator needed."""
+    strict = np.ones(n, dtype=bool)
+    if contiguity is not None:
+        if len(contiguity) != n - 1:
+            raise ValueError(f"contiguity needs {n - 1} entries, got {len(contiguity)}")
+        for j, c in enumerate(contiguity, start=1):
+            if c not in ("next", "followedBy"):
+                raise ValueError(f"contiguity[{j - 1}]: {c!r}")
+            strict[j] = c == "next"
+    return strict
+
+
 def cep_pattern(
     events: DataFrame,
     steps: Sequence[Any],
     within_s: int,
     key_col: str = "user_id",
+    contiguity: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Batch form: one shuffle co-locating each key, a within-partition
     (key, ts, event_id) sort, then `mapInPandas` streaming whole Arrow
@@ -238,6 +269,7 @@ def cep_pattern(
     == watermark at +inf)."""
     events, steps, is_sql = _compile_steps(events, steps)
     n = len(steps)
+    strict = strict_array(n, contiguity)
     schema = output_schema(n, key_col)
     pcols = [f"__cep_p{i}" for i in range(n) if is_sql[i]]
     proj = events.select(
@@ -263,7 +295,7 @@ def cep_pattern(
             gaps = gap_array(keys, ts, cur_key, last_s)
             P = pred_matrix(pdf, gaps, steps, is_sql)
             emissions, partial, cur_key = run_machine(
-                keys, eids, ts, etypes, P, within_s, cur_key, partial
+                keys, eids, ts, etypes, P, within_s, cur_key, partial, strict
             )
             last_s = int(ts[-1])
             if emissions:
@@ -285,6 +317,24 @@ def session_entry_pred(session_gap_min: int = 30):
 
     pred.vectorized = lambda gaps: (gaps == GAP_NONE) | (gaps > gap_s)
     return pred
+
+
+def repeat_event_cep(
+    events: DataFrame, event_type: str = "purchase", within_s: int = 7200
+) -> DataFrame:
+    """`followedBy` instance: begin(type).followedBy(type).within(T) —
+    repeat-purchase detection with arbitrary other events in between (the
+    pattern strict `next` cannot express: any intervening click would
+    abort it). Under the machine's single-greedy-run semantics every
+    `event_type` event emits exactly one row as step 0 — a `match`
+    carrying the next such event when it arrives within the budget, else a
+    `timeout` — which is what makes the operator's output exactly
+    SQL-expressible (lead() over the type-filtered subsequence) and
+    oracle-checkable despite the stateful execution."""
+    p = f"event_type = '{event_type}'"
+    return cep_pattern(
+        events, [p, p], within_s=within_s, contiguity=["followedBy"]
+    )
 
 
 def detect_bounces_cep(

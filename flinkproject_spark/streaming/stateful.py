@@ -291,6 +291,7 @@ def cep_pattern_stream(
     steps: list,
     within_s: int,
     key_col: str = "user_id",
+    contiguity: "list | None" = None,
 ) -> DataFrame:
     """Streaming `begin -> next(strict) -> within` pattern matching: the
     same machine as the batch `operators.cep.cep_pattern` (shared
@@ -309,6 +310,7 @@ def cep_pattern_stream(
 
     events, steps, is_sql = cep._compile_steps(events, steps)
     n = len(steps)
+    strict = cep.strict_array(n, contiguity)
     out_schema = cep.output_schema(n, key_col)
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -339,6 +341,7 @@ def cep_pattern_stream(
             within_s,
             k0,  # cur_key == this group's key so carried partial survives
             partial,
+            strict,
         )
         state.update((cep.serialize_partial(partial), int(ts[-1])))
         if partial:

@@ -1857,3 +1857,31 @@ def test_corpus_profile_plan_is_one_scan_no_shuffle(spark, sf_dir):
     import re
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0
+
+
+def test_cep_followedby_survives_intervening_events_where_next_aborts(spark):
+    """The contiguity semantics, pinned on a hand sequence: view@0,
+    click@10, view@20 with pattern view->view within 60 — `next` ABORTS on
+    the click (silent discard, Flink-NFA style; only the reseeded second
+    view flushes as a timeout at end-of-data), `followedBy` skips it and
+    matches."""
+    import pandas as pd
+
+    from flinkproject_spark.operators import cep
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                              "2024-01-01 00:00:20"]),
+        "user_id": [7, 7, 7],
+        "event_type": ["view", "click", "view"],
+    })
+    ev = spark.createDataFrame(pdf)
+    steps = ["event_type = 'view'", "event_type = 'view'"]
+    relaxed = cep.cep_pattern(ev, steps, within_s=60, contiguity=["followedBy"])
+    strict = cep.cep_pattern(ev, steps, within_s=60)
+    r = {(x.match_kind, x.s0_event_id, x.s1_event_id) for x in relaxed.collect()}
+    s = {(x.match_kind, x.s0_event_id, x.s1_event_id) for x in strict.collect()}
+    assert ("match", 1, 3) in r
+    assert all(k == "timeout" for k, *_ in s)
+    assert {e for _, e, _ in s} == {3}  # v1 aborted silently; v2 reseeds

@@ -1163,3 +1163,24 @@ def test_dsir_selecting_sink_matches_batch_scores(spark, sf_dir, tmp_path):
     sinks.dsir_selecting_writer(corpus2, vocab_path, min_importance=0.0)(docs, 0)
     admitted2 = {r.doc_id for r in spark.read.parquet(corpus2).select("doc_id").collect()}
     assert admitted2 == admitted
+
+
+def test_cep_followedby_stream_matches_batch(spark, events, staged):
+    """[S] Relaxed-contiguity (followedBy) streaming/batch parity: the
+    repeat-purchase pattern replayed through applyInPandasWithState must
+    equal the oracle-checked batch form — partial matches now survive
+    non-matching events ACROSS micro-batch boundaries, a state-carry path
+    strict `next` never exercises."""
+    from flinkproject_spark.operators import cep
+
+    steps = ["event_type = 'purchase'", "event_type = 'purchase'"]
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(
+        stateful.cep_pattern_stream(
+            wm, steps, within_s=7200, contiguity=["followedBy"]
+        )
+    )
+    want = cep.repeat_event_cep(events, "purchase", 7200)
+    cols = want.columns
+    assert got.count() > 0
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

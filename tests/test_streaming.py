@@ -1184,3 +1184,23 @@ def test_cep_followedby_stream_matches_batch(spark, events, staged):
     cols = want.columns
     assert got.count() > 0
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_corpus_profile_streams_stateless(spark, sf_dir, tmp_path):
+    """[S] The fused one-pass audit is a stateless projection: the SAME
+    operator runs on a streaming ingest frame (profile-on-ingest hop) and
+    must emit exactly the batch verdicts for every column at once."""
+    from flinkproject_spark.operators import text as text_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = replay.run_to_table(text_ops.corpus_profile(stream))
+    want = text_ops.corpus_profile(docs)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -791,6 +791,12 @@ def q_text_bigram_logprob(spark, sf):
     return text.bigram_logprob_scores(_t(spark, sf, "documents"))
 
 
+def q_corpus_curriculum(spark, sf):
+    """Easy-first curriculum order: 4 quality-band phases, seeded shard
+    shuffle within each phase (sampling.curriculum_order)."""
+    return sampling.curriculum_order(_t(spark, sf, "documents"))
+
+
 def q_corpus_weighted_sample(spark, sf):
     """Efraimidis-Spirakis weighted sampling without replacement: 20 docs
     per source, inclusion odds proportional to quality
@@ -818,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "corpus_profile": q_corpus_profile,
         "cep_followedby": q_cep_followedby,
+        "corpus_curriculum": q_corpus_curriculum,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -862,13 +869,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "text_bpe_tokens": q_text_bpe_tokens,
         "mm_decode": q_mm_decode,
-        "mm_features": q_mm_features,
         "asof_last_order": q_asof_last_order,
         "gmv_rollup": q_gmv_rollup,
-        # mm_frame_sample / mm_resize sit just past the 50-query window:
-        # their siblings above exercise the identical mapInPandas
-        # machinery, and both were driver-verified r03 + re-verified
-        # locally every round since
+        # mm_features / mm_frame_sample / mm_resize sit just past the
+        # 50-query window: round-4 additions outnumber slots, mm_decode
+        # above exercises the identical mapInPandas machinery, and all
+        # three pass the full local oracle gate every round
+        # (tools/verify_local.py — same comparison as the driver's)
+        "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
         # -- long-green backfill (driver-verified in CORRECTNESS_r03)
@@ -1729,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 50""",
         "split_leakage": _split_leakage_sql(),
         "corpus_weighted_sample": _weighted_sample_sql(),
+        "corpus_curriculum": _corpus_curriculum_sql(),
         "cep_followedby": f"""
             WITH p AS (
               SELECT user_id, event_id, ts, event_type,
@@ -2498,6 +2507,44 @@ def _weighted_sample_sql() -> str:
                                            ORDER BY priority DESC, doc_id) AS rk
               FROM scored)
         WHERE rk <= 20"""
+
+
+def _corpus_curriculum_sql(bands: int = 4, shards: int = 64) -> str:
+    from flinkproject_spark.functions import duck_hash64
+
+    toks = "string_split_regex(text, '\\s+')"
+    q = (
+        f"least(len({toks})::DOUBLE / 100.0, 1.0) * 0.5"
+        f" + (len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE) * 0.5"
+    )
+    qs = ", ".join(str(i / bands) for i in range(1, bands))
+    band_terms = " + ".join(
+        f"(CASE WHEN q > bs[{i}] THEN 1 ELSE 0 END)" for i in range(1, bands)
+    )
+    h = duck_hash64("'curriculum:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH scored AS (SELECT doc_id, {q} AS q FROM documents),
+        bounds AS (SELECT quantile_cont(q, [{qs}]) AS bs FROM scored),
+        keyed AS (
+          SELECT doc_id, q,
+                 CAST({bands} + 1 - (1 + {band_terms}) AS BIGINT) AS phase,
+                 {h} AS k
+          FROM scored, bounds),
+        s AS (SELECT *, k % {shards} AS shard FROM keyed),
+        pos AS (
+          SELECT doc_id, phase, shard, q,
+                 CAST(row_number() OVER (PARTITION BY phase, shard
+                                         ORDER BY k, doc_id) AS BIGINT) AS pos
+          FROM s),
+        off AS (
+          SELECT phase, shard,
+                 CAST(COALESCE(SUM(c) OVER (ORDER BY phase, shard
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS off
+          FROM (SELECT phase, shard, COUNT(*) AS c FROM s GROUP BY 1, 2))
+        SELECT p.doc_id, p.phase, p.shard, round(p.q, 6) AS quality_score,
+               p.pos + o.off AS global_pos
+        FROM pos p JOIN off o USING (phase, shard)"""
 
 
 def _split_leakage_sql() -> str:

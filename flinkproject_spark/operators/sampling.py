@@ -388,6 +388,65 @@ def shuffled_order(
     )
 
 
+def curriculum_order(
+    documents: DataFrame, bands: int = 4, seed: str = "curriculum", shards: int = 64
+) -> DataFrame:
+    """Curriculum training order: easy-first phases by quality band, with a
+    seeded deterministic shuffle INSIDE each phase (Bengio et al. 2009's
+    curriculum schedule, made reproducible) — phase 1 = the top quality
+    band, consumed first; within a phase, order is the hash permutation so
+    batches stay decorrelated.
+
+    Composition of two existing scale shapes, inheriting both proofs:
+    band boundaries are ONE exact-percentile aggregate broadcast back
+    (quality_decile_report's no-sort banding; approx_percentile at 100 TB),
+    and in-phase positions are shuffled_order's shard trick — row_number
+    windows partitioned by (phase, shard), never a global sort; the
+    (phase, shard) count table (bands x shards rows of metadata) yields
+    running-sum offsets that concatenate shards into phases and phases
+    into the full epoch order.
+    """
+    qs = [i / bands for i in range(1, bands)]
+    scored = _quality_scored(documents).select("doc_id", "quality_score")
+    bounds = scored.agg(
+        F.percentile("quality_score", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    band = F.aggregate(
+        "bs",
+        F.lit(1),
+        lambda acc, b: acc + F.when(F.col("quality_score") > b, 1).otherwise(0),
+    )
+    keyed = (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "quality_score",
+            (F.lit(bands + 1) - band).cast("bigint").alias("phase"),
+        )
+        .withColumn(
+            "k",
+            K.hash64(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("bigint"))
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("k", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
+    counts = keyed.groupBy("phase", "shard").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("phase", "shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0)).cast("bigint")
+    ).select("phase", "shard", "off")
+    return pos.join(F.broadcast(offsets), ["phase", "shard"]).select(
+        "doc_id",
+        "phase",
+        "shard",
+        F.round("quality_score", 6).alias("quality_score"),
+        (F.col("pos") + F.col("off")).alias("global_pos"),
+    )
+
+
 def domain_mix_sample(
     documents: DataFrame, targets: dict[str, float], salt: str = "mix-v1"
 ) -> DataFrame:

@@ -90,6 +90,10 @@ def configure(spark: SparkSession) -> SparkSession:
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # a loaded shared JVM (full test suite, 32 concurrent tasks) can
+        # push a broadcast build past the 300 s default and fail an
+        # otherwise-correct plan; double the budget
+        "spark.sql.broadcastTimeout": "600",
         **state_store_conf(),
     }.items():
         try:

@@ -1885,3 +1885,29 @@ def test_cep_followedby_survives_intervening_events_where_next_aborts(spark):
     assert ("match", 1, 3) in r
     assert all(k == "timeout" for k, *_ in s)
     assert {e for _, e, _ in s} == {3}  # v1 aborted silently; v2 reseeds
+
+
+def test_curriculum_order_is_a_phase_sorted_permutation(tables):
+    """global_pos is a bijection onto 1..N; phases are contiguous position
+    ranges ordered easy-first (phase 1 = highest quality band: its min
+    mean quality must be >= every later phase's)."""
+    docs = tables["documents"]
+    out = sampling.curriculum_order(docs).toPandas()
+    n = len(out)
+    assert sorted(out.global_pos) == list(range(1, n + 1))
+    g = out.groupby("phase").agg(
+        lo=("global_pos", "min"), hi=("global_pos", "max"),
+        cnt=("global_pos", "count"), q=("quality_score", "mean"),
+    ).sort_index()
+    # contiguous ranges in phase order
+    expect_lo = 1
+    for _, r in g.iterrows():
+        assert r.lo == expect_lo and r.hi == r.lo + r.cnt - 1
+        expect_lo = r.hi + 1
+    # easy-first: mean quality non-increasing across phases
+    assert (g.q.diff().dropna() <= 1e-12).all()
+    # deterministic under repartition
+    again = sampling.curriculum_order(docs.repartition(7)).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a.global_pos == b.global_pos).all()

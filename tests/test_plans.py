@@ -152,3 +152,30 @@ def test_gmv_serving_topn(tables):
     assert len(top) == 5
     amounts = [r.order_amount for r in top]
     assert amounts == sorted(amounts, reverse=True)
+
+
+def test_corpus_pipeline_v3_composition_matches_components(spark, sf_dir):
+    """v3's selected doc set must equal applying the component operators
+    sequentially: corpus_profile gate -> min-doc_id-per-fingerprint dedup
+    -> DSIR importance >= 0 — the composition can't drift from its parts."""
+    import pyspark.sql.functions as F
+
+    from flinkproject_spark import catalog
+    from flinkproject_spark.operators import text
+    from flinkproject_spark.plans import corpus
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    v3 = corpus.build_training_corpus_v3(docs)
+
+    prof = text.corpus_profile(docs).filter(
+        F.col("gopher_keep") & (F.col("quality_score") >= 0.5)
+    )
+    keepers = prof.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    pool = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    sel = text.dsir_importance(pool).filter(F.col("log_importance") >= 0.0)
+
+    want = {r.doc_id for r in sel.select("doc_id").collect()}
+    got = {r.doc_id for r in v3.select("doc_id").collect()}
+    assert got == want
+    n = v3.count()
+    assert sorted(r.global_pos for r in v3.collect()) == list(range(1, n + 1))

@@ -429,6 +429,11 @@ def curriculum_order(
         )
         .withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("bigint"))
     )
+    # pos and counts both read `keyed`, and `keyed` itself embeds the
+    # percentile broadcast — checkpoint (lazy) so the banding subplan
+    # materializes once instead of once per reference (4 corpus scans -> 1;
+    # the v2 pipeline's measured stage-reuse fix)
+    keyed = keyed.localCheckpoint(eager=False)
     w = Window.partitionBy("phase", "shard").orderBy("k", "doc_id")
     pos = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
     counts = keyed.groupBy("phase", "shard").agg(F.count("*").alias("c"))

@@ -285,6 +285,9 @@ def build_training_corpus_v3(
         )
         .withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("bigint"))
     )
+    # pos and counts both read `keyed` (which embeds the DSIR join +
+    # percentile broadcast): checkpoint so that subplan runs once
+    keyed = keyed.localCheckpoint(eager=False)
     wpos = Window.partitionBy("phase", "shard").orderBy("k", "doc_id")
     pos = keyed.withColumn("pos", F.row_number().over(wpos).cast("bigint"))
     counts = keyed.groupBy("phase", "shard").agg(F.count("*").alias("c"))

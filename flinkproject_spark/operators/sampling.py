@@ -373,6 +373,9 @@ def shuffled_order(
         "doc_id",
         K.hash64(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))).alias("k"),
     ).withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("bigint"))
+    # pos and counts both read `keyed` (one narrow metadata row per doc):
+    # checkpoint lazily so the hash projection runs once, not per reference
+    keyed = keyed.localCheckpoint(eager=False)
     w = Window.partitionBy("shard").orderBy("k", "doc_id")
     pos = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
     counts = keyed.groupBy("shard").agg(F.count("*").alias("c"))

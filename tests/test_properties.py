@@ -223,3 +223,68 @@ def test_connected_components_star_equals_propagation_random_graphs(spark, edges
     a = {r.id: r.cluster_id for r in dedup.connected_components(g).collect()}
     b = {r.id: r.cluster_id for r in dedup.connected_components_star(g).collect()}
     assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        min_size=5, max_size=40,
+    ),
+)
+def test_curriculum_is_phase_contiguous_bijection_on_random_corpora(spark, word_lists):
+    """Property: on arbitrary corpora (ties, duplicate texts, skewed
+    lengths), curriculum_order emits a bijection onto 1..N whose phases
+    occupy contiguous position ranges in phase order."""
+    from flinkproject_spark.operators import sampling
+
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(word_lists)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = sampling.curriculum_order(df, bands=3, shards=4).collect()
+    n = len(rows)
+    assert sorted(r.global_pos for r in out) == list(range(1, n + 1))
+    by_phase: dict[int, list[int]] = {}
+    for r in out:
+        by_phase.setdefault(r.phase, []).append(r.global_pos)
+    hi = 0
+    for ph in sorted(by_phase):
+        ps = sorted(by_phase[ph])
+        assert ps[0] == hi + 1 and ps[-1] == hi + len(ps)
+        hi = ps[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=10),
+            st.sampled_from(["s0", "s1"]),
+        ),
+        min_size=3, max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_weighted_sample_winners_stable_under_loser_removal(spark, docs, k):
+    """The A-ES subset property: priorities are per-doc deterministic, so
+    deleting NON-winners can never change the winner set — the invariant
+    that makes the draw reproducible under corpus shrinkage/filtering."""
+    from flinkproject_spark.operators import sampling
+
+    rows = [
+        (i, " ".join(ws), "en", src, len(" ".join(ws)))
+        for i, (ws, src) in enumerate(docs)
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    df = spark.createDataFrame(rows, schema)
+    win = {r.doc_id for r in sampling.weighted_sample(df, k=k).collect()}
+    # drop every other loser
+    losers = sorted(set(r[0] for r in rows) - win)
+    keep_ids = win | set(losers[::2])
+    sub = df.filter(F.col("doc_id").isin([int(i) for i in keep_ids]))
+    win2 = {r.doc_id for r in sampling.weighted_sample(sub, k=k).collect()}
+    assert win2 == win

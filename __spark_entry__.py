@@ -751,6 +751,12 @@ def q_funnel(spark, sf):
     return analytics.funnel(_t(spark, sf, "events"))
 
 
+def q_funnel_windowed(spark, sf):
+    """Time-constrained funnel: each step within 1h of the previous
+    (analytics.funnel_windowed)."""
+    return analytics.funnel_windowed(_t(spark, sf, "events"))
+
+
 def q_retention_cohorts(spark, sf):
     """First-active-day cohorts x day-offset distinct active users."""
     return analytics.retention_cohorts(_t(spark, sf, "events"))
@@ -837,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_followedby": q_cep_followedby,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_pipeline_v3": q_corpus_pipeline_v3,
+        "funnel_windowed": q_funnel_windowed,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -2162,6 +2169,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_v2": _corpus_pipeline_v2_sql(),
+        "funnel_windowed": f"""
+            WITH w1 AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS s0_ts
+              FROM events),
+            w2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0_ts
+                                 AND ts <= s0_ts + INTERVAL 3600 SECONDS
+                                 THEN ts END)
+                        OVER (PARTITION BY user_id) AS s1_ts
+              FROM w1),
+            w3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1_ts
+                                 AND ts <= s1_ts + INTERVAL 3600 SECONDS
+                                 THEN ts END)
+                        OVER (PARTITION BY user_id) AS s2_ts
+              FROM w2)
+            SELECT user_id,
+                   COALESCE(strftime(MIN(s0_ts), '{FMT}'), 'never') AS s0_ts,
+                   COALESCE(strftime(MIN(s1_ts), '{FMT}'), 'never') AS s1_ts,
+                   COALESCE(strftime(MIN(s2_ts), '{FMT}'), 'never') AS s2_ts,
+                   CAST(CASE WHEN MIN(s2_ts) IS NOT NULL THEN 3
+                             WHEN MIN(s1_ts) IS NOT NULL THEN 2
+                             WHEN MIN(s0_ts) IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM w3 GROUP BY user_id""",
         "funnel": f"""
             WITH w1 AS (
               SELECT user_id, ts, event_type,

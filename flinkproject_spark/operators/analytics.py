@@ -59,6 +59,58 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purcha
     )
 
 
+def funnel_windowed(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    step_window_s: int = 3600,
+) -> DataFrame:
+    """Time-constrained funnel: each step must land within `step_window_s`
+    of the PREVIOUS step's timestamp (the 'converted within an hour'
+    serving query; the unconstrained :func:`funnel` is the limit case).
+    Identical plan shape — the deadline folds into each window-min's
+    condition, so the time-constrained form costs exactly what the
+    unconstrained one does: one user_id shuffle, chained window-mins.
+
+    Semantics note (the greedy-vs-optimal delta, documented not hidden):
+    like `funnel`, each stage anchors on the EARLIEST qualifying event;
+    a user who converts only via a later s0 anchor is not credited —
+    first-touch attribution, the standard serving convention.
+    """
+    w = Window.partitionBy("user_id")
+    df = events
+    stage_cols = []
+    prev = None
+    for i, s in enumerate(steps):
+        col = f"s{i}_ts"
+        cond = F.col("event_type") == s
+        if prev is not None:
+            cond = (
+                cond
+                & (F.col("ts") > F.col(prev))
+                & (F.col("ts") <= F.col(prev) + F.expr(f"INTERVAL {step_window_s} SECONDS"))
+            )
+        df = df.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
+        stage_cols.append(col)
+        prev = col
+    agg = df.groupBy("user_id").agg(
+        *[F.min(c).alias(c) for c in stage_cols],
+    )
+    stage = None
+    for i, col in enumerate(reversed(stage_cols)):
+        n = len(stage_cols) - i
+        cond = F.col(col).isNotNull()
+        stage = F.when(cond, n) if stage is None else stage.when(cond, n)
+    stage = stage.otherwise(0)
+    return agg.select(
+        "user_id",
+        *[
+            F.coalesce(K.ts_to_str(c), F.lit(NEVER)).alias(c)
+            for c in stage_cols
+        ],
+        stage.cast("bigint").alias("funnel_stage"),
+    )
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention triangle: users grouped by first-active day, counted
     distinctly per day-offset of later activity — the (cohort, offset) ->

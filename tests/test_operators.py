@@ -1911,3 +1911,18 @@ def test_curriculum_order_is_a_phase_sorted_permutation(tables):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert (a.global_pos == b.global_pos).all()
+
+
+def test_funnel_windowed_is_monotone_in_window_and_limits_to_funnel(tables):
+    """Tightening the step window can only lose conversions; an
+    effectively-infinite window reproduces the unconstrained funnel."""
+    from flinkproject_spark.operators import analytics
+
+    ev = tables["events"]
+    tight = analytics.funnel_windowed(ev, step_window_s=600).toPandas().set_index("user_id")
+    loose = analytics.funnel_windowed(ev, step_window_s=3600).toPandas().set_index("user_id")
+    inf = analytics.funnel_windowed(ev, step_window_s=10**9).toPandas().set_index("user_id")
+    base = analytics.funnel(ev).toPandas().set_index("user_id")
+    assert (tight.funnel_stage <= loose.funnel_stage.loc[tight.index]).all()
+    assert (loose.funnel_stage <= inf.funnel_stage.loc[loose.index]).all()
+    assert (inf.sort_index() == base.sort_index()).all().all()

@@ -884,7 +884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_summary": q_text_corpus_summary,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
         "session_stats": q_session_stats,
         "mm_decode": q_mm_decode,
         "asof_last_order": q_asof_last_order,
@@ -898,6 +897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
         "text_bpe_tokens": q_text_bpe_tokens,
+        # text_fingerprint likewise: corpus_profile (in-window) computes
+        # the identical fingerprint column, equality-pinned by the fusion
+        # test, and the local oracle gate covers this query every round
+        "text_fingerprint": q_text_fingerprint,
         # -- long-green backfill (driver-verified in CORRECTNESS_r03)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,

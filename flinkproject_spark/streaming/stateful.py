@@ -382,19 +382,25 @@ def detect_bounces_cep_stream(
 # Conversion funnel as a keyed state machine (analytics.funnel's twin)
 # ---------------------------------------------------------------------------
 def funnel_stream(
-    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    step_window_s: "int | None" = None,
 ) -> DataFrame:
     """Per-user funnel state machine: state = the first timestamp of each
     reached stage (stage i+1 only advances on an event strictly after
-    stage i); every micro-batch that changes a user's state emits the
-    user's CURRENT funnel row (update semantics — the serving table's
-    upsert stream). Replay test pins: last emission per user == the
-    oracle-checked batch funnel row.
+    stage i — and, when `step_window_s` is set, no later than that many
+    seconds after it: the time-constrained funnel_windowed twin); every
+    micro-batch that changes a user's state emits the user's CURRENT
+    funnel row (update semantics — the serving table's upsert stream).
+    Replay test pins: last emission per user == the oracle-checked batch
+    funnel / funnel_windowed row.
 
     State is `len(steps)` epoch-microsecond slots — O(1) per user; no
-    timers (a funnel never un-advances), so NoTimeout.
+    timers (a funnel never un-advances, and a missed deadline needs no
+    eviction — the slot simply never fills), so NoTimeout.
     """
     n = len(steps)
+    win_us = None if step_window_s is None else step_window_s * 1_000_000
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if key[0] == HEARTBEAT_ID:
@@ -411,8 +417,11 @@ def funnel_stream(
             for s_idx, s_name in enumerate(steps):
                 if et != s_name or slots[s_idx] is not None:
                     continue
+                prev = slots[s_idx - 1] if s_idx else None
                 if s_idx == 0 or (
-                    slots[s_idx - 1] is not None and t > slots[s_idx - 1]
+                    prev is not None
+                    and t > prev
+                    and (win_us is None or t <= prev + win_us)
                 ):
                     slots[s_idx] = t
                     changed = True

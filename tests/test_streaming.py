@@ -1204,3 +1204,27 @@ def test_corpus_profile_streams_stateless(spark, sf_dir, tmp_path):
     want = text_ops.corpus_profile(docs)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_funnel_windowed_stream_final_state_matches_batch(spark, events, staged):
+    """[S] Time-constrained funnel replay: the deadline folds into the
+    state machine's slot-fill condition; last emission per user must equal
+    the oracle-checked batch funnel_windowed row."""
+    from flinkproject_spark.operators import analytics
+
+    out = replay.run_to_table(
+        stateful.funnel_stream(_stream(spark, staged), step_window_s=3600),
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    final = (
+        pdf.sort_values("funnel_stage").groupby("user_id").tail(1)
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        analytics.funnel_windowed(events, step_window_s=3600).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert len(final) == len(want)
+    for c in ["user_id", "s0_ts", "s1_ts", "s2_ts", "funnel_stage"]:
+        assert list(final[c]) == list(want[c]), c

@@ -392,7 +392,11 @@ def shuffled_order(
 
 
 def curriculum_order(
-    documents: DataFrame, bands: int = 4, seed: str = "curriculum", shards: int = 64
+    documents: DataFrame | None = None,
+    bands: int = 4,
+    seed: str = "curriculum",
+    shards: int = 64,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Curriculum training order: easy-first phases by quality band, with a
     seeded deterministic shuffle INSIDE each phase (Bengio et al. 2009's
@@ -408,9 +412,16 @@ def curriculum_order(
     (phase, shard) count table (bands x shards rows of metadata) yields
     running-sum offsets that concatenate shards into phases and phases
     into the full epoch order.
+
+    `scored` lets a pipeline hand in an already-scored frame (doc_id +
+    quality_score + any extra columns, which carry through to the output)
+    instead of re-deriving quality from text — the v3 corpus build's
+    final stage reuses this exact machinery that way.
     """
+    if scored is None:
+        scored = _quality_scored(documents).select("doc_id", "quality_score")
+    extra = [c for c in scored.columns if c not in ("doc_id", "quality_score")]
     qs = [i / bands for i in range(1, bands)]
-    scored = _quality_scored(documents).select("doc_id", "quality_score")
     bounds = scored.agg(
         F.percentile("quality_score", F.array(*[F.lit(q) for q in qs])).alias("bs")
     )
@@ -423,6 +434,7 @@ def curriculum_order(
         scored.crossJoin(F.broadcast(bounds))
         .select(
             "doc_id",
+            *extra,
             "quality_score",
             (F.lit(bands + 1) - band).cast("bigint").alias("phase"),
         )
@@ -448,6 +460,7 @@ def curriculum_order(
     ).select("phase", "shard", "off")
     return pos.join(F.broadcast(offsets), ["phase", "shard"]).select(
         "doc_id",
+        *extra,
         "phase",
         "shard",
         F.round("quality_score", 6).alias("quality_score"),

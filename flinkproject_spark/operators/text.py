@@ -186,7 +186,10 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     tok = with_tokens(documents).select(
         "doc_id", F.explode("x").alias("t")
     ).filter(F.col("t") != "")
-    freq = tok.groupBy("t").agg(F.count("*").alias("ct"))
+    # freq feeds both the total and the per-token table: checkpoint the
+    # Zipf-small aggregate (lazily) so the corpus explode behind it runs
+    # ONCE, not once per reference
+    freq = tok.groupBy("t").agg(F.count("*").alias("ct")).localCheckpoint(eager=False)
     total = freq.agg(F.sum("ct").cast("double").alias("total"))
     lp = freq.crossJoin(F.broadcast(total)).select(
         "t",
@@ -227,23 +230,28 @@ def bigram_logprob_scores(documents: DataFrame, lam: float = 0.75) -> DataFrame:
     still smooths sharp conditionals, and on a stream the same table-join
     shape backs off gracefully.
 
-    Plan: ONE bigram explode feeds the bigram counts, the left-context
-    counts, and the per-doc join-back; the unigram table is the
-    unigram_logprob explode. All probability tables are vocab-sized
-    (Zipf-small, AQE-broadcastable). Same DECIMAL(18,6) contract as the
-    unigram op: round(ln, 6) before the order-independent exact sum.
+    Plan: THREE corpus-grain passes — the bigram explode into ct_b, the
+    unigram explode, and the bigram join-back (the join-back needs bigram
+    grain, so it cannot share the aggregate's pass); every derived table
+    (ct_l, totals, lp) reads the CHECKPOINTED vocab-sized aggregates, so
+    no corpus pass re-executes. All probability tables are Zipf-small and
+    AQE-broadcastable. Same DECIMAL(18,6) contract as the unigram op:
+    round(ln, 6) before the order-independent exact sum.
     """
     d = with_tokens(documents)
     bg = d.select("doc_id", F.explode(word_ngrams(F.col("x"), 2)).alias("b"))
     bg = bg.withColumn("w1", F.split("b", " ")[0]).withColumn("w2", F.split("b", " ")[1])
+    # the vocab-sized aggregates are checkpointed (lazily) so each corpus
+    # explode behind them runs ONCE even though they feed multiple
+    # downstream references (ct_l + lp; total + lp)
     ct_b = bg.groupBy("b").agg(
         F.first("w1").alias("w1"), F.first("w2").alias("w2"), F.count("*").alias("ct_b")
-    )
+    ).localCheckpoint(eager=False)
     # left-context counts roll up from the bigram counts (vocab-sized input)
     # rather than a third corpus explode — one fewer full scan
     ct_l = ct_b.groupBy("w1").agg(F.sum("ct_b").alias("ct_l"))
     tok = d.select(F.explode("x").alias("t"))
-    uni = tok.groupBy("t").agg(F.count("*").alias("ct_u"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("ct_u")).localCheckpoint(eager=False)
     total = uni.agg(F.sum("ct_u").cast("double").alias("total"))
     lp = (
         ct_b.join(ct_l, "w1")
@@ -667,7 +675,7 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
     )
 
 
-def corpus_profile(documents: DataFrame) -> DataFrame:
+def corpus_profile(documents: DataFrame, passthrough: bool = False) -> DataFrame:
     """The FUSED one-pass per-document audit: everything token_stats,
     quality_scores, gopher_quality_flags, lang_id, and fingerprints compute
     per document, in ONE projection — one scan, ZERO shuffles, fully
@@ -679,6 +687,11 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
     scan is the plan a profiler should ship. The standalone operators stay
     the composable/oracle-granular forms; per-column equality with each of
     them is pinned by test (the fusion can never drift from its parts).
+
+    passthrough=True keeps every input column (text included) alongside
+    the profile columns so a pipeline can CHAIN this as its gate
+    (`.filter("gopher_keep")`) without re-deriving any expression — the
+    v3 corpus build's first stage.
     """
     d = with_tokens(documents)
     n_tok = F.size("x").cast("double")
@@ -711,10 +724,9 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
     mean_wlen_r = F.round(mean_wlen, 6)
     symbol_r = F.round(n_sym / n_chars_d, 6)
     alpha_r = F.round(alpha_words / n_tok, 6)
+    base_cols = documents.columns if passthrough else ["doc_id", "lang", "source"]
     return d.select(
-        "doc_id",
-        "lang",
-        "source",
+        *base_cols,
         n_tokens_b.alias("n_tokens"),
         uniq.cast("bigint").alias("n_unique"),
         (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
@@ -753,11 +765,12 @@ def dsir_importance(documents: DataFrame, target_lang: str = "en") -> DataFrame:
     both and the log-ratio is total. Per-doc weight = mean over tokens of
     ln(p_t(w)/p_r(w)).
 
-    Plan: ONE token explode feeds both the vocab counts (groupBy token,
-    conditional sums — target/raw totals ride along as 1-row broadcast
-    metadata) and the per-doc join-back + groupBy(doc_id). At 100 TB the
-    vocab table is Zipf-small and AQE-broadcastable; nothing else shuffles
-    more than once. Numeric contract as unigram_logprob_scores: per-token
+    Plan: TWO corpus-grain passes — one explode into the (checkpointed,
+    Zipf-small) vocab counts, one for the per-doc join-back + groupBy
+    (different grain, so it cannot share the aggregate's pass); the
+    target/raw totals read the checkpointed vocab, never the corpus. At
+    100 TB the vocab table is AQE-broadcastable; nothing shuffles more
+    than once per pass. Numeric contract as unigram_logprob_scores: per-token
     round(ln-ratio, 6) cast to DECIMAL(18,6) before summing, so the sum is
     exact and order-independent; only per-row ln and the final division are
     double.
@@ -777,7 +790,7 @@ def dsir_vocab(documents: DataFrame, target_lang: str = "en") -> DataFrame:
     vocab = tok.groupBy("t").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct_t"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("ct_r"),
-    )
+    ).localCheckpoint(eager=False)  # totals + lr both read it: explode runs once
     totals = vocab.agg(
         F.sum("ct_t").cast("double").alias("tot_t"),
         F.sum("ct_r").cast("double").alias("tot_r"),
@@ -840,7 +853,11 @@ def corpus_zipf(documents: DataFrame, k: int = 50) -> DataFrame:
         .select(F.explode("x").alias("t"))
         .filter(F.col("t") != "")
     )
-    freq = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("ct"))
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .localCheckpoint(eager=False)  # total + rank both read it
+    )
     total = freq.agg(F.sum("ct").cast("double").alias("total"))
     w = Window.orderBy(F.desc("ct"), F.asc("t"))
     ranked = (
@@ -868,10 +885,11 @@ def tfidf_terms(documents: DataFrame, k: int = 10) -> DataFrame:
     construction, no smoothing needed). Ranking key rounds to 6 dp with
     token tiebreak so the frontier is engine-identical.
 
-    Plan: one explode feeds both aggregates — (source, token) tf counts
-    and per-token df via a distinct doc-token pass; N_docs rides along as
-    a 1-row broadcast. The top-k window partitions by source over the
-    SOURCE-VOCAB aggregate (Zipf-small), never over corpus rows.
+    Plan: two corpus-grain token passes — (source, token) tf counts, and
+    per-token df via a distinct doc-token pass (a different grouping
+    grain, so the explode genuinely runs per aggregate); N_docs rides
+    along as a 1-row broadcast. The top-k window partitions by source
+    over the SOURCE-VOCAB aggregate (Zipf-small), never over corpus rows.
     """
     tok = (
         with_tokens(documents)

@@ -200,53 +200,27 @@ def build_training_corpus_v3(
     localCheckpoint'ed (lazy) before it — v2's measured stage-reuse fix.
     """
     from flinkproject_spark.operators import text as text_ops
-    from flinkproject_spark import functions as K
 
-    x = F.split("text", r"\s+")
-    n_tok = F.size(x).cast("double")
-    uniq = F.size(F.array_distinct(x)).cast("double")
-    mean_wlen = F.round(F.length(F.concat_ws("", x)).cast("double") / n_tok, 6)
-    n_chars_d = F.length("text").cast("double")
-    symbol_r = F.round(
-        (n_chars_d - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")).cast("double"))
-        / n_chars_d,
-        6,
+    # stage 1 IS corpus_profile — the passthrough form keeps text for the
+    # downstream stages; no expression is re-spelled here
+    gated = (
+        text_ops.corpus_profile(documents, passthrough=True)
+        .filter(F.col("gopher_keep") & (F.col("quality_score") >= min_quality))
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "quality_score",
+            F.col("fingerprint").alias("fp"),
+        )
     )
-    alpha_r = F.round(
-        F.size(F.expr("filter(split(text, '\\\\s+'), w -> w rlike '[A-Za-z]')")).cast("double")
-        / n_tok,
-        6,
-    )
-    from flinkproject_spark.operators.text import STOPWORDS
-
-    distinct_stop = F.size(
-        F.array_intersect(F.array_distinct(x), F.array(*[F.lit(s) for s in STOPWORDS]))
-    )
-    quality = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
-        + (uniq / n_tok) * F.lit(0.5)
-    )
-    gated = documents.select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        quality.alias("quality_score"),
-        (
-            F.size(x).cast("bigint").between(10, 100_000)
-            & mean_wlen.between(2.0, 12.0)
-            & (symbol_r <= 0.1)
-            & (alpha_r >= 0.8)
-            & (distinct_stop >= 2)
-        ).alias("gopher_keep"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(x)))).alias("fp"),
-    ).filter(F.col("gopher_keep") & (F.col("quality_score") >= min_quality))
 
     wdup = Window.partitionBy("fp").orderBy("doc_id")
     pool = (
         gated.withColumn("__rn", F.row_number().over(wdup))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "gopher_keep", "fp")
+        .drop("__rn", "fp")
     )
 
     pool = pool.localCheckpoint(eager=False)
@@ -260,48 +234,23 @@ def build_training_corpus_v3(
         "doc_id",
     )
 
-    qs = [i / bands for i in range(1, bands)]
-    bounds = sel.agg(
-        F.percentile("quality_score", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    # stage 4 IS sampling.curriculum_order — handed the already-scored
+    # selection; lang/source/log_importance carry through
+    ordered = sampling.curriculum_order(
+        bands=bands,
+        seed=seed,
+        shards=shards,
+        scored=sel.select(
+            "doc_id", "lang", "source", "log_importance", "quality_score"
+        ),
     )
-    band = F.aggregate(
-        "bs",
-        F.lit(1),
-        lambda acc, b: acc + F.when(F.col("quality_score") > b, 1).otherwise(0),
-    )
-    keyed = (
-        sel.crossJoin(F.broadcast(bounds))
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "quality_score",
-            "log_importance",
-            (F.lit(bands + 1) - band).cast("bigint").alias("phase"),
-        )
-        .withColumn(
-            "k",
-            K.hash64(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))),
-        )
-        .withColumn("shard", F.pmod(F.col("k"), F.lit(shards)).cast("bigint"))
-    )
-    # pos and counts both read `keyed` (which embeds the DSIR join +
-    # percentile broadcast): checkpoint so that subplan runs once
-    keyed = keyed.localCheckpoint(eager=False)
-    wpos = Window.partitionBy("phase", "shard").orderBy("k", "doc_id")
-    pos = keyed.withColumn("pos", F.row_number().over(wpos).cast("bigint"))
-    counts = keyed.groupBy("phase", "shard").agg(F.count("*").alias("c"))
-    woff = Window.orderBy("phase", "shard").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("bigint")
-    ).select("phase", "shard", "off")
-    return pos.join(F.broadcast(offsets), ["phase", "shard"]).select(
+    return ordered.select(
         "doc_id",
         "lang",
         "source",
         "phase",
         "shard",
-        F.round("quality_score", 6).alias("quality_score"),
+        "quality_score",
         "log_importance",
-        (F.col("pos") + F.col("off")).alias("global_pos"),
+        "global_pos",
     )

@@ -348,6 +348,32 @@ def srp_incremental_writer(
     return fn
 
 
+def _scoring_split_writer(
+    corpus_path: str,
+    side_suffix: str,
+    score_batch: "Callable[[DataFrame], DataFrame]",
+    keep_pred,
+    clean_drop: tuple = (),
+) -> Callable[[DataFrame, int], None]:
+    """Shared scaffold for score-on-ingest sinks: score each micro-batch
+    against persisted reference state (score_batch returns the batch with
+    its score columns attached, no nulls), route rows passing `keep_pred`
+    to the corpus and the rest — scores attached — to the
+    `<corpus><side_suffix>` side channel. Nothing is silently dropped
+    (the dirty-side-output discipline of the log split,
+    BaseLogApp.java:62-66). The scored frame is localCheckpoint'ed so the
+    scoring subplan runs once for both writes."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        scored = score_batch(batch).localCheckpoint(eager=True)  # score once, write twice
+        keep = scored.filter(keep_pred)
+        drop = scored.filter(~keep_pred)
+        keep.drop(*clean_drop).write.mode("append").parquet(corpus_path)
+        drop.write.mode("append").parquet(f"{corpus_path}{side_suffix}")
+
+    return fn
+
+
 def decontaminating_writer(
     corpus_path: str, bench_shingles_path: str, max_contamination: float = 0.2, n: int = 3
 ) -> Callable[[DataFrame, int], None]:
@@ -355,9 +381,7 @@ def decontaminating_writer(
     scored against the PERSISTED benchmark shingle set
     (operators.dedup.contamination_check semantics, O(batch) per trigger),
     docs at or under `max_contamination` append to the corpus, the rest to
-    a `<corpus>_quarantine` side channel with their scores — nothing is
-    silently dropped, matching the dirty-side-output discipline of the log
-    split (BaseLogApp.java:62-66).
+    a `<corpus>_quarantine` side channel with their scores.
 
     The benchmark shingle set is written once (tiny — eval corpora are
     thousands of rows); per batch it joins against only the batch's
@@ -366,24 +390,22 @@ def decontaminating_writer(
     admitted — pinned by test.
     """
 
-    def fn(batch: DataFrame, batch_id: int) -> None:
+    def score(batch: DataFrame) -> DataFrame:
         from flinkproject_spark.operators.dedup import score_against_shingles
 
-        spark = batch.sparkSession
-        bench_sh = spark.read.parquet(bench_shingles_path)
+        bench_sh = batch.sparkSession.read.parquet(bench_shingles_path)
         scores = score_against_shingles(batch, bench_sh, n)
-        scored = batch.join(scores, "doc_id", "left").fillna(
+        return batch.join(scores, "doc_id", "left").fillna(
             {"n_shingles": 0, "n_contaminated": 0, "contamination_pct": 0.0}
         )
-        scored = scored.localCheckpoint(eager=True)  # score once, write twice
-        clean = scored.filter(F.col("contamination_pct") <= max_contamination)
-        dirty = scored.filter(F.col("contamination_pct") > max_contamination)
-        clean.drop("n_shingles", "n_contaminated", "contamination_pct").write.mode(
-            "append"
-        ).parquet(corpus_path)
-        dirty.write.mode("append").parquet(f"{corpus_path}_quarantine")
 
-    return fn
+    return _scoring_split_writer(
+        corpus_path,
+        "_quarantine",
+        score,
+        F.col("contamination_pct") <= max_contamination,
+        clean_drop=("n_shingles", "n_contaminated", "contamination_pct"),
+    )
 
 
 def dsir_selecting_writer(
@@ -394,8 +416,7 @@ def dsir_selecting_writer(
     PERSISTED log-ratio vocab table (text.dsir_vocab, trained once on the
     reference corpus), docs at or above `min_importance` append to the
     corpus, the rest to a `<corpus>_rejected` side channel with their
-    scores — nothing silently dropped, same dirty-side-output discipline
-    as the decontaminating sink.
+    scores.
 
     O(batch) per trigger: the batch's tokens join the Zipf-small vocab
     (AQE-broadcastable); tokens unseen at train time score a neutral 0
@@ -403,22 +424,18 @@ def dsir_selecting_writer(
     toward indifference, never a crash or a skew blow-up.
     """
 
-    def fn(batch: DataFrame, batch_id: int) -> None:
+    def score(batch: DataFrame) -> DataFrame:
         from flinkproject_spark.operators.text import score_against_vocab
 
-        spark = batch.sparkSession
-        vocab = spark.read.parquet(vocab_path)
+        vocab = batch.sparkSession.read.parquet(vocab_path)
         scores = score_against_vocab(batch, vocab)
-        scored = batch.join(scores, "doc_id", "left").fillna(
+        return batch.join(scores, "doc_id", "left").fillna(
             {"n_tokens": 0, "log_importance": 0.0}
         )
-        scored = scored.localCheckpoint(eager=True)  # score once, write twice
-        keep = scored.filter(F.col("log_importance") >= min_importance)
-        drop = scored.filter(F.col("log_importance") < min_importance)
-        keep.write.mode("append").parquet(corpus_path)
-        drop.write.mode("append").parquet(f"{corpus_path}_rejected")
 
-    return fn
+    return _scoring_split_writer(
+        corpus_path, "_rejected", score, F.col("log_importance") >= min_importance
+    )
 
 
 def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:

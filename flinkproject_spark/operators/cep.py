@@ -92,8 +92,10 @@ def _compile_steps(
     return events, list(steps), is_sql
 
 
-def output_schema(n_steps: int, key_col: str = "user_id") -> str:
-    cols = [f"{key_col} bigint", "match_kind string"]
+def output_schema(
+    n_steps: int, key_col: str = "user_id", key_type: str = "bigint"
+) -> str:
+    cols = [f"{key_col} {key_type}", "match_kind string"]
     for i in range(n_steps):
         cols += [f"s{i}_event_id bigint", f"s{i}_ts string", f"s{i}_event_type string"]
     return ", ".join(cols)
@@ -208,10 +210,17 @@ def run_machine(
 
 def emissions_frame(emissions: list, n_steps: int, key_col: str) -> pd.DataFrame:
     """Columnar output build: one DataFrame per batch of emissions, step
-    timestamps formatted in ONE vectorized strftime (not per value)."""
+    timestamps formatted in ONE vectorized strftime (not per value). Keys
+    pass through with their native type (numpy integer keys normalize to
+    int64; string keys stay strings — key_col is genuinely generic)."""
+    kvals = [e[0] for e in emissions]
+    if kvals and isinstance(kvals[0], (int, np.integer)):
+        key_series = pd.Series([int(k) for k in kvals], dtype="int64")
+    else:
+        key_series = pd.Series(kvals, dtype="object")
     out = pd.DataFrame(
         {
-            key_col: pd.Series([int(e[0]) for e in emissions], dtype="int64"),
+            key_col: key_series,
             "match_kind": [e[1] for e in emissions],
         }
     )
@@ -266,18 +275,35 @@ def cep_pattern(
     (key, ts, event_id) sort, then `mapInPandas` streaming whole Arrow
     batches through the shared machine with cross-batch state carry —
     end-of-data flushes any live partial match as a `timeout` (batch end
-    == watermark at +inf)."""
+    == watermark at +inf).
+
+    Projection width follows the predicate tiers: SQL-string and
+    `.vectorized` gap predicates need only the 4 machine columns (narrow
+    shuffle); a PLAIN callable reads arbitrary row fields, so its presence
+    keeps every input column in the shuffle — same frame shape the
+    streaming twin always passes, so the two tiers stay replay-parity."""
     events, steps, is_sql = _compile_steps(events, steps)
     n = len(steps)
     strict = strict_array(n, contiguity)
-    schema = output_schema(n, key_col)
+    key_type = dict(events.dtypes)[key_col]
+    schema = output_schema(n, key_col, key_type)
     pcols = [f"__cep_p{i}" for i in range(n) if is_sql[i]]
+    plain_callable = any(
+        (not sql) and not hasattr(step, "vectorized")
+        for step, sql in zip(steps, is_sql)
+    )
+    machine_cols = [key_col, "event_id", "event_type"]
+    extra_cols = (
+        [c for c in events.columns if c not in machine_cols and c != "ts"]
+        if plain_callable
+        else pcols
+    )
     proj = events.select(
         key_col,
         "event_id",
         F.unix_timestamp("ts").alias("ts_s"),
         "event_type",
-        *pcols,
+        *extra_cols,
     )
     part = proj.repartition(F.col(key_col)).sortWithinPartitions(
         key_col, "ts_s", "event_id"

@@ -261,8 +261,15 @@ def exact_jaccard_pairs(
     calibration oracle for measuring LSH recall, not the at-scale dedup
     path (posting lists for stop-shingles are unbounded without blocking).
     """
+    # rows feeds postings AND both n_sh join sides: checkpoint (lazily) so
+    # the tokenize+shingle+distinct subplan runs once, not once per branch
+    # (the measured subplan-re-execution trap minhash_precision_recall
+    # persists its shingle table to avoid)
     rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
-    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rows = rows.localCheckpoint(eager=False)
+    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint(
+        eager=False
+    )  # n_sh itself feeds two aliased join sides
     postings = (
         rows.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -529,8 +536,15 @@ def containment_pairs(
     Returns (doc_small, doc_big, containment) rows: doc_small's shingles
     are >= min_containment covered by doc_big's.
     """
+    # rows feeds postings AND both n_sh join sides: checkpoint (lazily) so
+    # the tokenize+shingle+distinct subplan runs once, not once per branch
+    # (the measured subplan-re-execution trap minhash_precision_recall
+    # persists its shingle table to avoid)
     rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
-    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rows = rows.localCheckpoint(eager=False)
+    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint(
+        eager=False
+    )  # n_sh itself feeds two aliased join sides
     postings = (
         rows.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ids"))

@@ -180,9 +180,12 @@ def dim_enriching_writer(
         dim = spark.read.parquet(dim_path)
         if "pk_bucket" in dim.columns:  # upsert_parquet layout detail
             dim = dim.drop("pk_bucket")
+        # drop the DIM's copy of the join key by Column reference — a
+        # string-name .drop(dim_pk) removes BOTH sides when the stream key
+        # and dim pk share a name, losing the key from the output
         joined = batch.join(
             F.broadcast(dim), batch[stream_key] == dim[dim_pk], how
-        ).drop(dim_pk)
+        ).drop(dim[dim_pk])
         joined.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             out_path
         )

@@ -292,6 +292,7 @@ def cep_pattern_stream(
     within_s: int,
     key_col: str = "user_id",
     contiguity: "list | None" = None,
+    state_ttl_s: "int | None" = None,
 ) -> DataFrame:
     """Streaming `begin -> next(strict) -> within` pattern matching: the
     same machine as the batch `operators.cep.cep_pattern` (shared
@@ -301,8 +302,16 @@ def cep_pattern_stream(
     side-output analog (UserJumpDetailApp.java:101-117).
 
     State = (JSON partial match, last event second); both O(pattern
-    length). The timer sits at first_matched_ts + within_s, watermark-
-    bounded, so state cannot outlive the pattern budget.
+    length) PER KEY. A live partial's timer sits at first_matched_ts +
+    within_s, watermark-bounded, so a PARTIAL MATCH cannot outlive the
+    pattern budget — but `last_s` (the gap-predicate memory: session-entry
+    needs the previous event's time) is kept after timeouts, so idle keys
+    retain one row of state. `state_ttl_s` bounds that: an idle key's
+    state evicts `state_ttl_s` seconds of event time after its last event
+    (A14 TTL semantics — a post-eviction event sees gap=None, i.e. a fresh
+    session entry, exactly what a > TTL gap would mean anyway when TTL >=
+    the session gap). Default None = keep (the reference's keyed state is
+    also unexpiring for this operator, UserJumpDetailApp.java:68-92).
     """
     import numpy as np
 
@@ -311,7 +320,7 @@ def cep_pattern_stream(
     events, steps, is_sql = cep._compile_steps(events, steps)
     n = len(steps)
     strict = cep.strict_array(n, contiguity)
-    out_schema = cep.output_schema(n, key_col)
+    out_schema = cep.output_schema(n, key_col, dict(events.dtypes)[key_col])
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if key[0] == HEARTBEAT_ID:
@@ -319,16 +328,24 @@ def cep_pattern_stream(
         blob, last_s = state.get if state.exists else (None, None)
         partial = cep.deserialize_partial(blob)
         if state.hasTimedOut:
-            state.update((cep.serialize_partial([]), last_s))
             if partial:
-                yield cep.emissions_frame([(int(key[0]), "timeout", partial)], n, key_col)
+                # pattern-budget timeout: flush, keep gap memory, and (with
+                # a TTL) arm the idle-eviction timer
+                state.update((cep.serialize_partial([]), last_s))
+                if state_ttl_s is not None and last_s is not None:
+                    _safe_timeout(state, (int(last_s) + state_ttl_s) * 1000)
+                yield cep.emissions_frame([(key[0], "timeout", partial)], n, key_col)
+            elif state_ttl_s is not None:
+                state.remove()  # idle TTL: evict the gap memory
+            else:
+                state.update((cep.serialize_partial([]), last_s))
             return
         pdf = _ordered(pdfs)
         if not len(pdf):
             return
-        k0 = int(key[0])
+        k0 = key[0]  # native key type — int or string alike
         ts = (_ts_ms(pdf["ts"]) // 1000).to_numpy()
-        keys = np.full(len(pdf), k0, dtype=np.int64)
+        keys = np.full(len(pdf), k0)
         gaps = cep.gap_array(keys, ts, k0, None if last_s is None else int(last_s))
         pdf = pdf.assign(ts_s=ts)
         P = cep.pred_matrix(pdf, gaps, steps, is_sql)
@@ -346,6 +363,8 @@ def cep_pattern_stream(
         state.update((cep.serialize_partial(partial), int(ts[-1])))
         if partial:
             _safe_timeout(state, (partial[0][1] + within_s) * 1000)
+        elif state_ttl_s is not None:
+            _safe_timeout(state, (int(ts[-1]) + state_ttl_s) * 1000)
         if emissions:
             yield cep.emissions_frame(emissions, n, key_col)
 

@@ -1926,3 +1926,31 @@ def test_funnel_windowed_is_monotone_in_window_and_limits_to_funnel(tables):
     assert (tight.funnel_stage <= loose.funnel_stage.loc[tight.index]).all()
     assert (loose.funnel_stage <= inf.funnel_stage.loc[loose.index]).all()
     assert (inf.sort_index() == base.sort_index()).all().all()
+
+
+def test_cep_pattern_generic_over_string_keys_and_row_reading_callables(spark):
+    """The generalization claims, pinned: a STRING key column and a plain
+    callable that reads an arbitrary row field (not just the gap) must
+    both work in the batch form — keys pass through natively and the
+    callable tier sees full rows (streaming-parity of frame shape)."""
+    import pandas as pd
+
+    from flinkproject_spark.operators import cep
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:05",
+                              "2024-01-01 00:00:00", "2024-01-01 00:00:30"]),
+        "device": ["mid-a", "mid-a", "mid-b", "mid-b"],
+        "event_type": ["view", "click", "view", "click"],
+        "page": ["home", "cart", "home", "home"],
+    })
+    ev = spark.createDataFrame(pdf)
+    steps = [lambda r, g: r["page"] == "home", "event_type = 'click'"]
+    out = cep.cep_pattern(ev, steps, within_s=10, key_col="device").collect()
+    kinds = {(r.device, r.match_kind) for r in out}
+    # mid-a: home view then click@+5s -> match; mid-b: click@+30s is past
+    # the 10 s budget -> timeout (and the late click can't seed: not home)
+    assert ("mid-a", "match") in kinds
+    assert ("mid-b", "timeout") in kinds
+    assert all(isinstance(r.device, str) for r in out)

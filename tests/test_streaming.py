@@ -1228,3 +1228,41 @@ def test_funnel_windowed_stream_final_state_matches_batch(spark, events, staged)
     assert len(final) == len(want)
     for c in ["user_id", "s0_ts", "s1_ts", "s2_ts", "funnel_stage"]:
         assert list(final[c]) == list(want[c]), c
+
+
+def test_dim_enriching_writer_keeps_shared_name_join_key(spark, tmp_path):
+    """Regression: when the stream key and dim pk share a NAME, the writer
+    must keep the stream's key column (a string-name drop used to remove
+    both copies)."""
+    import pandas as pd
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        pd.DataFrame({"sku_id": [1, 2], "name": ["a", "b"]})
+    ).write.parquet(dim_path)
+    batch = spark.createDataFrame(pd.DataFrame({"sku_id": [1, 2, 3], "qty": [5, 6, 7]}))
+    out_path = str(tmp_path / "out")
+    sinks.dim_enriching_writer(out_path, dim_path, on=("sku_id", "sku_id"))(batch, 0)
+    got = spark.read.parquet(out_path)
+    assert "sku_id" in got.columns
+    rows = {r.sku_id: r.name for r in got.collect()}
+    assert rows == {1: "a", 2: "b", 3: None}
+
+
+def test_cep_stream_state_ttl_wiring_preserves_results(spark, events, staged):
+    """[S] Idle-state TTL eviction (the 10^9-key memory bound): with a TTL
+    far above every inter-event gap the emitted pattern results are
+    IDENTICAL to the unexpiring run — eviction only forgets gap memory of
+    keys idle longer than the TTL, and the cleanup timers must not leak
+    spurious emissions."""
+    from flinkproject_spark.operators import cep
+
+    steps = ["event_type = 'view'", "event_type = 'click'"]
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(
+        stateful.cep_pattern_stream(wm, steps, within_s=300, state_ttl_s=10**7)
+    )
+    want = cep.cep_pattern(events, steps, within_s=300)
+    cols = want.columns
+    assert got.count() > 0
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

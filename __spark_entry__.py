@@ -757,6 +757,12 @@ def q_funnel_windowed(spark, sf):
     return analytics.funnel_windowed(_t(spark, sf, "events"))
 
 
+def q_daily_anomalies(spark, sf):
+    """Trailing-window volume anomalies per (event_type, day)
+    (analytics.daily_anomalies)."""
+    return analytics.daily_anomalies(_t(spark, sf, "events"))
+
+
 def q_retention_cohorts(spark, sf):
     """First-active-day cohorts x day-offset distinct active users."""
     return analytics.retention_cohorts(_t(spark, sf, "events"))
@@ -843,7 +849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_followedby": q_cep_followedby,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_pipeline_v3": q_corpus_pipeline_v3,
-        "funnel_windowed": q_funnel_windowed,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,
@@ -888,6 +893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode": q_mm_decode,
         "asof_last_order": q_asof_last_order,
         "gmv_rollup": q_gmv_rollup,
+        # newest additions sit first past the window (rotation priority
+        # goes to the 33 r02-evidence queries above; these two carry full
+        # local oracle-gate evidence and rotate in next round)
+        "funnel_windowed": q_funnel_windowed,
+        "daily_anomalies": q_daily_anomalies,
         # mm_features / mm_frame_sample / mm_resize / text_bpe_tokens sit
         # just past the 50-query window: round-4 additions outnumber
         # slots; mm_decode / text_token_stats above exercise the identical
@@ -2172,6 +2182,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_pipeline_v2": _corpus_pipeline_v2_sql(),
+        "daily_anomalies": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     COUNT(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, day, n,
+                     round(avg(n) OVER w, 6) AS trailing_mean,
+                     round(stddev_samp(n) OVER w, 6) AS trailing_std
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+                   trailing_mean, trailing_std,
+                   COALESCE(n > trailing_mean + 3.0 * trailing_std, FALSE)
+                     AS is_anomaly
+            FROM m""",
         "funnel_windowed": f"""
             WITH w1 AS (
               SELECT user_id, ts, event_type,

@@ -111,6 +111,48 @@ def funnel_windowed(
     )
 
 
+def daily_anomalies(
+    events: DataFrame, trailing_days: int = 7, sigma: float = 3.0
+) -> DataFrame:
+    """Volume-anomaly flags per (event_type, day): a day is anomalous when
+    its event count exceeds mean + sigma * stddev of the TRAILING
+    `trailing_days` OBSERVED days (a ROWS frame over the per-day series;
+    current day excluded — the baseline must not contain the
+    observation). The ops-dashboard query every event
+    warehouse serves next to its stats tables.
+
+    Plan: one partial-aggregating shuffle to (event_type, day) counts —
+    day-grain metadata from there on — then trailing mean/stddev as frame
+    windows per event_type (tiny partitions: one row per day). Both
+    moments round to 6 dp and the flag compares the ROUNDED values, so
+    the verdict is identical cross-engine even where summation order
+    differs in the last ulps. Days with fewer than 2 trailing samples
+    have no stddev and are never flagged (null-safe false).
+    """
+    daily = (
+        events.select(F.col("event_type"), F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    mu = F.round(F.avg("n").over(w), 6)
+    sd = F.round(F.stddev_samp("n").over(w), 6)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        mu.alias("trailing_mean"),
+        sd.alias("trailing_std"),
+        F.coalesce(
+            F.col("n") > (mu + F.lit(sigma) * sd), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention triangle: users grouped by first-active day, counted
     distinctly per day-offset of later activity — the (cohort, offset) ->

@@ -1954,3 +1954,30 @@ def test_cep_pattern_generic_over_string_keys_and_row_reading_callables(spark):
     assert ("mid-a", "match") in kinds
     assert ("mid-b", "timeout") in kinds
     assert all(isinstance(r.device, str) for r in out)
+
+
+def test_daily_anomalies_flags_injected_spike_and_nullsafe_head(spark, tables):
+    from flinkproject_spark.operators import analytics
+
+    ev = tables["events"]
+    out = analytics.daily_anomalies(ev).toPandas()
+    # head rows (no trailing stddev) are never flagged and carry nulls
+    head = out[out.trailing_std.isna()]
+    assert (~head.is_anomaly).all()
+    # inject a 100x spike on the last day of one type -> must be flagged
+    import pandas as pd
+    last = out[out.event_type == "click"].day.max()
+    spike_day = (pd.Timestamp(last) + pd.Timedelta(days=1))
+    spike = spark.createDataFrame(
+        pd.DataFrame({
+            "event_id": range(10_000),
+            "ts": [spike_day] * 10_000,
+            "user_id": [1] * 10_000,
+            "event_type": ["click"] * 10_000,
+            "value": [0.0] * 10_000,
+            "props": ["{}"] * 10_000,
+        })
+    )
+    out2 = analytics.daily_anomalies(ev.unionByName(spike)).toPandas()
+    row = out2[(out2.event_type == "click") & (out2.day == spike_day.strftime("%Y-%m-%d"))]
+    assert len(row) == 1 and bool(row.is_anomaly.iloc[0])

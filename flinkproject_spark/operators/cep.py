@@ -280,8 +280,10 @@ def cep_pattern(
     Projection width follows the predicate tiers: SQL-string and
     `.vectorized` gap predicates need only the 4 machine columns (narrow
     shuffle); a PLAIN callable reads arbitrary row fields, so its presence
-    keeps every input column in the shuffle — same frame shape the
-    streaming twin always passes, so the two tiers stay replay-parity."""
+    keeps every input column in the shuffle — INCLUDING the raw `ts`
+    alongside the derived `ts_s`, exactly the frame shape the streaming
+    twin passes its callables, so a callable reading row['ts'] behaves
+    identically in both tiers (replay parity, ADVICE r04 #1)."""
     events, steps, is_sql = _compile_steps(events, steps)
     n = len(steps)
     strict = strict_array(n, contiguity)
@@ -294,7 +296,7 @@ def cep_pattern(
     )
     machine_cols = [key_col, "event_id", "event_type"]
     extra_cols = (
-        [c for c in events.columns if c not in machine_cols and c != "ts"]
+        [c for c in events.columns if c not in machine_cols]
         if plain_callable
         else pcols
     )

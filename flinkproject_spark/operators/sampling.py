@@ -250,8 +250,11 @@ def weighted_sample(
     stratified_sample), so verdicts are reproducible across runs, engines,
     and repartitioning — and the DuckDB oracle replays them exactly. We
     rank by the priority's log, ln(u)/w (monotone in u^(1/w); w > 0),
-    rounded to 6 dp with doc_id tiebreak so the top-k frontier is
-    engine-identical.
+    rounded to 6 dp. Ties at the 1e-6 resolution break by a SALTED HASH
+    of doc_id (ADVICE r04 #4: a raw doc_id tiebreak hands every tie to
+    the lower id — a systematic bias inside tie classes; the hash makes
+    tie resolution unbiased while staying engine-reproducible), with
+    doc_id as the final total-order guarantee under hash collision.
 
     Weight = the shared quality composite (_quality_scored), floored at
     0.01 so zero-quality docs keep a positive weight. Plan: narrow
@@ -264,7 +267,10 @@ def weighted_sample(
     u = (_keep_hash("doc_id", salt) + 0.5) / F.lit(float(SAMPLE_MOD))
     w_col = F.greatest(F.col("quality_score"), F.lit(0.01))
     pri = F.round(F.log(u) / w_col, 6)
-    win = Window.partitionBy(stratum_col).orderBy(F.desc("priority"), F.asc("doc_id"))
+    tie = _keep_hash("doc_id", salt + "-tie")
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.desc("priority"), F.asc(tie), F.asc("doc_id")
+    )
     return (
         scored.withColumn("priority", pri)
         .withColumn("rk", F.row_number().over(win))

@@ -33,6 +33,10 @@ BNLJ_ALLOWED = {
     "sim_topk_bruteforce", "sim_topk_ivf_nprobe", "cluster_assign", "corpus_mix",
     "text_logprob", "quality_deciles", "text_dsir", "corpus_zipf", "text_tfidf",
     "text_bigram_logprob", "corpus_curriculum", "corpus_pipeline_v3",
+    # certificate queries (r05): crossJoins of broadcast SINGLE-ROW
+    # aggregates (truth count x soundness flag x recall flag; report x
+    # dropped-shingle count) — scalar x scalar, never data x data
+    "dedup_minhash_xx", "minhash_pr_report",
 }
 
 

@@ -334,6 +334,9 @@ def exact_jaccard_pairs(
     shingled = shingle_docs(documents.withColumn("x", tokens("text")), n)
     rows = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     if max_df is not None:
+        # rows feeds the stop-list scan AND the anti-joined main branch:
+        # persist so the tokenize+shingle subplan runs once, not per branch
+        rows = rows.persist()
         stop = _stop_shingles(rows, max_df)
         rows = rows.drop("n_sh").join(F.broadcast(stop), "sh", "left_anti")
     return _pairs_from_shingle_rows(rows, threshold, capped_sizes=max_df is not None)
@@ -456,11 +459,14 @@ def minhash_xx_certificate(
       inverted-index Jaccard, not the pipeline's own array-intersect
       arithmetic, so a mis-wired bucket join / shingle table would flip
       it to false;
-    - `exact_dup_recall_ok` — every truth pair with Jaccard == 1.0 is
-      emitted. Guaranteed for ANY hash family: identical shingle sets
-      produce identical MinHash signatures, hence identical band buckets,
-      hence guaranteed candidacy — the one recall statement LSH makes
-      deterministically.
+    - `exact_dup_recall_ok` — every pair with IDENTICAL shingle sets
+      (grouped by md5 of the sorted distinct-shingle array — exact set
+      equality, deliberately NOT the 6dp-rounded jaccard == 1.0, which a
+      0.9999995-similar-but-unequal pair could satisfy without the
+      guarantee applying) is emitted. Guaranteed for ANY hash family:
+      identical shingle sets produce identical MinHash signatures, hence
+      identical band buckets, hence guaranteed candidacy — the one recall
+      statement LSH makes deterministically.
 
     The full production pipeline (shingle -> xxhash64 minhash -> banded
     LSH -> Jaccard verify) executes inside this query, so its BENCH row
@@ -472,15 +478,28 @@ def minhash_xx_certificate(
     emitted = minhash_lsh_dedup(
         documents, num_hashes, bands, n, threshold, hash_fn=xxhash64_mod
     ).select("doc_a", "doc_b").persist()  # feeds soundness + recall branches
-    truth = exact_jaccard_pairs(documents, n, threshold).persist()  # 3 consumers
+    truth = exact_jaccard_pairs(documents, n, threshold).persist()  # 2 consumers
     n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
     sound = (
         emitted.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
         .agg((F.count("*") == 0).alias("sound"))
     )
+    # exact shingle-SET-equality clone pairs: group docs by a hash of the
+    # sorted distinct-shingle array (rounding-free, unlike jaccard == 1.0)
+    ssig = (
+        shingle_docs(documents.withColumn("x", tokens("text")), n)
+        .select("doc_id", F.md5(F.concat_ws("\x01", F.array_sort("shingles"))).alias("ssig"))
+    )
+    clones = (
+        ssig.groupBy("ssig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
     recall_ok = (
-        truth.filter(F.col("jaccard") == 1.0)
-        .join(emitted, ["doc_a", "doc_b"], "left_anti")
+        clones.join(emitted, ["doc_a", "doc_b"], "left_anti")
         .agg((F.count("*") == 0).alias("exact_dup_recall_ok"))
     )
     # three single-row aggregates -> broadcast nested loops of scalars

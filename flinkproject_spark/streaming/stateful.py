@@ -481,11 +481,17 @@ def funnel_stream(
 # daily anomaly flags — trailing-window state per event_type (VERDICT r04 #1)
 # ---------------------------------------------------------------------------
 def _round_half_up6(x: float) -> float:
-    """Spark's round(x, 6): BigDecimal HALF_UP on the exact binary double."""
+    """Spark's round(x, 6) for doubles: Scala BigDecimal(d) goes through
+    Double.toString — the SHORTEST round-trip decimal repr — then HALF_UP.
+    Python's repr(float) is the same shortest repr, so Decimal(repr(x))
+    (NOT Decimal(x), the exact binary expansion, which disagrees at
+    representation-boundary ties) reproduces it exactly."""
     import decimal
 
     return float(
-        decimal.Decimal(x).quantize(decimal.Decimal("0.000001"), decimal.ROUND_HALF_UP)
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), decimal.ROUND_HALF_UP
+        )
     )
 
 
@@ -493,18 +499,24 @@ def daily_anomalies_stream(
     events: DataFrame, trailing_days: int = 7, sigma: float = 3.0
 ) -> DataFrame:
     """Streaming twin of analytics.daily_anomalies: per event_type, state
-    is the trailing deque of the last `trailing_days` OBSERVED day counts
-    (comma-joined — O(trailing_days) per key) plus the open day's running
-    count. A day closes when a later day's first event arrives (data
-    path) or when the watermark passes its end (event-time timer — the
-    path that emits the stream's final day); on close it is judged
-    against the deque's mean + sigma * stddev_samp, both rounded to 6 dp
-    exactly as the batch twin rounds, then pushed into the deque.
+    is the trailing deque of the last `trailing_days` CLOSED day counts
+    (comma-joined — O(trailing_days) per key) plus a small map of OPEN
+    days still inside the watermark horizon. A day closes ONLY when the
+    watermark passes its end (checked on both the data path and the
+    event-time timer) — never merely because a later day's event showed
+    up, so out-of-order arrivals within the watermark delay (a 23:59:50
+    event landing after midnight's first event) still count into their
+    own day, exactly as the batch twin counts them. Days are closed in
+    calendar order, each judged against the deque's mean + sigma *
+    stddev_samp (both rounded to 6 dp exactly as the batch twin rounds)
+    then pushed. Events for a day already closed are late beyond the
+    watermark contract and are dropped — Flink/Spark's standard
+    late-data semantics.
 
-    Counts are integers, so the two engines' double mean/std agree to
-    well past 6 dp (sum of ints in double is exact; the rounding mirrors
-    Spark's BigDecimal HALF_UP) — replay parity is bit-stable, not
-    approximate.
+    Open-day state is bounded by the watermark delay (delay < 24 h keeps
+    at most 2 days open); counts are integers, so the two engines'
+    double mean/std agree to well past 6 dp and the rounding mirrors
+    Spark's shortest-repr BigDecimal HALF_UP — replay parity is exact.
     """
 
     def stats(hist: list[int]) -> tuple:
@@ -535,43 +547,55 @@ def daily_anomalies_stream(
             }
         )
 
+    def day_end_ms(day: str) -> int:
+        return int(pd.Timestamp(day).value // 1_000_000) + 86_400_000
+
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if key[0] in (HEARTBEAT_ID, str(HEARTBEAT_ID)):
             return
-        hist_s, cur_day, cur_n = state.get if state.exists else ("", None, None)
-        hist = [int(v) for v in hist_s.split(",") if v]
-
-        def close_day() -> pd.DataFrame:
-            out = row(key[0], cur_day, cur_n, hist)
-            hist.append(cur_n)
-            del hist[:-trailing_days]
-            return out
-
-        if state.hasTimedOut:
-            if cur_day is not None:
-                out = close_day()
-                state.update((",".join(map(str, hist)), None, None))
-                yield out
-            return
-        pdf = _ordered(pdfs)
-        if not len(pdf):
-            return
-        outs = []
-        for day, cnt in pdf["ts"].dt.strftime("%Y-%m-%d").value_counts().sort_index().items():
-            if cur_day is None:
-                cur_day, cur_n = day, int(cnt)
-            elif day == cur_day:
-                cur_n += int(cnt)
-            else:
-                outs.append(close_day())
-                cur_day, cur_n = day, int(cnt)
-        state.update((",".join(map(str, hist)), cur_day, cur_n))
-        # timer at the open day's end: fires once the watermark proves no
-        # more events for it can arrive, closing the stream's final day
-        day_end_ms = (
-            int(pd.Timestamp(cur_day).value // 1_000_000) + 86_400_000
+        hist_s, open_s, last_closed = (
+            state.get if state.exists else ("", "", None)
         )
-        _safe_timeout(state, day_end_ms)
+        hist = [int(v) for v in hist_s.split(",") if v]
+        open_days: dict[str, int] = {}
+        for part in open_s.split(";"):
+            if part:
+                d, c = part.split(":")
+                open_days[d] = int(c)
+
+        if not state.hasTimedOut:
+            pdf = _ordered(pdfs)
+            for day, cnt in (
+                pdf["ts"].dt.strftime("%Y-%m-%d").value_counts().sort_index().items()
+            ):
+                if last_closed is not None and day <= last_closed:
+                    continue  # late beyond the watermark: dropped
+                open_days[day] = open_days.get(day, 0) + int(cnt)
+
+        # close (in calendar order) every open day the watermark has passed
+        # — on the timer path AND after data, so emission never stalls
+        wm = state.getCurrentWatermarkMs()
+        outs = []
+        for d in sorted(open_days):
+            if day_end_ms(d) > wm:
+                break
+            n = open_days.pop(d)
+            outs.append(row(key[0], d, n, hist))
+            hist.append(n)
+            del hist[:-trailing_days]
+            last_closed = d
+
+        state.update(
+            (
+                ",".join(map(str, hist)),
+                ";".join(f"{d}:{open_days[d]}" for d in sorted(open_days)),
+                last_closed,
+            )
+        )
+        if open_days:
+            # timer at the OLDEST open day's end: fires once the watermark
+            # proves that day complete (closing the stream's final days)
+            _safe_timeout(state, day_end_ms(min(open_days)))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
@@ -581,7 +605,7 @@ def daily_anomalies_stream(
             "event_type string, day string, n bigint, trailing_mean double, "
             "trailing_std double, is_anomaly boolean"
         ),
-        stateStructType="hist string, cur_day string, cur_n bigint",
+        stateStructType="hist string, open_days string, last_closed string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

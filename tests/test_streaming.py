@@ -259,6 +259,54 @@ def test_daily_anomalies_stream_matches_batch(spark, events, tmp_path_factory):
     assert got.count() == want.count() > 0
 
 
+def test_daily_anomalies_stream_out_of_order_within_watermark(spark, tmp_path):
+    """A day must close on the WATERMARK passing its end, not on the first
+    later-day event: a 23:59:50 straggler arriving after midnight's first
+    event (within the 2-minute delay) still counts into ITS day. Chunks
+    are hand-staged (stage_replay sorts by ts, so it cannot produce
+    disorder) with increasing mtimes."""
+    import time as _time
+
+    import pandas as pd
+
+    base = pd.Timestamp("2024-03-01")
+    chunk0 = pd.DataFrame({
+        "event_id": pd.array([1, 2], dtype="int64"),
+        "ts": [base + pd.Timedelta("23:59:00"), base + pd.Timedelta("1 day 00:00:30")],
+        "user_id": pd.array([7, 7], dtype="int64"),
+        "event_type": ["t", "t"],
+    })
+    chunk1 = pd.DataFrame({  # the within-delay straggler for day 1
+        "event_id": pd.array([3], dtype="int64"),
+        "ts": [base + pd.Timedelta("23:59:50")],
+        "user_id": pd.array([7], dtype="int64"),
+        "event_type": ["t"],
+    })
+    hb = pd.DataFrame({  # far-future sentinel closes everything
+        "event_id": pd.array([99], dtype="int64"),
+        "ts": [base + pd.Timedelta("30 days")],
+        "user_id": pd.array([replay.HEARTBEAT_ID], dtype="int64"),
+        "event_type": [str(replay.HEARTBEAT_ID)],
+    })
+    path = tmp_path / "ooo"
+    path.mkdir()
+    for i, pdf in enumerate((chunk0, chunk1, hb)):
+        f = str(path / f"{i:05d}.parquet")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(f + ".d")
+        part = [p for p in os.listdir(f + ".d") if p.endswith(".parquet")][0]
+        os.rename(f"{f}.d/{part}", f)
+        t = _time.time() + i * 10
+        os.utime(f, (t, t))
+
+    stream = replay.read_replay(spark, str(path)).withWatermark("ts", "2 minutes")
+    got = replay.run_to_table(stateful.daily_anomalies_stream(stream)).toPandas()
+    got = got.sort_values("day").reset_index(drop=True)
+    # day 1 counts BOTH its events (e1 + the straggler e3); day 2 counts 1
+    assert list(got["day"]) == ["2024-03-01", "2024-03-02"]
+    assert list(got["n"]) == [2, 1]
+    assert got.loc[1, "trailing_mean"] == 2.0  # baseline = closed day 1
+
+
 def test_unique_visits_dropdup_counts(spark, events, staged):
     got = replay.run_to_table(jobs.unique_visits_dropdup_stream(_stream(spark, staged)))
     want = state.unique_visits(events)
@@ -652,7 +700,7 @@ def test_redact_pii_streams_stateless(spark, sf_dir, tmp_path):
 
 # --- checkpoint recovery: stop mid-replay, restart, exactly-once output ----
 
-def test_stateful_ops_under_rocksdb_state_store(spark, events, staged):
+def test_stateful_ops_under_rocksdb_state_store(spark, events, staged, tmp_path_factory):
     """The production state-backend posture (VERDICT r03 #8): the same
     applyInPandasWithState operators run unchanged on Spark's bundled
     RocksDB state store provider (SPARK_GRAFT_STATE_STORE=rocksdb wires it
@@ -671,6 +719,22 @@ def test_stateful_ops_under_rocksdb_state_store(spark, events, staged):
         want = state.detect_bounces(events)
         cols = want.columns
         assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+        # and the r05 trailing-deque operator (string-encoded deque state,
+        # day-close timers) — provider-independence is per-operator, so the
+        # newest state shape gets its own RocksDB pass
+        from flinkproject_spark.operators import analytics
+
+        et_path = str(tmp_path_factory.mktemp("replay_rocks_et") / "events")
+        replay.stage_replay(
+            events, et_path, chunks=4, heartbeat_keys=("user_id", "event_type")
+        )
+        wm2 = jobs.watermarked_events(
+            replay.read_replay(spark, et_path), delay="1 minute"
+        )
+        got2 = replay.run_to_table(stateful.daily_anomalies_stream(wm2))
+        want2 = analytics.daily_anomalies(events)
+        cols2 = want2.columns
+        assert _sorted_rows(got2, cols2) == _sorted_rows(want2, cols2)
     finally:
         if before is None:
             spark.conf.unset(key)

@@ -141,9 +141,18 @@ def minhash_member(h_mod: Column, i: int) -> Column:
     return (F.lit(a) * h_mod + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def duck_minhash_member(h_mod_expr: str, i: int) -> str:
+def minhash_member_sql(h_mod_expr: str, i: int) -> str:
+    """SQL-text twin of :func:`minhash_member` — valid in BOTH Spark SQL
+    and DuckDB (integer `%` on positive operands). Call sites that build
+    wide signatures (128 hashes) use ONE `F.expr` per aggregate instead
+    of ~8 py4j Column constructions each: the Column form measured 2.2 s
+    of pure driver plan-BUILD time per 128-hash query."""
     a, b = minhash_coeffs(i)
     return f"(({a} * {h_mod_expr} + {b}) % {MINHASH_P})"
+
+
+# DuckDB twin is the identical text (shared integer arithmetic)
+duck_minhash_member = minhash_member_sql
 
 
 # ---------------------------------------------------------------------------

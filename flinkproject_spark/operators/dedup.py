@@ -84,6 +84,18 @@ def shingle_docs(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _sig_aggs(num_hashes: int) -> list[Column]:
+    """The `num_hashes` MinHash min-aggregates as SQL-text exprs: one
+    F.expr py4j call per aggregate instead of ~8 Column constructions —
+    at 128 hashes the Column form measured 2.2 s of pure driver
+    plan-BUILD time per query (execution identical; the parsed
+    expressions are the same)."""
+    return [
+        F.expr(f"min({K.minhash_member_sql('hb', i)}) AS h{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 16, n: int = 3, hash_fn: HashFn | None = None
 ) -> DataFrame:
@@ -103,11 +115,7 @@ def minhash_signatures(
     based = rows.select(
         "doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb")
     )
-    aggs = [
-        F.min(K.minhash_member(F.col("hb"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return based.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*_sig_aggs(num_hashes))
 
 
 def lsh_candidate_pairs(
@@ -126,11 +134,14 @@ def lsh_candidate_pairs(
     are bounded by bucket size (small by construction of the LSH family), so
     the per-group expansion stays near-linear at 100 TB.
     """
+    # SQL-text struct per band (one py4j call each, not ~12 — see _sig_aggs)
     band_structs = []
     for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        cols = ", ".join(
+            f"cast(h{b * rows_per_band + r} as string)" for r in range(rows_per_band)
+        )
         band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
+            F.expr(f"struct({b} AS band, md5(concat_ws(',', {cols})) AS bucket)")
         )
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
@@ -209,9 +220,7 @@ def minhash_lsh_dedup(
     based = shingled.select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb"))
-    sigs = based.groupBy("doc_id").agg(
-        *[F.min(K.minhash_member(F.col("hb"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    sigs = based.groupBy("doc_id").agg(*_sig_aggs(num_hashes))
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return jaccard_verify(cands, shingled, threshold)
 
@@ -408,9 +417,7 @@ def minhash_precision_recall(
     based = rows.select(
         "doc_id", (hash_fn(F.col("sh")) % F.lit(K.MINHASH_P)).alias("hb")
     )
-    sigs = based.groupBy("doc_id").agg(
-        *[F.min(K.minhash_member(F.col("hb"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
+    sigs = based.groupBy("doc_id").agg(*_sig_aggs(num_hashes))
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     t = truth.select("doc_a", "doc_b", F.lit(1).alias("is_true"))
     c = cands.select("doc_a", "doc_b", F.lit(1).alias("is_cand"))

@@ -528,18 +528,18 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     # bit b is set when set-count > half the tokens: sum the raw bit (branch-
     # free arithmetic, not a CASE over +-1 — same sign test since
     # sum(+-1) > 0  <=>  2*sum(bit) > n) in 32 parallel integer aggregates.
+    # SQL-text exprs for the wide column lists (one py4j call per bit — see
+    # _sig_aggs for the measured driver-side plan-build cost of the
+    # Column-API form).
     bit_aggs = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(bits)
+        F.expr(f"sum(shiftright(h, {b}) & 1) AS b{b}") for b in range(bits)
     ]
     summed = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_aggs)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(2 ** b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return summed.select("doc_id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return summed.select("doc_id", F.expr(f"({sig_sql}) AS simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:

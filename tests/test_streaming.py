@@ -236,6 +236,80 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, events, tmp_path):
     assert got == want
 
 
+@pytest.mark.skipif(not _derby_available(), reason="no Derby jar on the Spark classpath")
+def test_jdbc_transactional_sink_exactly_once_on_replay(spark, events, staged, tmp_path):
+    """The reference's EXACTLY_ONCE Kafka producer (MyKafkaUtil.java:29-38)
+    realized against a REAL transactional store: staged-commit JDBC sink
+    on embedded Derby. Crash simulation = delete the newest checkpoint
+    commit marker and restart; the re-delivered batch must promote ZERO
+    new rows (committed-table guard) while a naive JDBC append sink
+    double-writes the same replay — and the committed table holds each
+    batch id exactly once."""
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/eosdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    ckpt = str(tmp_path / "ckpt")
+
+    eos = sinks.jdbc_transactional_writer(url, "serving_eos", driver=drv)
+    naive = sinks.jdbc_batch_writer(url, "serving_naive", driver=drv)
+    calls: list[int] = []
+
+    def fn(batch, batch_id):
+        b = batch.select("event_id", "ts", "user_id", "event_type", "value")
+        calls.append(batch_id)
+        eos(b, batch_id)
+        naive(b, batch_id)
+
+    def run():
+        q = (
+            replay.read_replay(spark, staged)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    run()
+    first_calls = list(calls)
+    total = events.count() + 1  # + heartbeat sentinel row
+
+    def read(table):
+        return (
+            spark.read.format("jdbc")
+            .option("url", url).option("dbtable", table).option("driver", drv)
+            .load()
+        )
+
+    assert read("serving_eos").count() == total
+
+    last_commit = sorted(
+        c for c in os.listdir(f"{ckpt}/commits") if not c.startswith(".")
+    )[-1]
+    os.remove(f"{ckpt}/commits/{last_commit}")
+    crc = f"{ckpt}/commits/.{last_commit}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+
+    assert int(last_commit) in calls[len(first_calls):]  # really re-delivered
+    got = read("serving_eos")
+    assert got.count() == total  # exactly-once: no duplicates
+    want = {r.event_id for r in events.collect()}
+    real = replay.drop_heartbeats(got)  # sentinel clones a real event_id
+    got_ids = [r[0] for r in real.select(real.columns[0]).collect()]
+    assert len(got_ids) == len(want) and set(got_ids) == want
+    # committed ledger: each batch id exactly once; staging fully drained
+    committed = [r[0] for r in read("serving_eos_committed").collect()]
+    assert sorted(committed) == sorted(set(first_calls))
+    assert read("serving_eos_staging").count() == 0
+    # the naive append sink double-wrote the replayed batch — the contrast
+    assert read("serving_naive").count() > total
+
+
 def test_daily_anomalies_stream_matches_batch(spark, events, tmp_path_factory):
     """VERDICT r04 #1: the trailing-window anomaly op's streaming twin —
     per-event_type deque state, day closed by the next day's data or by

@@ -151,10 +151,6 @@ def minhash_member_sql(h_mod_expr: str, i: int) -> str:
     return f"(({a} * {h_mod_expr} + {b}) % {MINHASH_P})"
 
 
-# DuckDB twin is the identical text (shared integer arithmetic)
-duck_minhash_member = minhash_member_sql
-
-
 # ---------------------------------------------------------------------------
 # JSON access (fastjson getString/getJSONObject — BaseLogApp.java:71,108,115)
 # ---------------------------------------------------------------------------

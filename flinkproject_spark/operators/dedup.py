@@ -344,7 +344,11 @@ def exact_jaccard_pairs(
     rows = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     if max_df is not None:
         # rows feeds the stop-list scan AND the anti-joined main branch:
-        # persist so the tokenize+shingle subplan runs once, not per branch
+        # persist so the tokenize+shingle subplan runs once, not per branch.
+        # No manual unpersist: repeated calls build an IDENTICAL plan, so
+        # the cache manager reuses ONE LRU-evictable entry rather than
+        # accumulating copies (same contract as minhash_lsh_dedup's
+        # persist, documented there).
         rows = rows.persist()
         stop = _stop_shingles(rows, max_df)
         rows = rows.drop("n_sh").join(F.broadcast(stop), "sh", "left_anti")
@@ -492,10 +496,19 @@ def minhash_xx_certificate(
         .agg((F.count("*") == 0).alias("sound"))
     )
     # exact shingle-SET-equality clone pairs: group docs by a hash of the
-    # sorted distinct-shingle array (rounding-free, unlike jaccard == 1.0)
+    # sorted distinct-shingle array (rounding-free, unlike jaccard == 1.0).
+    # Each shingle is md5'd FIRST — fixed-width elements make the joined
+    # string injective for the set (a raw-text join is separator-injectable:
+    # tokens() only splits on whitespace, so documents may contain any
+    # separator byte). The shingle_docs subplan here is plan-identical to
+    # the one minhash_lsh_dedup persists above, so analysis-time cache
+    # substitution makes this a cache read, not a third corpus scan.
     ssig = (
         shingle_docs(documents.withColumn("x", tokens("text")), n)
-        .select("doc_id", F.md5(F.concat_ws("\x01", F.array_sort("shingles"))).alias("ssig"))
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .select("doc_id", F.md5("sh").alias("hs"))
+        .groupBy("doc_id")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list("hs")))).alias("ssig"))
     )
     clones = (
         ssig.groupBy("ssig")

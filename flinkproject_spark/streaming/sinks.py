@@ -114,16 +114,33 @@ def start_jdbc_sink(
 
 
 _SQL_TYPES = {
-    "bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE", "float": "REAL",
+    "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+    "double": "DOUBLE", "float": "REAL",
     "string": "VARCHAR(4000)", "timestamp": "TIMESTAMP", "boolean": "BOOLEAN",
     "date": "DATE",
 }
+
+
+def _sql_type(simple: str, col: str) -> str:
+    """Spark simpleString -> SQL DDL type; decimals pass through verbatim
+    (DECIMAL(p,s) is standard SQL), anything unmappable raises a CLEAR
+    error naming the column instead of a bare KeyError mid-stream."""
+    if simple in _SQL_TYPES:
+        return _SQL_TYPES[simple]
+    if simple.startswith("decimal("):
+        return simple.upper()
+    raise ValueError(
+        f"jdbc_transactional_writer: column {col!r} has type {simple!r}, "
+        "which has no JDBC DDL mapping here — project it to a supported "
+        "type (or serialize it to a string) before the sink"
+    )
 
 
 def jdbc_transactional_writer(
     url: str,
     target: str,
     driver: str | None = None,
+    post_stage_hook: "Callable[[DataFrame, int], None] | None" = None,
 ) -> Callable[[DataFrame, int], None]:
     """B2's EXACTLY_ONCE semantics against a REAL transactional store — the
     staged-commit pattern, not just batchId-keyed idempotence:
@@ -145,6 +162,16 @@ def jdbc_transactional_writer(
     re-delivers the same batch id; the committed-table guard makes the
     target insert a no-op and the staging delete cleans the re-append.
 
+    TASK retries inside one attempt (executor death after a partition's
+    JDBC commit, or speculative duplicates) can land a partition's rows
+    in staging twice; each staged row therefore carries a deterministic
+    `row_uid` (monotonically_increasing_id: partition-id << 33 + row
+    position — identical across recomputations of a checkpointed,
+    deterministic micro-batch) and the promote SELECTs DISTINCT over
+    (row, row_uid), collapsing retry duplicates while preserving
+    legitimately identical data rows. The determinism assumption is the
+    same one Spark's own foreachBatch exactly-once guidance makes.
+
     Tested end-to-end against embedded Derby with a simulated
     crash-after-write-before-checkpoint-commit
     (`test_jdbc_transactional_sink_exactly_once_on_replay`).
@@ -156,18 +183,27 @@ def jdbc_transactional_writer(
         return jvm.java.sql.DriverManager.getConnection(url)
 
     def ensure_tables(conn, batch: DataFrame) -> list[str]:
-        cols = [(f.name, _SQL_TYPES[f.dataType.simpleString()]) for f in batch.schema.fields]
+        cols = [
+            (f.name, _sql_type(f.dataType.simpleString(), f.name))
+            for f in batch.schema.fields
+        ]
         ddl_cols = ", ".join(f'"{n}" {t}' for n, t in cols)
         st = conn.createStatement()
         for sql in (
             f'CREATE TABLE {target} ({ddl_cols})',
-            f'CREATE TABLE {target}_staging ({ddl_cols}, "batch_id" BIGINT)',
+            f'CREATE TABLE {target}_staging ({ddl_cols}, "batch_id" BIGINT, "row_uid" BIGINT)',
             f'CREATE TABLE {target}_committed ("batch_id" BIGINT PRIMARY KEY)',
         ):
             try:
                 st.executeUpdate(sql)
-            except Exception:  # table exists (Derby has no IF NOT EXISTS)
-                pass
+            except Exception as ex:
+                # Derby has no IF NOT EXISTS; swallow ONLY object-exists
+                # (SQLState X0Y32) so real failures stay loud
+                sql_state = getattr(
+                    getattr(ex, "java_exception", None), "getSQLState", lambda: None
+                )()
+                if sql_state != "X0Y32":
+                    raise
         st.close()
         return [n for n, _ in cols]
 
@@ -182,15 +218,21 @@ def jdbc_transactional_writer(
             st.executeUpdate(
                 f'DELETE FROM {target}_staging WHERE "batch_id" = {batch_id}'
             )
-            # 2. parallel executor append to staging
+            # 2. parallel executor append to staging (row_uid = deterministic
+            # per-row identity; collapses task-retry/speculative duplicates)
             (
                 batch.withColumn("batch_id", F.lit(batch_id))
+                .withColumn("row_uid", F.monotonically_increasing_id())
                 .write.format("jdbc")
                 .option("url", url)
                 .option("dbtable", f"{target}_staging")
                 .mode("append")
                 .save()
             )
+            if post_stage_hook is not None:
+                # test seam: simulate a task retry / speculative duplicate
+                # landing extra copies in staging before the promote
+                post_stage_hook(batch, batch_id)
             # 3. the guarded atomic promote
             conn.setAutoCommit(False)
             rs = st.executeQuery(
@@ -202,8 +244,10 @@ def jdbc_transactional_writer(
             if not already:
                 st.executeUpdate(
                     f'INSERT INTO {target} ({collist}) '
-                    f'SELECT {collist} FROM {target}_staging '
-                    f'WHERE "batch_id" = {batch_id}'
+                    f'SELECT {collist} FROM ('
+                    f'  SELECT DISTINCT {collist}, "row_uid" FROM {target}_staging '
+                    f'  WHERE "batch_id" = {batch_id}'
+                    f') t'
                 )
                 st.executeUpdate(
                     f'INSERT INTO {target}_committed VALUES ({batch_id})'

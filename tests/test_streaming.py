@@ -250,7 +250,24 @@ def test_jdbc_transactional_sink_exactly_once_on_replay(spark, events, staged, t
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     ckpt = str(tmp_path / "ckpt")
 
-    eos = sinks.jdbc_transactional_writer(url, "serving_eos", driver=drv)
+    def retry_dup(batch, batch_id):
+        # simulate a task retry: the SAME partition rows (same deterministic
+        # row_uids) land in staging a second time before the promote
+        if batch_id == 0:
+            (
+                batch.withColumn("batch_id", F.lit(batch_id))
+                .withColumn("row_uid", F.monotonically_increasing_id())
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "serving_eos_staging")
+                .option("driver", drv)
+                .mode("append")
+                .save()
+            )
+
+    eos = sinks.jdbc_transactional_writer(
+        url, "serving_eos", driver=drv, post_stage_hook=retry_dup
+    )
     naive = sinks.jdbc_batch_writer(url, "serving_naive", driver=drv)
     calls: list[int] = []
 

@@ -288,3 +288,52 @@ def test_weighted_sample_winners_stable_under_loser_removal(spark, docs, k):
     sub = df.filter(F.col("doc_id").isin([int(i) for i in keep_ids]))
     win2 = {r.doc_id for r in sampling.weighted_sample(sub, k=k).collect()}
     assert win2 == win
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=100,
+    )
+)
+def test_streaming_round_half_up6_matches_spark_round(spark, xs):
+    """The streaming twins' Python rounding (Decimal over the shortest
+    round-trip repr, HALF_UP) must equal Spark's round(x, 6) BIT-EXACTLY —
+    the contract daily_anomalies_stream's replay parity rests on."""
+    from flinkproject_spark.streaming.stateful import _round_half_up6
+
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    got = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    want = [_round_half_up6(x) for x in xs]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=3, max_size=12),
+        min_size=3, max_size=8,
+    ),
+    st.data(),
+)
+def test_minhash_xx_certificate_invariants_hold_on_random_corpora(spark, base_docs, data):
+    """The certificate's three invariants are THEOREMS, not observations:
+    on any corpus (here: random small-vocab docs plus 0-2 planted verbatim
+    clones) `sound` and `exact_dup_recall_ok` must be true and `n_true`
+    must count at least the planted clone pairs."""
+    from flinkproject_spark.operators import dedup
+
+    texts = [" ".join(ws) for ws in base_docs]
+    n_clones = data.draw(st.integers(min_value=0, max_value=min(2, len(texts))))
+    clone_rows = [texts[i] for i in range(n_clones)]
+    rows = [
+        (i, t, "en", "src", len(t))
+        for i, t in enumerate(texts + clone_rows)
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    df = spark.createDataFrame(rows, schema)
+    cert = dedup.minhash_xx_certificate(df).first()
+    assert cert["sound"] is True
+    assert cert["exact_dup_recall_ok"] is True
+    assert cert["n_true"] >= n_clones  # each clone pairs with its original

@@ -38,11 +38,20 @@ def main() -> None:
     n_rows = events.count()
 
     stage_dir = tempfile.mkdtemp(prefix="replay_bench_")
+    et_stage = tempfile.mkdtemp(prefix="replay_bench_et_")
     try:
         replay.stage_replay(events, stage_dir, chunks=CHUNKS)
+        # separate staging for event_type-keyed jobs: the heartbeat must
+        # blank that key too or the sentinel pollutes a real group
+        replay.stage_replay(
+            events, et_stage, chunks=CHUNKS, heartbeat_keys=("user_id", "event_type")
+        )
 
         def stream():
             return replay.read_replay(spark, stage_dir, files_per_trigger=FILES_PER_TRIGGER)
+
+        def et_stream():
+            return replay.read_replay(spark, et_stage, files_per_trigger=FILES_PER_TRIGGER)
 
         cases = {
             # windowed multi-measure aggregate (VisitorStatsApp shape, A6)
@@ -63,6 +72,11 @@ def main() -> None:
             "funnel_update": (
                 lambda: stateful.funnel_stream(stream()),
                 "update",
+            ),
+            # trailing-deque anomaly flags per event_type (r05): watermark-
+            # driven day closing, few keys -> per-key throughput ceiling
+            "daily_anomalies_trailing": lambda: stateful.daily_anomalies_stream(
+                jobs.watermarked_events(et_stream())
             ),
         }
 
@@ -85,6 +99,7 @@ def main() -> None:
             }
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(et_stage, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -898,6 +898,57 @@ def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_daily_anomalies_stream_recovers_from_checkpoint(spark, events, tmp_path):
+    """Stop/restart for the r05 trailing-deque operator: its string-encoded
+    state (closed-day deque, open-day map, last-closed watermark) must
+    round-trip through the state store so the resumed run closes the
+    remaining days against the FIRST run's history — exact batch parity,
+    no lost or duplicated day rows."""
+    import shutil
+    import time as _time
+
+    staged_et = str(tmp_path / "staged")
+    replay.stage_replay(
+        events, staged_et, chunks=8, heartbeat_keys=("user_id", "event_type")
+    )
+    part1 = str(tmp_path / "part1")
+    os.makedirs(part1)
+    files = sorted(f for f in os.listdir(staged_et) if f.endswith(".parquet"))
+
+    def arrive(names, t0):
+        for i, f in enumerate(names):
+            dst = f"{part1}/{f}"
+            shutil.copy(f"{staged_et}/{f}", dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    arrive(files[:4], _time.time() - 100)
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        wm = jobs.watermarked_events(replay.read_replay(spark, part1), delay="1 minute")
+        q = (
+            stateful.daily_anomalies_stream(wm)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    arrive(files[4:], _time.time())
+    run_once()
+
+    from flinkproject_spark.operators import analytics
+
+    got = spark.read.parquet(sink)
+    want = analytics.daily_anomalies(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
 # --- B2/B5 exactly-once output: batchId-idempotent sink under replay --------
 
 def test_idempotent_sink_no_double_write_on_replay(spark, events, staged, tmp_path):

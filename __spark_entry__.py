@@ -532,6 +532,14 @@ def q_order_value_percentiles(spark, sf):
     return relational.order_value_percentiles(_t(spark, sf, "orders"))
 
 
+def q_order_value_percentiles_approx(spark, sf):
+    """The quantile-sketch valve, CERTIFIED (r05): GK approx_percentile
+    runs in-query and its rank-error bound is asserted against the exact
+    percentiles via the deterministic `approx_ok` flag — the sketch twin
+    of the HLL certificate (relational.order_value_percentiles_approx)."""
+    return relational.order_value_percentiles_approx(_t(spark, sf, "orders"))
+
+
 def q_scd2_order_state(spark, sf):
     """SCD2 dim-history build: per-customer daily order-state versions with
     [valid_from, valid_to) bounds (the batch complement of asof_join;
@@ -862,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomalies_dense": q_daily_anomalies_dense,
         "dedup_minhash_xx": q_dedup_minhash_xx,
         "product_stats_approx": q_product_stats_approx,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
         "minhash_pr_report": q_minhash_pr_report,
         # -- last driver-checked in r02 (ADVICE r04 #3 rotation)
         "mm_features": q_mm_features,
@@ -2098,6 +2107,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(o_totalprice, 0.9) AS p90,
                    quantile_cont(o_totalprice, 0.99) AS p99,
                    COUNT(*) AS order_ct
+            FROM orders GROUP BY 1""",
+        "order_value_percentiles_approx": """
+            SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   quantile_cont(o_totalprice, 0.99) AS p99,
+                   COUNT(*) AS order_ct,
+                   TRUE AS approx_ok
             FROM orders GROUP BY 1""",
         "scd2_order_state": f"""
             WITH day_orders AS (

@@ -264,6 +264,43 @@ def order_value_percentiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def order_value_percentiles_approx(
+    orders: DataFrame, accuracy: int = 1000, pad: float = 0.01
+) -> DataFrame:
+    """The quantile-sketch scale valve made first-class AND certified —
+    completing the sketch family next to the HLL distinct certificate
+    (`windows.product_stats_approx_certified`): `approx_percentile`
+    (Greenwald-Khanna) replaces the exact per-group sort at 100 TB, and
+    the query emits the exact percentiles plus a deterministic
+    `approx_ok` flag instead of the sketch values themselves.
+
+    Why the flag and not the values: GK's merge result depends on
+    partition arrival order, so the approximate VALUES are not
+    run-deterministic — but the rank-error GUARANTEE (|rank/n - q| <=
+    1/accuracy for any merge order) is. The flag asserts each sketch
+    value lies between the exact interpolated percentiles at q -/+ pad,
+    where pad = 1/accuracy + interpolation slack (2/n; pad=0.01 covers
+    groups down to ~250 rows at accuracy=1000) — a distribution-free
+    containment by monotonicity of the quantile function, so a DuckDB
+    oracle predicts TRUE without reproducing the sketch.
+    """
+    price = "o_totalprice"
+
+    def ok(q: float) -> Column:
+        lo = F.percentile(price, F.lit(max(0.0, q - pad)))
+        hi = F.percentile(price, F.lit(min(1.0, q + pad)))
+        ap = F.percentile_approx(price, F.lit(q), F.lit(accuracy))
+        return (ap >= lo) & (ap <= hi)
+
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(price, F.lit(0.5)).alias("p50"),
+        F.percentile(price, F.lit(0.9)).alias("p90"),
+        F.percentile(price, F.lit(0.99)).alias("p99"),
+        F.count("*").alias("order_ct"),
+        (ok(0.5) & ok(0.9) & ok(0.99)).alias("approx_ok"),
+    )
+
+
 def daily_event_type_pivot(events: DataFrame) -> DataFrame:
     """Per-day crosstab: one column per event type with summed values — the
     dashboard pivot the reference's serving layer reshapes driver-side

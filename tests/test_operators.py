@@ -1074,6 +1074,26 @@ def test_exact_jaccard_pairs_df_cap(tables):
     assert binding["n_dropped_shingles"] > 0
 
 
+def test_order_value_percentiles_approx_certified(tables):
+    """The GK quantile-sketch certificate: exact percentiles identical to
+    the exact twin, approx_ok TRUE for every group (the oracle's
+    prediction), and the rank-error containment genuinely evaluated (a
+    deliberately terrible accuracy must be able to fail a tight pad)."""
+    orders = tables["orders"]
+    cert = relational.order_value_percentiles_approx(orders).toPandas()
+    exact = relational.order_value_percentiles(orders).toPandas()
+    merged = cert.merge(exact, on="o_orderstatus", suffixes=("_c", "_e"))
+    assert len(merged) == len(exact) == len(cert)
+    for q in ("p50", "p90", "p99"):
+        assert (merged[f"{q}_c"] == merged[f"{q}_e"]).all()
+    assert cert["approx_ok"].all()
+    # the flag is a real test, not a tautology: accuracy=1 (rank error
+    # ~100%) with a 1-point pad must fail somewhere on a non-degenerate
+    # distribution
+    bad = relational.order_value_percentiles_approx(orders, accuracy=1).toPandas()
+    assert not bad["approx_ok"].all()
+
+
 def test_product_stats_approx_certified(tables):
     """The certified HLL query: exact measures identical to the exact twin
     and the error-bound flag TRUE for every group (what the DuckDB oracle

@@ -918,10 +918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_interval_join_outer": q_a8_interval_join_outer,
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "text_redact_pii": q_text_redact_pii,
         # ---- end of the 50-query verified window ----
         # -- r03 rows awaiting next round's rotation (all pass the local
         #    oracle gate every round; tools/verify_local.py)
+        "text_redact_pii": q_text_redact_pii,
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,

@@ -856,14 +856,14 @@ def q_text_tfidf(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles. Round-5 window (oldest/most-
-    # critical evidence first): the two never-driver-verified queries
-    # (daily_anomalies was VERDICT r04 #1; _dense is new this round), the
-    # three whose oracle/schema changed this round (the two ex-rows-only
-    # queries got invariant certificates — VERDICT r04 #3 — and
-    # minhash_pr_report gained n_dropped_shingles), the five r02-evidence
-    # queries rotated back per ADVICE r04 #3, then the 40 oldest r03
-    # rows. The 9 remaining r03 rows rotate next round; the 49 r04-green
-    # rows back-fill the tail.
+    # critical evidence first): the three never-driver-verified queries
+    # (daily_anomalies was VERDICT r04 #1; _dense and the quantile
+    # certificate are new this round), the three whose oracle/schema
+    # changed this round (the two ex-rows-only queries got invariant
+    # certificates — VERDICT r04 #3 — and minhash_pr_report gained
+    # n_dropped_shingles), the five r02-evidence queries rotated back per
+    # ADVICE r04 #3, then the 39 oldest r03 rows. The 10 remaining r03
+    # rows rotate next round; the 49 r04-green rows back-fill the tail.
     return {
         # -- never driver-verified / changed this round
         "daily_anomalies": q_daily_anomalies,

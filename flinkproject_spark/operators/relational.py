@@ -278,26 +278,45 @@ def order_value_percentiles_approx(
     partition arrival order, so the approximate VALUES are not
     run-deterministic — but the rank-error GUARANTEE (|rank/n - q| <=
     1/accuracy for any merge order) is. The flag asserts each sketch
-    value lies between the exact interpolated percentiles at q -/+ pad,
-    where pad = 1/accuracy + interpolation slack (2/n; pad=0.01 covers
-    groups down to ~250 rows at accuracy=1000) — a distribution-free
-    containment by monotonicity of the quantile function, so a DuckDB
-    oracle predicts TRUE without reproducing the sketch.
+    value lies between the exact interpolated percentiles at q -/+ pad —
+    a distribution-free containment by monotonicity of the quantile
+    function, so a DuckDB oracle predicts TRUE without reproducing the
+    sketch. The containment needs pad >= 1/accuracy + 2/n (interpolation
+    slack), so groups SMALLER than the implied floor (n < 2/(pad -
+    1/accuracy), ~223 rows at the defaults) pass trivially — below that
+    the sketch answer IS a retained exact sample and the exact path is
+    the only sensible tier anyway; the flag stays deterministic at every
+    group size instead of false-failing on small groups.
+
+    All nine exact quantiles come from ONE array-argument percentile
+    (single per-group buffer), not nine independent aggregates, and the
+    three sketch probes share one percentile_approx buffer — the memory
+    posture a 100 TB scale valve must have.
     """
     price = "o_totalprice"
-
-    def ok(q: float) -> Column:
-        lo = F.percentile(price, F.lit(max(0.0, q - pad)))
-        hi = F.percentile(price, F.lit(min(1.0, q + pad)))
-        ap = F.percentile_approx(price, F.lit(q), F.lit(accuracy))
-        return (ap >= lo) & (ap <= hi)
-
-    return orders.groupBy("o_orderstatus").agg(
-        F.percentile(price, F.lit(0.5)).alias("p50"),
-        F.percentile(price, F.lit(0.9)).alias("p90"),
-        F.percentile(price, F.lit(0.99)).alias("p99"),
-        F.count("*").alias("order_ct"),
-        (ok(0.5) & ok(0.9) & ok(0.99)).alias("approx_ok"),
+    qs = (0.5, 0.9, 0.99)
+    probe_qs = [x for q in qs for x in (max(0.0, q - pad), min(1.0, q + pad))]
+    floor = int(2.0 / (pad - 1.0 / accuracy)) + 1
+    exact = F.percentile(price, F.array(*[F.lit(q) for q in list(qs) + probe_qs]))
+    approx = F.percentile_approx(
+        price, F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
+        exact.alias("ex"), approx.alias("ap"), F.count("*").alias("order_ct")
+    )
+    contained = None
+    for i in range(len(qs)):
+        lo = F.col("ex")[3 + 2 * i]
+        hi = F.col("ex")[3 + 2 * i + 1]
+        c = (F.col("ap")[i] >= lo) & (F.col("ap")[i] <= hi)
+        contained = c if contained is None else (contained & c)
+    return agg.select(
+        "o_orderstatus",
+        F.col("ex")[0].alias("p50"),
+        F.col("ex")[1].alias("p90"),
+        F.col("ex")[2].alias("p99"),
+        "order_ct",
+        ((F.col("order_ct") < floor) | contained).alias("approx_ok"),
     )
 
 

@@ -1092,6 +1092,11 @@ def test_order_value_percentiles_approx_certified(tables):
     # distribution
     bad = relational.order_value_percentiles_approx(orders, accuracy=1).toPandas()
     assert not bad["approx_ok"].all()
+    # groups below the containment floor (n < 2/(pad - 1/accuracy)) pass
+    # trivially instead of false-failing — the flag is deterministic at
+    # ANY group size
+    tiny = relational.order_value_percentiles_approx(orders.limit(40)).toPandas()
+    assert tiny["approx_ok"].all()
 
 
 def test_product_stats_approx_certified(tables):

@@ -844,42 +844,33 @@ def test_state_store_env_flag_selects_rocksdb(monkeypatch):
     }
 
 
-def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path):
-    """The reference leaves checkpointing commented out (FlinkCDC.java:22-30);
-    this engine treats it as table stakes: a stateful query stopped after a
-    partial replay and restarted from its checkpoint must neither lose nor
-    duplicate output. The file source records processed files and the state
-    store snapshots keyed state per micro-batch, so the second run resumes
-    with the first run's state."""
+def _two_phase_recovery(spark, staged_dir, tmp_path, build_query):
+    """Shared stop/restart scaffold: deliver the first half of the staged
+    chunks, run `build_query(stream)` to completion (checkpointing state),
+    deliver the rest, run again from the SAME checkpoint; returns the
+    accumulated parquet sink as a DataFrame. mtimes are spaced explicitly
+    because the file source orders by modification time — fast copies
+    collide on mtime and can reorder the heartbeat before the last chunk,
+    which would (correctly!) drop that chunk as late data."""
     import shutil
+    import time as _time
 
     part1 = str(tmp_path / "part1")
     os.makedirs(part1)
-    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    files = sorted(f for f in os.listdir(staged_dir) if f.endswith(".parquet"))
 
     def arrive(names, t0):
-        # the file source orders by modification time; fast copies collide
-        # on mtime and can reorder the heartbeat before the last chunk,
-        # which would (correctly!) drop that chunk as late data — space the
-        # mtimes explicitly to model an ordered arrival
         for i, f in enumerate(names):
             dst = f"{part1}/{f}"
-            shutil.copy(f"{staged}/{f}", dst)
+            shutil.copy(f"{staged_dir}/{f}", dst)
             os.utime(dst, (t0 + i, t0 + i))
 
-    import time as _time
-
-    arrive(files[:4], _time.time() - 100)  # first half of the replay
-
-    ckpt = str(tmp_path / "ckpt")
-    sink = str(tmp_path / "out")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "out")
 
     def run_once():
-        stream = replay.read_replay(spark, part1)
-        wm = jobs.watermarked_events(stream, delay="1 minute")
-        out = stateful.unique_visits_stream(wm)
         q = (
-            out.writeStream.format("parquet")
+            build_query(replay.read_replay(spark, part1))
+            .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
@@ -888,11 +879,26 @@ def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path
         )
         assert q.awaitTermination(180)
 
+    arrive(files[:4], _time.time() - 100)
     run_once()  # consumes first half, checkpoints state
     arrive(files[4:], _time.time())  # the rest arrives "later"
     run_once()  # must resume, not reprocess
+    return spark.read.parquet(sink)
 
-    got = spark.read.parquet(sink)
+
+def test_stateful_query_recovers_from_checkpoint(spark, events, staged, tmp_path):
+    """The reference leaves checkpointing commented out (FlinkCDC.java:22-30);
+    this engine treats it as table stakes: a stateful query stopped after a
+    partial replay and restarted from its checkpoint must neither lose nor
+    duplicate output. The file source records processed files and the state
+    store snapshots keyed state per micro-batch, so the second run resumes
+    with the first run's state."""
+    got = _two_phase_recovery(
+        spark, staged, tmp_path,
+        lambda s: stateful.unique_visits_stream(
+            jobs.watermarked_events(s, delay="1 minute")
+        ),
+    )
     want = state.unique_visits(events)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
@@ -904,46 +910,18 @@ def test_daily_anomalies_stream_recovers_from_checkpoint(spark, events, tmp_path
     round-trip through the state store so the resumed run closes the
     remaining days against the FIRST run's history — exact batch parity,
     no lost or duplicated day rows."""
-    import shutil
-    import time as _time
-
     staged_et = str(tmp_path / "staged")
     replay.stage_replay(
         events, staged_et, chunks=8, heartbeat_keys=("user_id", "event_type")
     )
-    part1 = str(tmp_path / "part1")
-    os.makedirs(part1)
-    files = sorted(f for f in os.listdir(staged_et) if f.endswith(".parquet"))
-
-    def arrive(names, t0):
-        for i, f in enumerate(names):
-            dst = f"{part1}/{f}"
-            shutil.copy(f"{staged_et}/{f}", dst)
-            os.utime(dst, (t0 + i, t0 + i))
-
-    arrive(files[:4], _time.time() - 100)
-    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "out")
-
-    def run_once():
-        wm = jobs.watermarked_events(replay.read_replay(spark, part1), delay="1 minute")
-        q = (
-            stateful.daily_anomalies_stream(wm)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(180)
-
-    run_once()
-    arrive(files[4:], _time.time())
-    run_once()
-
+    got = _two_phase_recovery(
+        spark, staged_et, tmp_path,
+        lambda s: stateful.daily_anomalies_stream(
+            jobs.watermarked_events(s, delay="1 minute")
+        ),
+    )
     from flinkproject_spark.operators import analytics
 
-    got = spark.read.parquet(sink)
     want = analytics.daily_anomalies(events)
     cols = want.columns
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -42,10 +42,27 @@ def main() -> None:
     try:
         replay.stage_replay(events, stage_dir, chunks=CHUNKS)
         # separate staging for event_type-keyed jobs: the heartbeat must
-        # blank that key too or the sentinel pollutes a real group
-        replay.stage_replay(
-            events, et_stage, chunks=CHUNKS, heartbeat_keys=("user_id", "event_type")
-        )
+        # blank that key too or the sentinel pollutes a real group. The
+        # chunk files are byte-identical, so hardlink them and rewrite
+        # ONLY the one-row heartbeat — not a second full sort+write.
+        from pyspark.sql import functions as F
+
+        for f in sorted(os.listdir(stage_dir)):
+            src, dst = f"{stage_dir}/{f}", f"{et_stage}/{f}"
+            if f.endswith("-heartbeat.parquet"):
+                hb_dir = f"{et_stage}/_hb_tmp"
+                (
+                    spark.read.parquet(src)
+                    .withColumn("event_type", F.lit(str(replay.HEARTBEAT_ID)))
+                    .coalesce(1).write.mode("overwrite").parquet(hb_dir)
+                )
+                part = [p for p in os.listdir(hb_dir) if p.endswith(".parquet")][0]
+                os.rename(f"{hb_dir}/{part}", dst)
+                shutil.rmtree(hb_dir, ignore_errors=True)
+                t = os.path.getmtime(src)
+                os.utime(dst, (t, t))
+            else:
+                os.link(src, dst)
 
         def stream():
             return replay.read_replay(spark, stage_dir, files_per_trigger=FILES_PER_TRIGGER)

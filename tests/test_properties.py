@@ -337,3 +337,38 @@ def test_minhash_xx_certificate_invariants_hold_on_random_corpora(spark, base_do
     assert cert["sound"] is True
     assert cert["exact_dup_recall_ok"] is True
     assert cert["n_true"] >= n_clones  # each clone pairs with its original
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=60),  # arbitrary garbage incl. unicode/control
+            st.text(alphabet='{}[]",:abtrue01\\', max_size=40),  # JSON-ish shrapnel
+            st.builds(
+                lambda db, tbl, ty: f'{{"database":"{db}","tableName":"{tbl}","before":null,"after":{{"id":"1"}},"type":"{ty}"}}',
+                st.sampled_from(["gmall", "x"]),
+                st.sampled_from(["order_info", "t"]),
+                st.sampled_from(["insert", "update", "delete"]),
+            ),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_parsers_never_crash_and_partition_exactly(spark, raws):
+    """Malformed input is a DATA condition, not an exception: the CDC
+    envelope decoder and the log parser must consume ANY string — garbage,
+    JSON shrapnel, valid envelopes — without raising, preserve row counts,
+    and (for logs) split into an exact clean/dirty partition, mirroring
+    the reference's dirty side-output (BaseLogApp.java:62-66)."""
+    from flinkproject_spark.operators import routing
+    from flinkproject_spark.sources import logs
+
+    df = spark.createDataFrame([(r,) for r in raws], ["value"])
+    decoded = routing.decode_cdc_envelope(df)
+    assert decoded.count() == len(raws)  # no row lost, no exception
+    valid = decoded.filter(F.col("type").isNotNull()).count()
+    assert valid == sum('"type":' in r for r in raws)
+
+    clean, dirty = logs.parse_logs(df)
+    assert clean.count() + dirty.count() == len(raws)  # exact partition

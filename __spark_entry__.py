@@ -352,6 +352,19 @@ def q_dedup_embedding(spark, sf):
     return dedup.embedding_near_dups(_t(spark, sf, "embeddings"))
 
 
+def q_ann_recall_report(spark, sf):
+    """Per-query recall@10 of the multi-probe IVF tier against the exact
+    brute-force ground truth (similarity.recall_at_k) — the ANN analog of
+    minhash_pr_report: the measured number that justifies the nprobe
+    parameter, oracle-checked end-to-end because both the exact and the
+    IVF pipelines are themselves DuckDB-reproducible."""
+    emb = _t(spark, sf, "embeddings")
+    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
+    approx = similarity.cosine_topk_ivf_nprobe(emb, QUERY_IDS)
+    out = similarity.recall_at_k(approx, exact, k=10)
+    return out.select("query_id", F.round("recall", 6).alias("recall"))
+
+
 def q_sim_topk_bruteforce(spark, sf):
     out = similarity.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), QUERY_IDS)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -856,14 +869,15 @@ def q_text_tfidf(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles. Round-5 window (oldest/most-
-    # critical evidence first): the three never-driver-verified queries
-    # (daily_anomalies was VERDICT r04 #1; _dense and the quantile
-    # certificate are new this round), the three whose oracle/schema
-    # changed this round (the two ex-rows-only queries got invariant
-    # certificates — VERDICT r04 #3 — and minhash_pr_report gained
-    # n_dropped_shingles), the five r02-evidence queries rotated back per
-    # ADVICE r04 #3, then the 39 oldest r03 rows. The 10 remaining r03
-    # rows rotate next round; the 49 r04-green rows back-fill the tail.
+    # critical evidence first): the four never-driver-verified queries
+    # (daily_anomalies was VERDICT r04 #1; _dense, the quantile
+    # certificate, and the ANN recall report are new this round), the
+    # three whose oracle/schema changed this round (the two ex-rows-only
+    # queries got invariant certificates — VERDICT r04 #3 — and
+    # minhash_pr_report gained n_dropped_shingles), the five r02-evidence
+    # queries rotated back per ADVICE r04 #3, then the 38 oldest r03
+    # rows. The 11 remaining r03 rows rotate next round; the 49 r04-green
+    # rows back-fill the tail.
     return {
         # -- never driver-verified / changed this round
         "daily_anomalies": q_daily_anomalies,
@@ -871,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_xx": q_dedup_minhash_xx,
         "product_stats_approx": q_product_stats_approx,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
+        "ann_recall_report": q_ann_recall_report,
         "minhash_pr_report": q_minhash_pr_report,
         # -- last driver-checked in r02 (ADVICE r04 #3 rotation)
         "mm_features": q_mm_features,
@@ -917,10 +932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_state": q_scd2_order_state,
         "a8_interval_join_outer": q_a8_interval_join_outer,
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
-        "dedup_clusters_star": q_dedup_clusters_star,
         # ---- end of the 50-query verified window ----
         # -- r03 rows awaiting next round's rotation (all pass the local
         #    oracle gate every round; tools/verify_local.py)
+        "dedup_clusters_star": q_dedup_clusters_star,
         "text_redact_pii": q_text_redact_pii,
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
@@ -1265,6 +1280,26 @@ SELECT query_id,
        neighbor_id, cosine
 FROM scored
 QUALIFY rank <= {k}
+"""
+
+
+def _ann_recall_sql(k: int = 10) -> str:
+    """Oracle twin of q_ann_recall_report: both top-k pipelines as CTEs
+    (the same SQL the sim_topk_bruteforce / sim_topk_ivf_nprobe oracles
+    run), then per-query |exact ∩ approx| / |exact|."""
+    return f"""
+WITH ex AS ({_topk_sql(cell_pruned=False).strip()}),
+ap AS ({_topk_nprobe_sql().strip()}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM ex e JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  WHERE e.rank <= {k} AND a.rank <= {k}
+  GROUP BY 1),
+base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex WHERE rank <= {k} GROUP BY 1)
+SELECT b.query_id,
+       round(COALESCE(h.n_hit, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
@@ -1956,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rk <= 10""",
         "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
+        "ann_recall_report": _ann_recall_sql(),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
         "sim_topk_ivf_nprobe": _topk_nprobe_sql(),

@@ -1283,10 +1283,12 @@ QUALIFY rank <= {k}
 """
 
 
-def _ann_recall_sql(k: int = 10) -> str:
+def _ann_recall_sql() -> str:
     """Oracle twin of q_ann_recall_report: both top-k pipelines as CTEs
     (the same SQL the sim_topk_bruteforce / sim_topk_ivf_nprobe oracles
-    run), then per-query |exact ∩ approx| / |exact|."""
+    run, whose k=10 is baked into their QUALIFY — no k parameter here, so
+    the label can never drift from what the CTEs actually emit), then
+    per-query |exact ∩ approx| / |exact|."""
     return f"""
 WITH ex AS ({_topk_sql(cell_pruned=False).strip()}),
 ap AS ({_topk_nprobe_sql().strip()}),
@@ -1294,9 +1296,8 @@ hits AS (
   SELECT e.query_id, COUNT(*) AS n_hit
   FROM ex e JOIN ap a
     ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-  WHERE e.rank <= {k} AND a.rank <= {k}
   GROUP BY 1),
-base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex WHERE rank <= {k} GROUP BY 1)
+base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
 SELECT b.query_id,
        round(COALESCE(h.n_hit, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall
 FROM base b LEFT JOIN hits h ON h.query_id = b.query_id

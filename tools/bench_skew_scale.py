@@ -97,25 +97,27 @@ def join_curve(spark, fracs) -> list[dict]:
         def plain():
             return fact.join(right, fact.rk_fk == right.rk).select("row_id", "attr")
 
-        counts = {}
+        def salted_q():
+            return scale.salted_join(
+                fact, right, "rk_fk", "rk", salt_from="row_id", buckets=32
+            ).select("row_id", "attr")
 
-        def run(label, skew_on, builder):
+        def run(skew_on, builder):
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
             try:
-                t = timed(lambda: mat(builder()))
-                counts[label] = builder().count()
+                return timed(lambda: mat(builder()))
             finally:
                 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-            return t
 
-        naive = run("naive", False, plain)
-        aqe = run("aqe", True, plain)
-        salted = run("salted", True, lambda: scale.salted_join(
-            fact, right, "rk_fk", "rk", salt_from="row_id", buckets=32
-        ).select("row_id", "attr"))
-        assert len(set(counts.values())) == 1, f"row-count mismatch: {counts}"
+        naive = run(False, plain)
+        aqe = run(True, plain)
+        salted = run(True, salted_q)
+        # semantic equality: one count per distinct PLAN (AQE never changes
+        # results, so the plain count covers both the naive and aqe runs)
+        plain_n, salted_n = plain().count(), salted_q().count()
+        assert plain_n == salted_n, f"row-count mismatch: {plain_n} vs {salted_n}"
         rows.append(dict(skew=frac, naive_s=naive, aqe_s=aqe, salted_s=salted,
-                         out_rows=counts["naive"]))
+                         out_rows=plain_n))
         print(f"  join skew={frac}: naive {naive}s aqe {aqe}s salted {salted}s "
               f"({counts['naive']} rows)", flush=True)
         fact.unpersist()

@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
     # aggregates (truth count x soundness flag x recall flag; report x
     # dropped-shingle count) — scalar x scalar, never data x data
     "dedup_minhash_xx", "minhash_pr_report",
+    # composes cosine_topk_bruteforce (the allowed tiny-query-set BNL)
+    # as its exact ground-truth side
+    "ann_recall_report",
 }
 
 

@@ -269,7 +269,10 @@ def _stop_shingles(rows: DataFrame, max_df: int) -> DataFrame:
 
 
 def _pairs_from_shingle_rows(
-    rows: DataFrame, threshold: float, capped_sizes: bool = False
+    rows: DataFrame,
+    threshold: float,
+    capped_sizes: bool = False,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Inverted-index pair generation from distinct (doc_id, sh[, n_sh])
     rows: postings carry (doc_id, n_sh) structs so the within-bucket
@@ -282,12 +285,16 @@ def _pairs_from_shingle_rows(
     `capped_sizes`: recompute n_sh from the (already df-filtered) rows via
     a window over the doc_id partitioning the upstream groupBy established
     (sort, no exchange) — Jaccard is then over the capped sets.
+
+    `extra_keys`: additional posting-group columns (e.g. (lang, len_band)
+    blocks) — docs only pair within the same key values, the blocked-
+    dedup semantics; n_sh stays the doc's FULL distinct-shingle count.
     """
     if capped_sizes or "n_sh" not in rows.columns:
         w = Window.partitionBy("doc_id")
         rows = rows.withColumn("n_sh", F.count("*").over(w))
     postings = (
-        rows.groupBy("sh")
+        rows.groupBy("sh", *extra_keys)
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -634,30 +641,11 @@ def blocked_ngram_jaccard(
         .distinct()
         .join(meta, "doc_id")  # per-doc metadata: same cardinality as docs, not broadcastable at scale
     )
-    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    postings = (
-        rows.groupBy("sh", "lang", "len_band")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    inter = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter").cast("double") / (
-        (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter").cast("double")
-    )
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    # shared machinery with exact_jaccard_pairs (r05): struct postings
+    # carry the set sizes, the exact size-ratio prune fires pre-shuffle,
+    # and the n_sh joins disappear — blocks ride along as posting keys
+    return _pairs_from_shingle_rows(
+        rows, threshold, extra_keys=("lang", "len_band")
     )
 
 

@@ -669,30 +669,29 @@ def containment_pairs(
     Returns (doc_small, doc_big, containment) rows: doc_small's shingles
     are >= min_containment covered by doc_big's.
     """
-    # rows feeds postings AND both n_sh join sides: checkpoint (lazily) so
-    # the tokenize+shingle+distinct subplan runs once, not once per branch
-    # (the measured subplan-re-execution trap minhash_precision_recall
-    # persists its shingle table to avoid)
-    rows = _shingle_rows(documents.withColumn("x", tokens("text")), n).distinct()
-    rows = rows.localCheckpoint(eager=False)
-    n_sh = rows.groupBy("doc_id").agg(F.count("*").alias("n_sh")).localCheckpoint(
-        eager=False
-    )  # n_sh itself feeds two aliased join sides
+    # struct postings carry (doc_id, n_sh), so set sizes ride the pair key
+    # and no n_sh joins (or their checkpoint scaffolding) remain — one
+    # LINEAR pipeline like exact_jaccard_pairs. No size-ratio prune here:
+    # containment has no size bound (the small side can always reach 1.0).
+    shingled = shingle_docs(documents.withColumn("x", tokens("text")), n)
+    rows = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     postings = (
         rows.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    inter = (
-        postings.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+    both = (
+        postings.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    na = n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    both = inter.join(na, "doc_a").join(nb, "doc_b")
     # both orientations in ONE pass (explode of two structs), not a union
     # of two projections — Spark re-executes the upstream per union branch
     return (

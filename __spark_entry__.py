@@ -1849,7 +1849,7 @@ def oracle_sql() -> dict[str, str]:
               FROM vocab, tot)
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS log_importance
+                   (floor((2 * CAST((SUM(lr)) * 1000000 AS BIGINT) + (COUNT(*)))::DOUBLE / (2 * (COUNT(*)))::DOUBLE) / 1000000.0) AS log_importance
             FROM tok JOIN lr USING (t)
             GROUP BY 1""",
         "corpus_zipf": """
@@ -1966,7 +1966,7 @@ def oracle_sql() -> dict[str, str]:
                         JOIN uni ON uni.t = ct_b.w2, tot)
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                   (floor((2 * CAST((SUM(lp)) * 1000000 AS BIGINT) + (COUNT(*)))::DOUBLE / (2 * (COUNT(*)))::DOUBLE) / 1000000.0)
                      AS avg_bigram_logprob
             FROM bgw JOIN lp USING (b)
             GROUP BY 1""",
@@ -2459,7 +2459,7 @@ def oracle_sql() -> dict[str, str]:
               FROM freq, tot)
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+                   (floor((2 * CAST((SUM(lp)) * 1000000 AS BIGINT) + (COUNT(*)))::DOUBLE / (2 * (COUNT(*)))::DOUBLE) / 1000000.0) AS avg_logprob
             FROM tok JOIN lp USING (t)
             GROUP BY 1""",
         "text_gopher": f"""
@@ -2791,7 +2791,7 @@ def _corpus_pipeline_v3_sql(bands: int = 4, shards: int = 64) -> str:
           FROM vocab, tot),
         dscore AS (
           SELECT doc_id,
-                 round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS log_importance
+                 (floor((2 * CAST((SUM(lr)) * 1000000 AS BIGINT) + (COUNT(*)))::DOUBLE / (2 * (COUNT(*)))::DOUBLE) / 1000000.0) AS log_importance
           FROM tok JOIN lr USING (t)
           GROUP BY 1),
         sel AS (

@@ -141,6 +141,35 @@ def minhash_member(h_mod: Column, i: int) -> Column:
     return (F.lit(a) * h_mod + F.lit(b)) % F.lit(MINHASH_P)
 
 
+def mean6(sum_dec: Column, n: Column | str) -> Column:
+    """Exact 6-dp mean of a DECIMAL(18,6) sum over a positive integer
+    count — deterministic across engines at EVERY input. Works in integer
+    micro-units and rounds the exact rational half-UP (toward +inf) via
+    floor((2*S + n) / (2*n)) / 1e6. The double division is exact for this
+    purpose: the only ulp-sensitive points are integer quotients, and
+    those divide exactly (numerator and denominator are <=2^53 integers).
+
+    round(double_quotient, 6) is NOT cross-engine stable: Spark rounds
+    the SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf) while
+    DuckDB rounds the binary value, so an exact-half quotient like
+    0.0019785 splits between engines (measured: 2/5000 docs at sf0.1).
+    DuckDB twin: :func:`duck_mean6`.
+    """
+    n = F.col(n) if isinstance(n, str) else n
+    s_micro = (sum_dec * 1_000_000).cast("bigint")
+    return F.floor(
+        (2 * s_micro + n).cast("double") / (2 * n).cast("double")
+    ) / F.lit(1_000_000.0)
+
+
+def duck_mean6(sum_expr: str, n_expr: str) -> str:
+    """The DuckDB SQL text computing the same value as :func:`mean6`."""
+    return (
+        f"(floor((2 * CAST(({sum_expr}) * 1000000 AS BIGINT) + ({n_expr}))::DOUBLE"
+        f" / (2 * ({n_expr}))::DOUBLE) / 1000000.0)"
+    )
+
+
 def minhash_member_sql(h_mod_expr: str, i: int) -> str:
     """SQL-text twin of :func:`minhash_member` — valid in BOTH Spark SQL
     and DuckDB (integer `%` on positive operands). Call sites that build

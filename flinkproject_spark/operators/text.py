@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flinkproject_spark import functions as K
+
 TOKEN_SPLIT_RE = r"\s+"
 
 # Deterministic per-language marker lexicons (the n-gram-heuristic analog of
@@ -207,11 +209,10 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            # cast the EXACT decimal sum to double BEFORE dividing: decimal
-            # division scale rules differ between engines, double math not
-            F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
-                "avg_logprob"
-            ),
+            # exact integer-space mean (K.mean6): round(double/n, 6) splits
+            # between engines on exact-half quotients (Spark rounds the
+            # shortest decimal repr, DuckDB the binary value)
+            K.mean6(F.col("s"), "n_tokens").alias("avg_logprob"),
         )
     )
 
@@ -277,9 +278,7 @@ def bigram_logprob_scores(documents: DataFrame, lam: float = 0.75) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias(
-                "avg_bigram_logprob"
-            ),
+            K.mean6(F.col("s"), "n_bigrams").alias("avg_bigram_logprob"),
         )
     )
 
@@ -829,9 +828,7 @@ def score_against_vocab(documents: DataFrame, vocab_lr: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
-                "log_importance"
-            ),
+            K.mean6(F.col("s"), "n_tokens").alias("log_importance"),
         )
     )
 

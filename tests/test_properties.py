@@ -372,3 +372,38 @@ def test_parsers_never_crash_and_partition_exactly(spark, raws):
 
     clean, dirty = logs.parse_logs(df)
     assert clean.count() + dirty.count() == len(raws)  # exact partition
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-20_000_000, max_value=20_000_000),  # micro-units
+        min_size=1, max_size=40,
+    )
+)
+def test_mean6_is_cross_engine_exact_including_half_boundaries(spark, micros):
+    """The K.mean6 kernel must produce BIT-IDENTICAL values in Spark and
+    DuckDB for any DECIMAL(18,6) sum / count — including the exact-half
+    quotients where round(double, 6) split the engines (the r05 sf0.1
+    find). Integer micro-unit inputs hit half boundaries constantly
+    (e.g. sum=3, n=2), so this strategy is adversarial by construction."""
+    import duckdb
+
+    from flinkproject_spark import functions as K
+
+    n = len(micros)
+    s_micro = sum(micros)
+    df = spark.createDataFrame(
+        [(m,) for m in micros], "m bigint"
+    ).select((F.col("m") / F.lit(1_000_000)).cast("decimal(18,6)").alias("v"))
+    got = df.agg(
+        K.mean6(F.sum("v"), F.lit(n).cast("bigint")).alias("mean")
+    ).first()["mean"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {K.duck_mean6(f'CAST({s_micro} AS DECIMAL(18,6)) / 1000000', str(n))}"
+    ).fetchone()[0]
+    assert got == want
+    # and it equals the exact rational rounded half-up (toward +inf)
+    import math
+    assert got == math.floor((2 * s_micro + n) / (2 * n)) / 1_000_000

@@ -267,7 +267,9 @@ def q_minhash_pr_report(spark, sf):
     """Measured candidate precision/recall of the 128/16 tier vs the exact
     inverted-index ground truth (df-capped at dedup.PR_MAX_DF with the
     dropped-shingle count reported — 0 at every test SF)."""
-    return dedup.minhash_precision_recall(_t(spark, sf, "documents"))
+    return dedup.minhash_precision_recall(
+        _t(spark, sf, "documents"), max_df=dedup.PR_MAX_DF
+    )
 
 
 def q_ngram_novelty(spark, sf):
@@ -868,32 +870,95 @@ def q_text_tfidf(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles. Round-5 window (oldest/most-
-    # critical evidence first): the four never-driver-verified queries
-    # (daily_anomalies was VERDICT r04 #1; _dense, the quantile
-    # certificate, and the ANN recall report are new this round), the
-    # three whose oracle/schema changed this round (the two ex-rows-only
-    # queries got invariant certificates — VERDICT r04 #3 — and
-    # minhash_pr_report gained n_dropped_shingles), the five r02-evidence
-    # queries rotated back per ADVICE r04 #3, then the 38 oldest r03
-    # rows. The 11 remaining r03 rows rotate next round; the 49 r04-green
-    # rows back-fill the tail.
+    # entries against the DuckDB oracles. Round-6 window (VERDICT r05 #1):
+    # the 11 queries whose latest driver row is r03, then the three whose
+    # implementation/semantics changed after their last driver row
+    # (dedup_ngram_blocked rebuilt onto struct postings in r05 commit
+    # 971ad9a; product_stats_approx tolerance re-derived this round per
+    # ADVICE r05 #2; the a19 UDTF pair moved to the Spark 4 Arrow path
+    # this round per VERDICT r05 #4), then the 35 oldest r04-evidence
+    # rows. The 11 remaining r04 rows rotate next round; the 50 r05-green
+    # rows back-fill the tail (freshest evidence last).
     return {
-        # -- never driver-verified / changed this round
+        # -- last driver-checked in r03 (oldest evidence)
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "text_redact_pii": q_text_redact_pii,
+        "contamination": q_contamination,
+        "corpus_shuffle": q_corpus_shuffle,
+        "corpus_mix": q_corpus_mix,
+        "text_gopher": q_text_gopher,
+        "dedup_srp": q_dedup_srp,
+        "text_logprob": q_text_logprob,
+        "dedup_chunks": q_dedup_chunks,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "dedup_chunks_apply": q_dedup_chunks_apply,
+        # -- code/semantics changed after their last driver row
+        "dedup_ngram_blocked": q_dedup_ngram_blocked,
+        "product_stats_approx": q_product_stats_approx,
+        "a19_udtf_lateral": q_a19_udtf_lateral,
+        "a19_udtf_subword": q_a19_udtf_subword,
+        # -- last driver-checked in r04 (oldest 35 of 49)
+        "dedup_semantic": q_dedup_semantic,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "text_tfidf": q_text_tfidf,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "corpus_profile": q_corpus_profile,
+        "cep_followedby": q_cep_followedby,
+        "corpus_curriculum": q_corpus_curriculum,
+        "corpus_pipeline_v3": q_corpus_pipeline_v3,
+        "text_dsir": q_text_dsir,
+        "corpus_zipf": q_corpus_zipf,
+        "split_leakage": q_split_leakage,
+        "dedup_minhash_precision": q_dedup_minhash_precision,
+        "a12_bounce_cep": q_a12_bounce_cep,
+        "ngram_novelty": q_ngram_novelty,
+        "dedup_containment": q_dedup_containment,
+        "quality_deciles": q_quality_deciles,
+        "a10_unique_visits": q_a10_unique_visits,
+        "a11_is_new_flag": q_a11_is_new_flag,
+        "a12_bounce": q_a12_bounce,
+        "a12_bounce_strict": q_a12_bounce_strict,
+        "a13_sessionize": q_a13_sessionize,
+        "a15_route_config": q_a15_route_config,
+        "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
+        "a18_gmv_day_range": q_a18_gmv_day_range,
+        "a19_keyword_stats": q_a19_keyword_stats,
+        "a20_sql_province_stats": q_a20_sql_province_stats,
+        "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
+        "province_stats": q_province_stats,
+        "product_stats": q_product_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        # ---- end of the 50-query verified window ----
+        # -- r04 rows awaiting next round's rotation (all pass the local
+        #    oracle gate every round; tools/verify_local.py)
+        "sim_topk_vectorized": q_sim_topk_vectorized,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "text_token_stats": q_text_token_stats,
+        "text_corpus_summary": q_text_corpus_summary,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "session_stats": q_session_stats,
+        "mm_decode": q_mm_decode,
+        "asof_last_order": q_asof_last_order,
+        "gmv_rollup": q_gmv_rollup,
+        "funnel_windowed": q_funnel_windowed,
+        # -- freshest evidence (driver-verified green in CORRECTNESS_r05)
         "daily_anomalies": q_daily_anomalies,
         "daily_anomalies_dense": q_daily_anomalies_dense,
         "dedup_minhash_xx": q_dedup_minhash_xx,
-        "product_stats_approx": q_product_stats_approx,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
         "ann_recall_report": q_ann_recall_report,
         "minhash_pr_report": q_minhash_pr_report,
-        # -- last driver-checked in r02 (ADVICE r04 #3 rotation)
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_resize": q_mm_resize,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_fingerprint": q_text_fingerprint,
-        # -- last driver-checked in r03 (oldest 40 of 49)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
         "a3_explode_words": q_a3_explode_words,
@@ -932,70 +997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_state": q_scd2_order_state,
         "a8_interval_join_outer": q_a8_interval_join_outer,
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
-        # ---- end of the 50-query verified window ----
-        # -- r03 rows awaiting next round's rotation (all pass the local
-        #    oracle gate every round; tools/verify_local.py)
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "text_redact_pii": q_text_redact_pii,
-        "contamination": q_contamination,
-        "corpus_shuffle": q_corpus_shuffle,
-        "corpus_mix": q_corpus_mix,
-        "text_gopher": q_text_gopher,
-        "dedup_srp": q_dedup_srp,
-        "text_logprob": q_text_logprob,
-        "dedup_chunks": q_dedup_chunks,
-        "corpus_pipeline_v2": q_corpus_pipeline_v2,
-        "dedup_chunks_apply": q_dedup_chunks_apply,
-        # -- freshest evidence (driver-verified green in CORRECTNESS_r04)
-        "dedup_semantic": q_dedup_semantic,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "text_tfidf": q_text_tfidf,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "corpus_profile": q_corpus_profile,
-        "cep_followedby": q_cep_followedby,
-        "corpus_curriculum": q_corpus_curriculum,
-        "corpus_pipeline_v3": q_corpus_pipeline_v3,
-        "text_dsir": q_text_dsir,
-        "corpus_zipf": q_corpus_zipf,
-        "split_leakage": q_split_leakage,
-        "dedup_minhash_precision": q_dedup_minhash_precision,
-        "a12_bounce_cep": q_a12_bounce_cep,
-        "ngram_novelty": q_ngram_novelty,
-        "dedup_containment": q_dedup_containment,
-        "quality_deciles": q_quality_deciles,
-        "a10_unique_visits": q_a10_unique_visits,
-        "a11_is_new_flag": q_a11_is_new_flag,
-        "a12_bounce": q_a12_bounce,
-        "a12_bounce_strict": q_a12_bounce_strict,
-        "a13_sessionize": q_a13_sessionize,
-        "a15_route_config": q_a15_route_config,
-        "a17_topn_gmv_brand": q_a17_topn_gmv_brand,
-        "a18_gmv_day_range": q_a18_gmv_day_range,
-        "a19_keyword_stats": q_a19_keyword_stats,
-        "a19_udtf_lateral": q_a19_udtf_lateral,
-        "a19_udtf_subword": q_a19_udtf_subword,
-        "a20_sql_province_stats": q_a20_sql_province_stats,
-        "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
-        "province_stats": q_province_stats,
-        "product_stats": q_product_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_blocked": q_dedup_ngram_blocked,
-        "dedup_embedding": q_dedup_embedding,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_vectorized": q_sim_topk_vectorized,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "text_token_stats": q_text_token_stats,
-        "text_corpus_summary": q_text_corpus_summary,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "session_stats": q_session_stats,
-        "mm_decode": q_mm_decode,
-        "asof_last_order": q_asof_last_order,
-        "gmv_rollup": q_gmv_rollup,
-        "funnel_windowed": q_funnel_windowed,
     }
 
 

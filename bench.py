@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -105,9 +106,12 @@ def load_prev_bench() -> tuple[str, dict] | None:
     from tools.bench_compare import parse_round
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # Sort by parsed round NUMBER, not filename: lexicographic sort would
+    # put BENCH_r100 before BENCH_r99 once rounds outgrow two digits.
     recs = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        (f for f in os.listdir(here)
+         if re.fullmatch(r"BENCH_r(\d+)\.json", f)),
+        key=lambda f: int(re.fullmatch(r"BENCH_r(\d+)\.json", f).group(1)),
     )
     if not recs:
         return None

@@ -147,7 +147,13 @@ def mean6(sum_dec: Column, n: Column | str) -> Column:
     micro-units and rounds the exact rational half-UP (toward +inf) via
     floor((2*S + n) / (2*n)) / 1e6. The double division is exact for this
     purpose: the only ulp-sensitive points are integer quotients, and
-    those divide exactly (numerator and denominator are <=2^53 integers).
+    those divide exactly — PROVIDED |2*S_micro + n| <= 2^53, i.e.
+    |sum| <~ 4.5e9 in original units. DECIMAL(18,6) admits sums up to
+    ~1e12, so do NOT reuse this kernel for money-scale totals: beyond the
+    bound the bigint numerator no longer round-trips through double and
+    the 6th decimal can silently drift. Every current call site (logprob
+    means, per-group quality scores) is orders of magnitude inside it;
+    new call sites must check their sum domain first.
 
     round(double_quotient, 6) is NOT cross-engine stable: Spark rounds
     the SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf) while

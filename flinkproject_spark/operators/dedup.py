@@ -362,10 +362,13 @@ def exact_jaccard_pairs(
     return _pairs_from_shingle_rows(rows, threshold, capped_sizes=max_df is not None)
 
 
-# Default df cap for the PR calibration report: far above any df observed
-# at test SFs (max df 25 at sf0.1 -> nothing dropped, oracle-identical)
-# but a hard bound on the quadratic posting expansion at sf1+ where one
-# runaway stop-shingle would otherwise dominate the whole job.
+# Recommended df cap for the PR calibration report at sf1+: far above any
+# df observed at test SFs (max df 25 at sf0.1 -> nothing dropped,
+# oracle-identical) but a hard bound on the quadratic posting expansion
+# where one runaway stop-shingle would otherwise dominate the whole job.
+# NOT the function default (ADVICE r05 #3): library callers keep
+# exact-truth semantics unless they opt in; the driver query and the sf1
+# scale bench pass it explicitly.
 PR_MAX_DF = 100
 
 
@@ -376,7 +379,7 @@ def minhash_precision_recall(
     n: int = 3,
     threshold: float = PRECISION_THRESHOLD,
     hash_fn: HashFn | None = None,
-    max_df: int | None = PR_MAX_DF,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Measured candidate-generation quality of an LSH configuration
     against the exact ground truth (`exact_jaccard_pairs` machinery).
@@ -390,7 +393,8 @@ def minhash_precision_recall(
     these metrics price the candidate stage, which is what the bands/rows
     knobs trade off.
 
-    `max_df` bounds the ground truth's posting-list expansion (quadratic
+    `max_df` (default None = exact truth; pass `PR_MAX_DF` at scale)
+    bounds the ground truth's posting-list expansion (quadratic
     in df) so the report itself runs at sf1+; `n_dropped_shingles` reports
     how many distinct shingles the cap removed (0 = truth is exactly the
     uncapped truth). Signatures are ALWAYS built from the full shingle
@@ -492,6 +496,19 @@ def minhash_xx_certificate(
     the certificate. Reference analog: the md5-oracle twin
     `minhash_lsh_dedup` covers pair-level semantics; this covers the
     engine-specific hash tier.
+
+    Scale posture (ADVICE r05 #5): the truth side is deliberately
+    UNCAPPED — capping it would make `sound` falsifiable by the cap
+    itself (a correct emitted pair whose Jaccard clears the threshold
+    only with the dropped shingles would read as unsound). The
+    certificate is therefore a test-SF artifact, quadratic in stop-
+    shingle df; at sf1+ calibrate with
+    `minhash_precision_recall(max_df=PR_MAX_DF)` instead, whose capped
+    truth is honest-by-construction (dropped count reported). The two
+    `persist()`s feed multiple branches of the ONE returned plan and are
+    reclaimed with the session (each driver/bench invocation is its own
+    session); a long-lived caller embedding this in a larger job should
+    unpersist after materializing.
     """
     emitted = minhash_lsh_dedup(
         documents, num_hashes, bands, n, threshold, hash_fn=xxhash64_mod

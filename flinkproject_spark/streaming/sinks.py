@@ -263,6 +263,166 @@ def jdbc_transactional_writer(
     return fn
 
 
+def jdbc_upsert_writer(
+    url: str,
+    target: str,
+    pk: str,
+    driver: str | None = None,
+    post_stage_hook: "Callable[[DataFrame, int], None] | None" = None,
+) -> Callable[[DataFrame, int], None]:
+    """B6's dim upsert as a REAL transactional MERGE (VERDICT r05 #5) —
+    the production form of `routing.upsert_parquet`'s bucketed-parquet
+    stand-in, against any MERGE-capable JDBC store (tested on embedded
+    Derby 10.16; Phoenix's `UPSERT INTO` at DimSinkFunction.java:68-77 is
+    the reference's equivalent statement).
+
+    Same staged-commit skeleton as `jdbc_transactional_writer` (stage ->
+    guarded atomic promote -> ledger), with the promote step a single
+    MERGE INTO:
+
+    1. driver clears any staged rows a crashed attempt left for this
+       batch id;
+    2. executors append the batch to `<target>_staging` in parallel, each
+       row tagged (batch_id, row_uid) — row_uid is the deterministic
+       per-row position id, so task retries land byte-identical rows;
+    3. driver, in ONE transaction guarded by `<target>_committed`:
+       MERGE the batch's LAST version of each pk (max row_uid per pk —
+       last-writer-wins WITHIN a batch, deterministic because the
+       micro-batch is checkpoint-replayed in the same order) into the
+       pk-keyed target, record the batch id, drain staging, COMMIT.
+
+    Why the ledger guard matters for an UPSERT (where re-applying one
+    batch alone is idempotent): a replayed batch N arriving AFTER batch
+    N+1 already merged would clobber newer dim versions with older ones.
+    The committed-table check makes the re-delivered merge a no-op, so
+    replay preserves the batch ORDER semantics, not just row counts —
+    proven under crash replay by
+    `test_jdbc_upsert_sink_exactly_once_on_replay`.
+    """
+
+    def conn_open(jvm):
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        return jvm.java.sql.DriverManager.getConnection(url)
+
+    def ensure_tables(conn, batch: DataFrame) -> list[str]:
+        if pk not in batch.columns:
+            raise ValueError(
+                f"jdbc_upsert_writer: pk column {pk!r} not in batch columns "
+                f"{batch.columns}"
+            )
+        cols = [
+            (f.name, _sql_type(f.dataType.simpleString(), f.name))
+            for f in batch.schema.fields
+        ]
+        ddl_cols = ", ".join(
+            f'"{n}" {t}' + (" PRIMARY KEY" if n == pk else "") for n, t in cols
+        )
+        plain_cols = ", ".join(f'"{n}" {t}' for n, t in cols)
+        st = conn.createStatement()
+        for sql in (
+            f'CREATE TABLE {target} ({ddl_cols})',
+            f'CREATE TABLE {target}_staging ({plain_cols}, "batch_id" BIGINT, "row_uid" BIGINT)',
+            # MERGE's source must be a BASE TABLE in Derby (no subquery/
+            # view); the deduped batch is materialized here transactionally
+            f'CREATE TABLE {target}_promote ({plain_cols})',
+            f'CREATE TABLE {target}_committed ("batch_id" BIGINT PRIMARY KEY)',
+        ):
+            try:
+                st.executeUpdate(sql)
+            except Exception as ex:
+                sql_state = getattr(
+                    getattr(ex, "java_exception", None), "getSQLState", lambda: None
+                )()
+                if sql_state != "X0Y32":  # Derby: object already exists
+                    raise
+        st.close()
+        return [n for n, _ in cols]
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        jvm = batch.sparkSession._jvm
+        conn = conn_open(jvm)
+        try:
+            names = ensure_tables(conn, batch)
+            collist = ", ".join(f'"{n}"' for n in names)
+            non_pk = [n for n in names if n != pk]
+            st = conn.createStatement()
+            st.executeUpdate(
+                f'DELETE FROM {target}_staging WHERE "batch_id" = {batch_id}'
+            )
+            (
+                batch.withColumn("batch_id", F.lit(batch_id))
+                .withColumn("row_uid", F.monotonically_increasing_id())
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", f"{target}_staging")
+                .mode("append")
+                .save()
+            )
+            if post_stage_hook is not None:
+                post_stage_hook(batch, batch_id)
+            conn.setAutoCommit(False)
+            rs = st.executeQuery(
+                f'SELECT COUNT(*) FROM {target}_committed WHERE "batch_id" = {batch_id}'
+            )
+            rs.next()
+            already = rs.getInt(1) > 0
+            rs.close()
+            if not already:
+                # the batch's last version per pk: max row_uid (retry
+                # duplicates share row_uids, so MAX also collapses them).
+                # Materialized into the promote table because Derby's
+                # MERGE source must be a base table — same transaction,
+                # so a crash rolls back the materialization too.
+                st.executeUpdate(f'DELETE FROM {target}_promote')
+                st.executeUpdate(
+                    f'INSERT INTO {target}_promote ({collist}) '
+                    f'SELECT DISTINCT {collist} FROM {target}_staging st '
+                    f'WHERE st."batch_id" = {batch_id} AND st."row_uid" = ('
+                    f'  SELECT MAX(st2."row_uid") FROM {target}_staging st2 '
+                    f'  WHERE st2."batch_id" = {batch_id} '
+                    f'  AND st2."{pk}" = st."{pk}")'
+                )
+                set_clause = ", ".join(f'"{n}" = s."{n}"' for n in non_pk)
+                insert_vals = ", ".join(f's."{n}"' for n in names)
+                st.executeUpdate(
+                    f'MERGE INTO {target} t USING {target}_promote s '
+                    f'ON t."{pk}" = s."{pk}" '
+                    + (f'WHEN MATCHED THEN UPDATE SET {set_clause} ' if non_pk else '')
+                    + f'WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({insert_vals})'
+                )
+                st.executeUpdate(f'DELETE FROM {target}_promote')
+                st.executeUpdate(
+                    f'INSERT INTO {target}_committed VALUES ({batch_id})'
+                )
+            st.executeUpdate(
+                f'DELETE FROM {target}_staging WHERE "batch_id" = {batch_id}'
+            )
+            conn.commit()
+            st.close()
+        finally:
+            conn.close()
+
+    return fn
+
+
+def start_jdbc_upsert_sink(
+    df: DataFrame,
+    url: str,
+    target: str,
+    pk: str,
+    driver: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Wire a dim stream into the transactional MERGE upsert sink (B6)."""
+    return (
+        df.writeStream.foreachBatch(jdbc_upsert_writer(url, target, pk, driver))
+        .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_jdbc_transactional_sink(
     df: DataFrame,
     url: str,

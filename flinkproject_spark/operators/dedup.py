@@ -1423,28 +1423,51 @@ def connected_components(
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al. §3): for every vertex u, connect
     each STRICTLY LARGER neighbour v > u to the minimum of u's closed
-    neighbourhood. One groupBy(u) shuffle; the per-group state is (min,
-    neighbour list) — bounded by degree, never by graph size."""
-    nbrs = edges.groupBy("u").agg(F.collect_set("v").alias("vs"))
-    m = F.array_min(F.array_append("vs", F.col("u")))
-    return nbrs.select(
-        F.explode(F.filter("vs", lambda v: v > F.col("u"))).alias("u"),
-        m.alias("v"),
+    neighbourhood. One window shuffle; per-ROW emission, no per-group
+    state at all.
+
+    WINDOW-MIN form, not collect_set+explode (round-6 fix): as the graph
+    converges, a big component's center accumulates degree ~ component
+    size, and a collect_set over a 10^5-degree hub hits Spark's
+    sort-based TypedImperativeAggregate fallback, which re-serializes the
+    growing set buffer per merge — QUADRATIC in degree (measured: one
+    119,872-degree hub turned a 1 s round into 56 s; three such rounds
+    made 395k edges cost 481 s). min() over a window partitioned by u is
+    a plain streaming agg after the same single shuffle — linear in
+    degree, so hubs cost what their row count costs. Duplicate (v, m)
+    emissions (the set semantics collect_set provided) are removed by the
+    caller's round-end distinct(), which ran anyway."""
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (
+        edges.select("u", "v", m.alias("m"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: orient every edge large->small, then for every
     vertex u connect each not-larger neighbour (and u itself) to the
-    neighbourhood minimum. Same single-shuffle shape as large-star."""
+    neighbourhood minimum. Same window-min shape as `_large_star` (same
+    hub-degree quadratic avoided); the one per-group row (u -> min) is
+    emitted via row_number() == 1 on the SAME window sort, not a second
+    shuffle."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("vs"))
-    m = F.array_min("vs")  # all vs <= u, so min over closed nbhd == min(vs)
-    return nbrs.select(
-        F.explode(F.array_append("vs", F.col("u"))).alias("u"), m.alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    w = Window.partitionBy("u")
+    wo = w.orderBy("v")
+    rows = oriented.select(
+        "u",
+        "v",
+        # all vs < u after strict orientation, so min(vs) == closed-nbhd min
+        F.min("v").over(w).alias("m"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    nbr_edges = rows.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = rows.filter(F.col("rn") == 1).select("u", F.col("m").alias("v"))
+    return nbr_edges.unionByName(self_edge).filter(F.col("u") != F.col("v"))
 
 
 def connected_components_star(

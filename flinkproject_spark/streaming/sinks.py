@@ -95,6 +95,65 @@ def jdbc_batch_writer(
     return fn
 
 
+def late_capture_writer(
+    ts_col: str,
+    delay: str,
+    late_path: str,
+    downstream: "Callable[[DataFrame, int], None] | None" = None,
+) -> Callable[[DataFrame, int], None]:
+    """Opt-in late-rows side channel (VERDICT r05 #6). Both the reference
+    (Flink default) and this engine's windowed aggs silently DROP
+    watermark-late events (pinned by
+    `test_late_data_semantics_eviction_based`); the first thing a real
+    operator of the warehouse asks is "how many, and which". Flink offers
+    `sideOutputLateData`; Structured Streaming has no equivalent, so this
+    foreachBatch wrapper reconstructs the engine's cutoff and captures
+    what the agg will drop.
+
+    It reproduces Spark's BATCH-START watermark exactly: max event time
+    across all PRIOR batches minus `delay` (the one-batch commit lag is
+    inherent — the cutoff is the previous batch's max, never the current
+    batch's). Rows below the cutoff are appended to `late_path` as
+    parquet, tagged with `late_batch_id` and `missed_watermark`; the full
+    unmodified batch then flows to `downstream` if given.
+
+    Deployment shape: attach to a SECOND query over the same source as
+    the windowed agg (a running agg query exposes no pre-agg rows).
+    Delivering the same files/offsets per trigger, both queries compute
+    identical watermark sequences, so the captured set equals the dropped
+    set — asserted row-for-row by
+    `test_late_capture_side_channel_quantifies_drops`. In-flight state is
+    one timestamp on the driver; restart resets it to None, so the first
+    batch after restart under-captures (late rows pass) rather than
+    over-captures — same direction Spark's own watermark restart takes.
+    """
+    import pandas as pd
+
+    state: dict[str, object] = {"max_ts": None}
+    delay_td = pd.Timedelta(delay).to_pytimedelta()
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        prev_max = state["max_ts"]
+        if prev_max is not None:
+            wm = prev_max - delay_td
+            late = batch.filter(F.col(ts_col) < F.lit(wm))
+            (
+                late.withColumn("late_batch_id", F.lit(batch_id))
+                .withColumn("missed_watermark", F.lit(wm))
+                .write.mode("append")
+                .parquet(late_path)
+            )
+        cur_max = batch.agg(F.max(ts_col)).first()[0]
+        if cur_max is not None:
+            state["max_ts"] = (
+                cur_max if prev_max is None else max(prev_max, cur_max)
+            )
+        if downstream is not None:
+            downstream(batch, batch_id)
+
+    return fn
+
+
 def start_jdbc_sink(
     df: DataFrame,
     url: str,

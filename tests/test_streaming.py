@@ -1348,6 +1348,78 @@ def test_late_data_semantics_eviction_based(spark, tmp_path):
     assert "11:30" not in got
 
 
+def test_late_capture_side_channel_quantifies_drops(spark, tmp_path):
+    """VERDICT r05 #6: the opt-in late-rows capture. Same 3-file replay as
+    test_late_data_semantics_eviction_based; a second query wrapped in
+    late_capture_writer must capture EXACTLY the rows the windowed agg
+    dropped (the already-final 10:02 row and the fresh below-watermark
+    09:00 row), tagged with the watermark they missed — and the
+    dropped-vs-captured accounting must close: agg-emitted + captured +
+    never-closed tail == total input rows."""
+    import shutil
+    import time as _time
+
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double"
+    on_time = [(i, f"2024-01-01 10:{m:02d}:00", 1, "view", 1.0) for i, m in enumerate(range(0, 50, 5))]
+    tail1 = [(50, "2024-01-01 11:00:00", 1, "view", 1.0)]
+    late_dup = [(100, "2024-01-01 10:02:00", 1, "view", 1.0)]
+    late_fresh = [(101, "2024-01-01 09:00:00", 1, "view", 1.0)]
+    tail2 = [(102, "2024-01-01 11:30:00", 1, "view", 1.0)]
+
+    def write_file(data, name):
+        df = spark.createDataFrame(data, schema).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value"
+        )
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(f"{tmp}/{part}", str(tmp_path / "stream" / name))
+
+    os.makedirs(tmp_path / "stream")
+    write_file(on_time, "00000.parquet")
+    write_file(tail1, "00001.parquet")
+    write_file(late_dup + late_fresh + tail2, "00002.parquet")
+    for i, f in enumerate(sorted(os.listdir(tmp_path / "stream"))):
+        os.utime(str(tmp_path / "stream" / f), (_time.time() - 100 + i * 10,) * 2)
+
+    # query 1: the windowed agg (drops late rows silently)
+    stream = replay.read_replay(spark, str(tmp_path / "stream"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("ct"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "ct")
+    )
+    emitted = replay.run_to_table(agg).collect()
+
+    # query 2: same source, late-capture side channel
+    late_path = str(tmp_path / "late")
+    q = (
+        replay.read_replay(spark, str(tmp_path / "stream"))
+        .writeStream.foreachBatch(
+            sinks.late_capture_writer("ts", "10 minutes", late_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    captured = spark.read.parquet(late_path).collect()
+    assert {r.event_id for r in captured} == {100, 101}
+    assert all(
+        r.missed_watermark.strftime("%H:%M") == "10:50" and r.late_batch_id == 2
+        for r in captured
+    )
+    # accounting closes: every input row is emitted-in-a-window, captured
+    # late, or in the never-closed final window (11:30 pushed the final
+    # watermark to 11:20, closing [11:00,11:10) but not its own window)
+    total_in = len(on_time) + len(tail1) + len(late_dup) + len(late_fresh) + len(tail2)
+    emitted_rows = sum(r.ct for r in emitted)
+    never_closed = 1  # event 102 (11:30)
+    assert emitted_rows + len(captured) + never_closed == total_in
+
+
 # --- session windows: streaming == batch ------------------------------------
 
 def test_session_stats_stream_matches_batch(spark, events, staged):

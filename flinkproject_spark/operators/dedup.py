@@ -903,6 +903,21 @@ def srp_lsh_near_dups(
     IVF cells exist yet (e.g. first pass over a new corpus). Same grouped
     bucket expansion as the MinHash tier — one shuffle on the near-uniform
     (band, bucket) key, never an all-pairs join.
+
+    SCALE THE BAND WIDTH WITH THE CORPUS (BENCH_SF1.md finding): a band of
+    b bits has only 2^b buckets, so spurious candidates grow as
+    ``C(n,2) * bands / 2^b`` — quadratic once n >> bands * 2^b. The
+    16/4 default (b=4) is the test-SF calibration the DuckDB oracle
+    regenerates; at 20k vectors it measured 78 s (207k verified pairs)
+    while bits=96, bands=8 (b=12) measured 2.2 s. Choose
+    b ≈ log2(n / pairs-per-vector-budget), then re-tune `bands` upward
+    for recall (per-band collision for true pairs is (1 - θ/π)^b, so
+    wider bands need more of them — the standard LSH trade). Separately:
+    a LOW cosine threshold can make the TRUE pair set itself quadratic
+    (emitting it is then the lower bound, no parameterization avoids it);
+    for corpus-scale near-dup work prefer the IVF-cell path
+    (:func:`embedding_near_dups` / :func:`semdedup`), which bounds work
+    by cell population instead.
     """
     import numpy as np
     import pandas as pd

@@ -1,0 +1,254 @@
+"""Full-surface sf1 bench of the headline query tier (VERDICT r05 #2).
+
+No sf1 testdata exists in this sandbox, so a deterministic 10x scale-up
+of sf0.1 is derived ONCE into a temp directory and the ~16 headline
+queries (>~1 s at sf0.1) run unchanged against it via their normal
+`queries()[name](spark, sf_dir)` entry points. Per query we record
+wall time at both scales and the scaling exponent
+``log10(t_sf1 / t_sf0.1)`` — 1.0 = linear in data, <1 = fixed overhead
+still dominating, >1 = super-linear (the thing this bench exists to
+catch; anything above SUPERLINEAR_GATE is flagged for a plan fix).
+
+Scale-up construction (per-table, all deterministic, replica r of 10):
+
+- documents: DISJOINT replication — replica r prefixes every word with
+  ``r<r>_`` (bench_pr_scale's shape): doc count and token volume scale
+  10x while the per-shingle df distribution stays exactly sf0.1's, so
+  dedup pair counts grow linearly, not quadratically. Verbatim copies
+  would measure workload blowup (every doc gaining 9 clones), not
+  engine scaling. n_chars is recomputed from the transformed text.
+- embeddings: per-replica deterministic sign mask (replica 0 =
+  original) — replicas are mutually ~orthogonal so LSH/IVF bucket
+  occupancy scales 10x without creating 9 exact clones per vector.
+- TPC-H tables: key-offset replication with CONSISTENT foreign keys
+  (orderkey/custkey/partkey/suppkey offsets shared between fact and
+  dim); dates/timestamps unchanged so time-window group counts scale
+  10x at constant group size. nation/region stay single-copy dims.
+
+Usage: python tools/bench_sf1.py   (writes BENCH_SF1.md)
+Env: SPARK_GRAFT_SF1_DIR to pin/reuse the derived directory.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flinkproject_spark import catalog  # noqa: E402
+from flinkproject_spark.session import get_spark  # noqa: E402
+
+REPLICAS = 10
+SUPERLINEAR_GATE = 1.3  # exponent above which a query is flagged
+
+HEADLINE = [
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "product_stats",
+    "product_stats_approx",
+    "minhash_pr_report",
+    "text_bigram_logprob",
+    "corpus_pipeline_v2",
+    "corpus_pipeline_v3",
+    "b4_cdc_roundtrip",
+    "dedup_ngram_blocked",
+    "dedup_minhash_precision",
+    "dedup_srp",
+    "dedup_simhash",
+    "dedup_minhash_xx",
+    "ann_recall_report",
+    "a8_interval_join_outer",
+    "dedup_containment",
+    "order_prorate",
+]
+
+K_OFF = {  # per-replica key offsets, shared by fact and dim columns
+    "orderkey": 10_000_000,
+    "custkey": 1_000_000,
+    "partkey": 1_000_000,
+    "suppkey": 100_000,
+    "event_id": 10_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 10_000_000,
+    "vec_id": 10_000_000,
+}
+
+
+def _replicate(df, offsets: dict[str, int]):
+    """Cross the table with replica ids 0..9 and offset the given key
+    columns by r * offset — deterministic, FK-consistent 10x."""
+    r = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__r")
+    out = df.select("*", r)
+    for col, off in offsets.items():
+        out = out.withColumn(col, F.col(col) + F.col("__r") * F.lit(off))
+    return out.drop("__r")
+
+
+def build_sf1(spark, out_dir: str) -> None:
+    src = "/root/testdata/sf0.1"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(name, df):
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        print(f"  built {name}", flush=True)
+
+    for name in ("region", "nation"):
+        write(name, catalog.load_table(spark, src, name))
+    write("customer", _replicate(
+        catalog.load_table(spark, src, "customer"),
+        {"c_custkey": K_OFF["custkey"]}))
+    write("supplier", _replicate(
+        catalog.load_table(spark, src, "supplier"),
+        {"s_suppkey": K_OFF["suppkey"]}))
+    write("part", _replicate(
+        catalog.load_table(spark, src, "part"),
+        {"p_partkey": K_OFF["partkey"]}))
+    write("orders", _replicate(
+        catalog.load_table(spark, src, "orders"),
+        {"o_orderkey": K_OFF["orderkey"], "o_custkey": K_OFF["custkey"]}))
+    write("lineitem", _replicate(
+        catalog.load_table(spark, src, "lineitem"),
+        {"l_orderkey": K_OFF["orderkey"], "l_partkey": K_OFF["partkey"],
+         "l_suppkey": K_OFF["suppkey"]}))
+    write("events", _replicate(
+        catalog.load_table(spark, src, "events"),
+        {"event_id": K_OFF["event_id"], "user_id": K_OFF["user_id"]}))
+
+    docs = catalog.load_table(spark, src, "documents")
+    r = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__r")
+    rep = docs.select("doc_id", "text", "lang", "source", r)
+    text = F.when(F.col("__r") == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", r"\s+"),
+                lambda w: F.concat(
+                    F.lit("r"), F.col("__r").cast("string"), F.lit("_"), w
+                ),
+            ),
+        )
+    )
+    write("documents", rep.select(
+        (F.col("doc_id") + F.col("__r") * F.lit(K_OFF["doc_id"])).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text").cast("bigint")))
+
+    emb = catalog.load_table(spark, src, "embeddings")
+    rep = emb.select("vec_id", "embedding", "label", r)
+    flipped = F.transform(
+        "embedding",
+        lambda x, i: x * F.when(
+            (F.col("__r") == 0)
+            | (F.pmod(F.xxhash64(F.col("__r"), i), F.lit(2)) == 0),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)).cast("float"),
+    )
+    write("embeddings", rep.select(
+        (F.col("vec_id") + F.col("__r") * F.lit(K_OFF["vec_id"])).alias("vec_id"),
+        flipped.cast("array<float>").alias("embedding"),
+        "label",
+    ))
+
+
+def time_query(fn, spark, sf_dir: str, repeats: int = 2) -> float:
+    best = math.inf
+    for _ in range(repeats):
+        # several queries persist() shared sub-plans (documented contract);
+        # without this, the second run times a cache read, not the query
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _srp_scaled(spark, sf_dir: str):
+    """dedup_srp with the band width the corpus size calls for
+    (b = 12 bits/band, 8 bands) — the documented scale knob, measured
+    next to the fixed 16/4 driver calibration."""
+    from flinkproject_spark.operators import dedup
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return dedup.srp_lsh_near_dups(emb, bits=96, bands=8)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("sf1-bench")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    if not os.path.exists(f"{sf1_dir}/embeddings.parquet"):
+        print(f"building sf1 scale-up at {sf1_dir}:", flush=True)
+        build_sf1(spark, sf1_dir)
+    qs = dict(entrymod.queries())
+    qs["dedup_srp[96/8]"] = _srp_scaled
+    rows = []
+    for name in HEADLINE + ["dedup_srp[96/8]"]:
+        t01 = time_query(qs[name], spark, "/root/testdata/sf0.1")
+        t1 = time_query(qs[name], spark, sf1_dir)
+        exp = math.log10(t1 / t01)
+        rows.append(dict(q=name, t01=round(t01, 2), t1=round(t1, 2),
+                         exponent=round(exp, 2)))
+        print(f"  {name}: sf0.1 {t01:.2f}s  sf1 {t1:.2f}s  exp {exp:.2f}",
+              flush=True)
+
+    flagged = [r for r in rows if r["exponent"] > SUPERLINEAR_GATE]
+    lines = [
+        "# Headline-tier sf0.1 -> sf1 scaling (VERDICT r05 #2)",
+        "",
+        "Generated by `python tools/bench_sf1.py` (local[32], best-of-2 per"
+        " scale per query; noop sink so write cost is excluded). The sf1"
+        " input is the deterministic 10x scale-up described in the tool's"
+        " docstring: disjoint-shingle documents, orthogonal-replica"
+        " embeddings, FK-consistent key-offset TPC-H tables — shaped so"
+        " WORKLOAD size scales 10x while per-key/group/bucket structure"
+        " stays sf0.1's, making the exponent an ENGINE-scaling measure.",
+        "",
+        "exponent = log10(t_sf1 / t_sf0.1): 1.0 = linear, < 1 = fixed"
+        " per-query overhead still amortizing (expected at these absolute"
+        f" times), > {SUPERLINEAR_GATE} = super-linear -> flagged.",
+        "",
+        "| query | sf0.1 s | sf1 s | exponent |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        mark = " **FLAG**" if r["exponent"] > SUPERLINEAR_GATE else ""
+        lines.append(f"| {r['q']} | {r['t01']} | {r['t1']} | {r['exponent']}{mark} |")
+    lines += [
+        "",
+        f"Flagged super-linear: {[r['q'] for r in flagged] or 'none'}.",
+        "",
+        "## dedup_srp: the one expected flag, decomposed",
+        "",
+        "`srp_lsh_near_dups` at the driver's 16/4 calibration has 4-bit"
+        " bands = 16 buckets/band, so spurious candidates grow as"
+        " C(n,2)*bands/2^b — quadratic once n >> bands*2^b (n=20k:"
+        " measured 78 s / 207k verified pairs). The documented scale knob"
+        " (b ~ log2(n); here 96 bits / 8 bands = 12-bit bands) restores"
+        " linear candidate growth — the `dedup_srp[96/8]` row above —"
+        " at the standard LSH recall trade (re-tune `bands` upward for"
+        " the target threshold). Residual honesty note: at threshold"
+        " 0.35 this derived corpus's TRUE pair set itself grows"
+        " quadratically (sign-flip replicas leave cosine tails"
+        " ~N(0, 1/sqrt(dim))), so full-recall output is quadratic for ANY"
+        " algorithm; corpus-scale near-dup work belongs on the IVF-cell"
+        " path (embedding_near_dups / semdedup), which bounds work by"
+        " cell population. The 16/4 driver query remains the test-SF"
+        " oracle-parity calibration form.",
+        "",
+    ]
+    with open("/root/repo/BENCH_SF1.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote /root/repo/BENCH_SF1.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

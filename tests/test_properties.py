@@ -615,3 +615,131 @@ def test_cep_pattern_end_to_end_matches_brute_force(spark):
         ).collect()
     )
     assert got == want and any(kind == "match" for _, kind, _ in want)
+
+
+# ---------------------------------------------------------------------------
+# A8 interval join vs brute force: inclusive bounds at exact edges, inner
+# and left-outer forms, on random (key, hour-offset) event layouts. The
+# fixed-data tests pin the boundary rows; this pins the SEMANTICS over
+# arbitrary layouts (including exact-boundary hits, multi-match fan-out,
+# and orders with no lines at all).
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _interval_case(draw):
+    n_orders = draw(st.integers(min_value=1, max_value=6))
+    orders = []
+    for i in range(n_orders):
+        key = draw(st.integers(min_value=0, max_value=3))
+        hour = draw(st.integers(min_value=0, max_value=400))
+        orders.append((i, key, hour))
+    lines = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),    # join key
+                st.integers(min_value=0, max_value=400),  # shipdate hour
+            ),
+            max_size=12,
+        )
+    )
+    before = draw(st.integers(min_value=0, max_value=3))
+    after = draw(st.integers(min_value=0, max_value=10))
+    return orders, lines, before, after
+
+
+@settings(max_examples=12, deadline=None)
+@given(_interval_case())
+def test_interval_join_matches_brute_force(spark, case):
+    from datetime import datetime, timedelta
+
+    from flinkproject_spark.operators import joins
+
+    orders, lines, before, after = case
+    base = datetime(2024, 1, 1)
+
+    # join key IS o_orderkey in the operator (several orders may share
+    # it — real fan-out); order identity carried in o_custkey
+    odf = spark.createDataFrame(
+        [(key, 100 + i, base + timedelta(hours=h)) for i, key, h in orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp",
+    )
+    ldf = spark.createDataFrame(
+        [
+            (key, j, 1, 10.0, 1.0, base + timedelta(hours=h))
+            for j, (key, h) in enumerate(lines)
+        ],
+        "l_orderkey bigint, l_linenumber int, l_partkey bigint, "
+        "l_extendedprice double, l_quantity double, l_shipdate timestamp",
+    )
+
+    lo, hi = timedelta(days=before), timedelta(days=after)
+    want_inner = sorted(
+        (key, 100 + i, j)
+        for i, key, oh in orders
+        for j, (lkey, lh) in enumerate(lines)
+        if lkey == key
+        and base + timedelta(hours=oh) - lo
+        <= base + timedelta(hours=lh)
+        <= base + timedelta(hours=oh) + hi
+    )
+    got_inner = sorted(
+        (r.o_orderkey, r.o_custkey, r.l_linenumber)
+        for r in joins.interval_join_orders_lineitem(
+            odf, ldf, days_before=before, days_after=after
+        ).collect()
+    )
+    assert got_inner == want_inner
+
+    matched_orders = {(k, c) for k, c, _ in want_inner}
+    want_outer = sorted(
+        [(key, j) for key, _, j in want_inner]
+        + [
+            (key, -1)
+            for i, key, _ in orders
+            if (key, 100 + i) not in matched_orders
+        ]
+    )
+    got_outer = sorted(
+        (r.o_orderkey, r.line_no)
+        for r in joins.interval_join_outer(
+            odf, ldf, days_before=before, days_after=after
+        ).collect()
+    )
+    assert got_outer == want_outer
+
+
+# ---------------------------------------------------------------------------
+# B6 upsert_parquet vs a dict model: arbitrary batch sequences must leave
+# the bucketed-parquet dim equal to "last writer per pk" (batches have
+# unique pks — the operator's documented determinism domain), across
+# bucket boundaries and first-write table creation.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=15),          # pk
+            st.text(alphabet="abcxyz", min_size=1, max_size=6),  # value
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_upsert_parquet_equals_last_writer_model(spark, tmp_path_factory, batches):
+    from flinkproject_spark.operators import routing
+
+    path = str(tmp_path_factory.mktemp("upsert_prop") / "dim")
+    model: dict[int, str] = {}
+    for batch in batches:
+        df = spark.createDataFrame(
+            list(batch.items()), "pk bigint, val string"
+        )
+        routing.upsert_parquet(df, path, "pk", n_buckets=4)
+        model.update(batch)
+    got = {
+        r.pk: r.val for r in spark.read.parquet(path).select("pk", "val").collect()
+    }
+    assert got == model

@@ -25,7 +25,9 @@ Scale-up construction (per-table, all deterministic, replica r of 10):
   dim); dates/timestamps unchanged so time-window group counts scale
   10x at constant group size. nation/region stay single-copy dims.
 
-Usage: python tools/bench_sf1.py   (writes BENCH_SF1.md)
+Usage: python tools/bench_sf1.py [--full]   (writes BENCH_SF1.md)
+`--full` appends a single-shot run of the ENTIRE 110-query surface at
+both scales (~25 min) — the first full-surface sf1 evidence.
 Env: SPARK_GRAFT_SF1_DIR to pin/reuse the derived directory.
 """
 
@@ -180,6 +182,56 @@ def _srp_scaled(spark, sf_dir: str):
     return dedup.srp_lsh_near_dups(emb, bits=96, bands=8)
 
 
+def run_full_surface(spark, qs, sf1_dir: str) -> list[str]:
+    """--full: every `queries()` entry once at sf0.1 and once at sf1 —
+    the first full-surface sf1 run (VERDICT r05 'What's missing' #2).
+    Single-shot per scale (the headline tier above carries the
+    best-of-2 rigor); records wall, exponent, and the sf1/sf0.1 row-count
+    ratio as a cheap sanity signal (most queries scale rows ~10x or
+    stay fixed-size reports — a wild ratio means the scale-up broke an
+    assumption, not that the query is wrong)."""
+    rows = []
+    for name, fn in qs.items():
+        if name.endswith("[96/8]"):
+            continue
+        rec = {"q": name}
+        for key, d in (("01", "/root/testdata/sf0.1"), ("1", sf1_dir)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, d)
+            # noop write = full materialization (count() alone would let
+            # Catalyst prune projection-only queries to nothing)
+            df.write.format("noop").mode("overwrite").save()
+            rec[f"t{key}"] = round(time.perf_counter() - t0, 2)
+            rec[f"n{key}"] = df.count()
+        rec["exponent"] = round(math.log10(rec["t1"] / max(rec["t01"], 0.01)), 2)
+        rows.append(rec)
+        print(f"  {name}: sf0.1 {rec['t01']}s/{rec['n01']}r  "
+              f"sf1 {rec['t1']}s/{rec['n1']}r  exp {rec['exponent']}", flush=True)
+    total01 = round(sum(r["t01"] for r in rows), 1)
+    total1 = round(sum(r["t1"] for r in rows), 1)
+    flagged = [r["q"] for r in rows if r["exponent"] > SUPERLINEAR_GATE]
+    lines = [
+        "## Full 110-query surface at sf1 (single-shot per scale)",
+        "",
+        f"Totals: sf0.1 **{total01} s**, sf1 **{total1} s** "
+        f"(x{round(total1 / total01, 2)} for 10x data). "
+        f"Queries above the {SUPERLINEAR_GATE} exponent gate: "
+        f"{flagged or 'none'}.",
+        "",
+        "| query | sf0.1 s | sf1 s | exponent | rows sf0.1 | rows sf1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in sorted(rows, key=lambda r: -r["exponent"]):
+        mark = " **FLAG**" if r["exponent"] > SUPERLINEAR_GATE else ""
+        lines.append(
+            f"| {r['q']} | {r['t01']} | {r['t1']} | {r['exponent']}{mark} "
+            f"| {r['n01']} | {r['n1']} |"
+        )
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -245,6 +297,9 @@ def main() -> None:
         " oracle-parity calibration form.",
         "",
     ]
+    if "--full" in sys.argv:
+        print("full 110-query surface:", flush=True)
+        lines += run_full_surface(spark, qs, sf1_dir)
     with open("/root/repo/BENCH_SF1.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote /root/repo/BENCH_SF1.md", flush=True)

@@ -88,16 +88,28 @@ def run_cc_curve(spark, sizes: list[int]) -> list[dict]:
         ):
             stats: dict = {}
             t0 = time.perf_counter()
-            cc = fn(pairs, stats=stats)
-            n_clusters = cc.select("cluster_id").distinct().count()
+            try:
+                cc = fn(pairs, stats=stats)
+                n_clusters = cc.select("cluster_id").distinct().count()
+            except RuntimeError as ex:
+                # propagation is O(effective diameter): on the chain-heavy
+                # adversarial mix it legitimately exceeds max_iter at 2M
+                # edges (measured: >50 rounds). Record the DNF — it IS the
+                # gate's rationale — instead of dying.
+                wall = round(time.perf_counter() - t0, 2)
+                results[name] = dict(wall_s=wall, rounds="DNF", clusters=None)
+                print(f"  edges={actual} {name}: DNF after {wall}s ({ex})",
+                      flush=True)
+                continue
             wall = round(time.perf_counter() - t0, 2)
             results[name] = dict(
                 wall_s=wall, rounds=stats.get("rounds"), clusters=n_clusters
             )
             print(f"  edges={actual} {name}: {wall}s rounds={stats.get('rounds')} "
                   f"clusters={n_clusters}", flush=True)
-        assert results["propagation"]["clusters"] == results["star"]["clusters"], \
-            f"cluster-count mismatch at {actual} edges"
+        if all(r["clusters"] is not None for r in results.values()):
+            assert results["propagation"]["clusters"] == results["star"]["clusters"], \
+                f"cluster-count mismatch at {actual} edges"
         rows.append(dict(edges=actual, **{
             f"{k}_{m}": v for k, r in results.items() for m, v in r.items()
         }))
@@ -167,7 +179,8 @@ def main() -> None:
     for r in cc_rows:
         lines.append(
             f"| {r['edges']} | {r['propagation_wall_s']} | {r['propagation_rounds']} "
-            f"| {r['star_wall_s']} | {r['star_rounds']} | {r['propagation_clusters']} |"
+            f"| {r['star_wall_s']} | {r['star_rounds']} "
+            f"| {r['propagation_clusters'] or r['star_clusters']} |"
         )
     lines += [
         "",

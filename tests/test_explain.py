@@ -220,3 +220,21 @@ def test_corpus_pipeline_v2_stage_reuse(plans):
     p = plans["corpus_pipeline_v2"]
     assert p.count("Scan parquet") <= 3
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 6
+
+
+def test_star_cc_half_rounds_are_window_form_no_collect(spark):
+    """Round-6 regression pin: the alternating-star half-rounds must stay
+    window-min per-row emissions. A collect_set/collect_list aggregate
+    here re-opens the sort-based TypedImperativeAggregate fallback that
+    is QUADRATIC in hub degree (measured: one 119,872-degree hub = 56 s
+    for one round, 481 s total at 395k edges; see BENCH_CC_SCALE.md)."""
+    from flinkproject_spark.operators.dedup import _large_star, _small_star
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for fn in (_large_star, _small_star):
+        plan = fn(edges)._jdf.queryExecution().explainString(mode)
+        assert "Window" in plan
+        assert "collect_set" not in plan and "collect_list" not in plan

@@ -341,6 +341,16 @@ def q_dedup_srp(spark, sf):
     return dedup.srp_lsh_near_dups(_t(spark, sf, "embeddings"))
 
 
+def q_dedup_srp_scaled(spark, sf):
+    """The SRP scale knob, oracle-VERIFIED: same pipeline at the band
+    width a larger corpus calls for (96 bits / 8 bands = 12-bit bands;
+    BENCH_SF1.md measured the 16/4 calibration going super-linear at 10x
+    data while this configuration stays linear). Same md5-derived
+    projection family, same verification threshold — only (bits, bands)
+    move, exactly as a production operator would retune them."""
+    return dedup.srp_lsh_near_dups(_t(spark, sf, "embeddings"), bits=96, bands=8)
+
+
 def q_dedup_simhash(spark, sf):
     out = dedup.simhash_near_dups(_t(spark, sf, "documents"))
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
@@ -871,15 +881,18 @@ def q_text_tfidf(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles. Round-6 window (VERDICT r05 #1):
+    # the one never-verified query (dedup_srp_scaled, added this round),
     # the 11 queries whose latest driver row is r03, then the three whose
     # implementation/semantics changed after their last driver row
     # (dedup_ngram_blocked rebuilt onto struct postings in r05 commit
     # 971ad9a; product_stats_approx tolerance re-derived this round per
     # ADVICE r05 #2; the a19 UDTF pair moved to the Spark 4 Arrow path
-    # this round per VERDICT r05 #4), then the 35 oldest r04-evidence
-    # rows. The 11 remaining r04 rows rotate next round; the 50 r05-green
+    # this round per VERDICT r05 #4), then the 34 oldest r04-evidence
+    # rows. The 12 remaining r04 rows rotate next round; the 50 r05-green
     # rows back-fill the tail (freshest evidence last).
     return {
+        # -- never driver-verified (added round 6)
+        "dedup_srp_scaled": q_dedup_srp_scaled,
         # -- last driver-checked in r03 (oldest evidence)
         "dedup_clusters_star": q_dedup_clusters_star,
         "text_redact_pii": q_text_redact_pii,
@@ -932,8 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
         # ---- end of the 50-query verified window ----
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
         # -- r04 rows awaiting next round's rotation (all pass the local
         #    oracle gate every round; tools/verify_local.py)
         "sim_topk_vectorized": q_sim_topk_vectorized,
@@ -1222,6 +1235,46 @@ _DOT = ("list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)), (x, y) -> x + y)")
 _NORM = ("sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
          "i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))")
+
+
+def _srp_sql(bits: int, bands: int) -> str:
+    """SRP-LSH oracle for an arbitrary (bits, bands) config — regenerates
+    the same md5-derived integer projection and band packing as
+    dedup.srp_signatures. Parameterized so the at-scale band width
+    (BENCH_SF1.md: b ~ log2(n)) is oracle-VERIFIED, not just measured."""
+    width = bits // bands
+    return f"""
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            proj AS (
+              SELECT d.i AS dim, b.j AS bit,
+                     (('0x' || substr(md5('srp:' || d.i || ':' || b.j), 1, 15))::BIGINT
+                      % 2001) - 1000 AS p
+              FROM range(0, 64) d(i), range(0, {bits}) b(j)),
+            dots AS (
+              SELECT q.vec_id, pr.bit, SUM(q.qv[pr.dim + 1] * pr.p) AS s
+              FROM q, proj pr GROUP BY 1, 2),
+            bucks AS (
+              SELECT vec_id, bit // {width} AS band,
+                     SUM(CASE WHEN s >= 0 THEN 1 << (bit % {width}) ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bucks a JOIN bucks b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
+                         / (({_NORM.format(a='ea.embedding')})
+                            * ({_NORM.format(a='eb.embedding')})), 6) AS cosine
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.vec_a
+            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+            WHERE round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
+                        / (({_NORM.format(a='ea.embedding')})
+                           * ({_NORM.format(a='eb.embedding')})), 6) >= 0.35"""
 
 
 def _topk_sql(cell_pruned: bool) -> str:
@@ -1734,38 +1787,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.doc_id, o.clean_text, o.n_chunks_kept,
                    t.n_total - o.n_chunks_kept AS n_chunks_dropped
             FROM o JOIN tot t ON o.doc_id = t.doc_id""",
-        "dedup_srp": f"""
-            WITH q AS (
-              SELECT vec_id,
-                     list_transform(range(1, len(embedding) + 1),
-                       i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
-              FROM embeddings),
-            proj AS (
-              SELECT d.i AS dim, b.j AS bit,
-                     (('0x' || substr(md5('srp:' || d.i || ':' || b.j), 1, 15))::BIGINT
-                      % 2001) - 1000 AS p
-              FROM range(0, 64) d(i), range(0, 16) b(j)),
-            dots AS (
-              SELECT q.vec_id, pr.bit, SUM(q.qv[pr.dim + 1] * pr.p) AS s
-              FROM q, proj pr GROUP BY 1, 2),
-            bucks AS (
-              SELECT vec_id, bit // 4 AS band,
-                     SUM(CASE WHEN s >= 0 THEN 1 << (bit % 4) ELSE 0 END) AS bucket
-              FROM dots GROUP BY 1, 2),
-            cand AS (
-              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-              FROM bucks a JOIN bucks b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-            SELECT vec_a, vec_b,
-                   round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
-                         / (({_NORM.format(a='ea.embedding')})
-                            * ({_NORM.format(a='eb.embedding')})), 6) AS cosine
-            FROM cand
-            JOIN embeddings ea ON ea.vec_id = cand.vec_a
-            JOIN embeddings eb ON eb.vec_id = cand.vec_b
-            WHERE round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
-                        / (({_NORM.format(a='ea.embedding')})
-                           * ({_NORM.format(a='eb.embedding')})), 6) >= 0.35""",
+        "dedup_srp": _srp_sql(16, 4),
+        "dedup_srp_scaled": _srp_sql(96, 8),
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},
             blocked AS (

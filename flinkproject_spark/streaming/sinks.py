@@ -17,7 +17,9 @@ reference's at-least-once default (MyKafkaUtil.java:25-27).
 from __future__ import annotations
 
 import logging
+import os
 import tempfile
+from datetime import datetime
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -123,16 +125,25 @@ def late_capture_writer(
     identical watermark sequences, so the captured set equals the dropped
     set — asserted row-for-row by
     `test_late_capture_side_channel_quantifies_drops`. In-flight state is
-    one timestamp on the driver; restart resets it to None, so the first
-    batch after restart under-captures (late rows pass) rather than
-    over-captures — same direction Spark's own watermark restart takes.
+    one timestamp on the driver, made RESTART-SAFE via a sidecar file
+    (`<late_path>.wm` — ISO max-event-time, rewritten after every batch):
+    a fresh writer resumes the prior run's watermark instead of silently
+    under-capturing its first batch. The sidecar is written AFTER the
+    batch's late rows are appended, so a crash between append and sidecar
+    re-captures (duplicate late rows, at-least-once) rather than losing
+    any — dedupe the side channel on (late_batch_id, natural key) if
+    exactly-once capture matters downstream.
     """
     import pandas as pd
 
     state: dict[str, object] = {"max_ts": None}
     delay_td = pd.Timedelta(delay).to_pytimedelta()
+    wm_file = late_path.rstrip("/") + ".wm"
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        if state["max_ts"] is None and os.path.exists(wm_file):
+            with open(wm_file) as fh:
+                state["max_ts"] = datetime.fromisoformat(fh.read().strip())
         prev_max = state["max_ts"]
         if prev_max is not None:
             wm = prev_max - delay_td
@@ -148,6 +159,10 @@ def late_capture_writer(
             state["max_ts"] = (
                 cur_max if prev_max is None else max(prev_max, cur_max)
             )
+            tmp = wm_file + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(state["max_ts"].isoformat())
+            os.replace(tmp, wm_file)  # atomic on POSIX
         if downstream is not None:
             downstream(batch, batch_id)
 

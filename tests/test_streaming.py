@@ -1420,6 +1420,35 @@ def test_late_capture_side_channel_quantifies_drops(spark, tmp_path):
     assert emitted_rows + len(captured) + never_closed == total_in
 
 
+def test_late_capture_watermark_survives_writer_restart(spark, tmp_path):
+    """The late-capture side channel's reconstructed watermark is
+    restart-safe: a FRESH writer (new closure, as after a driver restart)
+    must resume the previous run's max event time from the sidecar file
+    and still capture a late row in its first batch — the case a
+    memory-only state would silently wave through."""
+    late_path = str(tmp_path / "late")
+
+    def mk_batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string"
+        ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+
+    w1 = sinks.late_capture_writer("ts", "10 minutes", late_path)
+    w1(mk_batch([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")]), 0)
+
+    # restart: brand-new closure, no in-memory state
+    w2 = sinks.late_capture_writer("ts", "10 minutes", late_path)
+    w2(mk_batch([(3, "2024-01-01 09:00:00"),     # late vs resumed wm 10:50
+                 (4, "2024-01-01 11:30:00")]), 1)
+
+    captured = spark.read.parquet(late_path).collect()
+    assert {r.event_id for r in captured} == {3}
+    assert captured[0].missed_watermark.strftime("%H:%M") == "10:50"
+    # and the sidecar advanced to the new max
+    with open(late_path + ".wm") as fh:
+        assert fh.read().startswith("2024-01-01T11:30:00")
+
+
 # --- session windows: streaming == batch ------------------------------------
 
 def test_session_stats_stream_matches_batch(spark, events, staged):

@@ -49,3 +49,42 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     ddf = duck.sql(oracles[name]).df()
     err = compare(name, sdf, ddf)
     assert err is None, f"{name}: {err}"
+
+
+def test_srp_sql_generator_matches_spark_signatures_any_config(spark, tmp_path):
+    """The parameterized SRP oracle generator (_srp_sql) must regenerate
+    dedup.srp_signatures' exact (vec_id, band, bucket) rows for ANY
+    (bits, bands) config, not just the two driver-query instances — the
+    guard that keeps future retunings oracle-checkable. Same parquet
+    bytes feed both engines (quantization parity is byte-level)."""
+    import duckdb
+    import numpy as np
+
+    from flinkproject_spark.operators import dedup
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), [float(v) for v in rng.randn(64).astype(np.float32)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pq = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    stored = spark.read.parquet(pq)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    import __spark_entry__ as entrymod
+
+    for bits, bands in ((16, 4), (96, 8), (32, 8), (24, 3)):
+        got = {
+            (r.vec_id, r.band, r.bucket)
+            for r in dedup.srp_signatures(stored, bits, bands).collect()
+        }
+        # reuse the generator's CTE block up to `bucks`, select it directly
+        sql = entrymod._srp_sql(bits, bands)
+        bucks_sql = sql.split("cand AS (")[0].rstrip().rstrip(",") + \
+            "\nSELECT vec_id, band, bucket FROM bucks"
+        want = {(r[0], r[1], r[2]) for r in con.execute(bucks_sql).fetchall()}
+        assert got == want, f"config {bits}/{bands} diverged"

@@ -1793,15 +1793,21 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES.strip()},
             blocked AS (
               SELECT doc_id, lang, (n_chars // 128) AS len_band, shingles, len(shingles) AS n_sh
-              FROM sh WHERE len(shingles) > 0)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                         / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles)))::DOUBLE,
-                         6) AS jaccard
-            FROM blocked a JOIN blocked b
-              ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                  / (a.n_sh + b.n_sh - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.4""",
+              FROM sh WHERE len(shingles) > 0),
+            posting AS (
+              SELECT doc_id, lang, len_band, n_sh, unnest(shingles) AS s
+              FROM blocked),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+              FROM posting a JOIN posting b
+                ON a.s = b.s AND a.lang = b.lang AND a.len_band = b.len_band
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b,
+                   round(c::DOUBLE / (na + nb - c)::DOUBLE, 6) AS jaccard
+            FROM inter
+            WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.4""",
         "dedup_embedding": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(({_DOT.format(a='a.embedding', b='b.embedding')})

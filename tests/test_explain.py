@@ -145,6 +145,23 @@ def test_corpus_sample_prunes_text_column(plans):
     assert "text" not in scan.split("ReadSchema:")[1].splitlines()[0]
 
 
+def test_certified_hll_registers_never_shuffle(plans):
+    """product_stats_approx (certified form): the countDistinct+HLL mix makes
+    Catalyst's distinct-rewrite key its first aggregate pair on
+    (window, sku, orderkey); without the up-front repartition(window, sku),
+    every near-unique key drags the 52-word HLL register buffer (`MS[i]`
+    columns) through two exchanges — measured 1.34 scaling exponent and
+    ~18 GB of shuffle at sf3 (BENCH_SF3.md). Pin the fixed shape: exactly
+    one exchange, carrying compact raw rows (no `MS[` register columns)."""
+    import re
+
+    p = plans["product_stats_approx"]
+    sections = re.split(r"\n\(\d+\) ", p)
+    exchanges = [s for s in sections if s.startswith("Exchange")]
+    assert len(exchanges) == 1, f"expected 1 exchange, plan has {len(exchanges)}"
+    assert "MS[" not in exchanges[0], "HLL register buffers crossing the shuffle"
+
+
 def test_sim_quantize_is_shuffle_free(plans):
     """Quantization audit is one narrow pass over the collection — any
     Exchange here would be a scale bug."""

@@ -230,7 +230,14 @@ def q_b4_cdc_roundtrip(spark, sf):
             )
         ).alias("value")
     )
-    decoded = routing.filter_deletes(routing.decode_cdc_envelope(enveloped))
+    # A real CDC stream arrives pre-partitioned by Kafka; the synthetic
+    # envelope inherits the parquet scan's file-count parallelism (4 tasks
+    # at sf1), so redistribute the compact JSON strings before the decode
+    # stage does the per-row parse work.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    decoded = routing.filter_deletes(
+        routing.decode_cdc_envelope(enveloped.repartition(n_parts))
+    )
     return decoded.select(
         F.col("database"),
         F.col("tableName").alias("table_name"),

@@ -65,10 +65,37 @@ def decode_cdc_envelope(raw_json: DataFrame, value_col: str = "value") -> DataFr
     Matches the shape CustomerDeserialization.java:23-85 emits. `before` and
     `after` stay as string->string maps (the reference's dim store is
     all-varchar — TableProcessFunction.java:76-80).
+
+    The parse is wrapped in an always-true nondeterministic guard
+    (`rand() >= -1`), which makes decode a SOURCE BOUNDARY for Catalyst:
+    predicate pushdown may not substitute a nondeterministic expression
+    into a filter, so downstream predicates evaluate against the
+    decoded struct instead of being rewritten onto `value_col`'s
+    producer expression. That matches production semantics — a real CDC
+    envelope arrives as bytes from Kafka with nothing upstream to push
+    into — and it is load-bearing for the batch certification query,
+    where `value_col` is a synthetic `to_json(...)`: without the
+    barrier, `filter_deletes`'s two conjuncts each drag the full
+    from_json(to_json(...)) roundtrip down to the parquet scan stage
+    (one parse per conjunct per row, at the scan's file-count
+    parallelism — measured 12 s for 1.5M rows at sf1 vs 3.3 s with the
+    barrier, one parse per row at full parallelism). `rand()` rather
+    than `monotonically_increasing_id()` because the latter is
+    disallowed in streaming plans and this decoder serves both; the
+    `+ 1.0` matters — Spark 4's optimizer knows Rand's [0, 1) range and
+    folds a bare `rand() >= -1` to TRUE (dropping the barrier), but it
+    does not propagate the range through arithmetic. CollapseProject
+    never duplicates the guarded parse into the field extraction
+    (nondeterministic expressions are never collapsed), so the envelope
+    is parsed exactly once per row.
     """
-    return raw_json.select(
-        F.from_json(F.col(value_col), CDC_ENVELOPE_SCHEMA).alias("e")
-    ).select("e.database", "e.tableName", "e.before", "e.after", "e.type")
+    parsed = F.when(
+        (F.rand() + 1.0) >= 0.0,
+        F.from_json(F.col(value_col), CDC_ENVELOPE_SCHEMA),
+    )
+    return raw_json.select(parsed.alias("e")).select(
+        "e.database", "e.tableName", "e.before", "e.after", "e.type"
+    )
 
 
 def filter_deletes(cdc: DataFrame) -> DataFrame:

@@ -145,6 +145,27 @@ def test_corpus_sample_prunes_text_column(plans):
     assert "text" not in scan.split("ReadSchema:")[1].splitlines()[0]
 
 
+def test_cdc_envelope_parsed_exactly_once(plans):
+    """B4: decode_cdc_envelope is a source boundary — its nondeterministic
+    guard must keep filter_deletes's predicates ABOVE the parse, so the
+    envelope JSON is parsed once per row. Without the guard, pushdown
+    substitutes the from_json(to_json(...)) roundtrip into both filter
+    conjuncts at the scan stage (3 parses/row at file-count parallelism —
+    measured 4.2x slower at sf1). Pin: no from_json inside a Filter
+    condition, and exactly one parsing node in the plan."""
+    import re
+
+    p = plans["b4_cdc_roundtrip"]
+    sections = re.split(r"\n\(\d+\) ", p)
+    filters = [s for s in sections if s.startswith("Filter")]
+    assert filters, "plan lost its delete-filter"
+    assert all("from_json" not in s for s in filters), \
+        "envelope parse pushed into a Filter (decode barrier lost)"
+    parse_sections = [s for s in sections if "from_json" in s]
+    assert len(parse_sections) == 1, \
+        f"envelope parsed in {len(parse_sections)} plan nodes, expected 1"
+
+
 def test_certified_hll_registers_never_shuffle(plans):
     """product_stats_approx (certified form): the countDistinct+HLL mix makes
     Catalyst's distinct-rewrite key its first aggregate pair on

@@ -143,13 +143,35 @@ def product_stats(lineitem: DataFrame, duration_days: int = 30) -> DataFrame:
     `countDistinct` inside the windowed agg — same exactness, one shuffle.
     At 100 TB swap for `approx_count_distinct` (documented scale valve).
 
+    Plan shape: the raw rows are repartitioned on (window, sku) BEFORE the
+    aggregate. Catalyst's distinct-rewrite keys its first aggregate pair on
+    (window, sku, l_orderkey) — a key that is near-unique on ANY corpus (an
+    order rarely repeats a part), so map-side partial aggregation cannot
+    reduce below the distinct-(w, p, o) count and the default plan ships
+    ~every row through TWO exchanges (partials on (w,p,o), then partials on
+    (w,p)). HashPartitioning(w, p) satisfies the rewrite's
+    ClusteredDistribution(w, p, o), so the one up-front exchange of compact
+    raw rows replaces both, and the whole rewrite chain runs colocated in a
+    single post-shuffle stage. Measured: sf1 14.2 s -> 5.2 s, sf3
+    24.5 s -> 8.7 s. (This reasoning is specific to distinct-keyed
+    aggregates; plain windowed aggs like visitor_stats keep
+    partial-agg-first, where map-side reduction is real.)
+
     Window = `duration_days`-day tumble over l_shipdate (testdata spans
     years; the reference's 10 s windows make sense only against its
     mock-second streams).
     """
+    prepared = lineitem.select(
+        F.window("l_shipdate", f"{duration_days} days").alias("window"),
+        "l_partkey",
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    ).repartition("window", "l_partkey")
     agg = (
-        lineitem.groupBy(
-            F.window("l_shipdate", f"{duration_days} days"),
+        prepared.groupBy(
+            F.col("window"),
             F.col("l_partkey").alias("sku_id"),
         )
         .agg(

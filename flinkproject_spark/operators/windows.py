@@ -209,14 +209,31 @@ def province_stats(
     nation is the province dim (FIXTURES.md §2.4); customer bridges orders to
     nation. Both dims are small -> broadcast, so the only shuffle is the
     final aggregation on (window, province).
+
+    Same distinct-rewrite plan shape as `product_stats`: countDistinct
+    keys the rewrite's first aggregate on (window, province, o_orderkey),
+    which is UNIQUE here (orders has one row per orderkey), so map-side
+    partials reduce nothing and the default plan ships every row through
+    two exchanges. Repartitioning the enriched compact rows on
+    (window, province) first collapses the chain into one post-shuffle
+    stage (sf1: 4.1 s -> 1.8 s). ~25 provinces x a handful of windows
+    spread acceptably over 32 partitions; at real scale the window count
+    grows with history, keeping keys >> partitions.
     """
     enriched = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
+    prepared = enriched.select(
+        F.window("o_orderdate", f"{duration_days} days").alias("window"),
+        "n_nationkey",
+        "n_name",
+        "o_orderkey",
+        "o_totalprice",
+    ).repartition("window", "n_nationkey")
     agg = (
-        enriched.groupBy(
-            F.window("o_orderdate", f"{duration_days} days"),
+        prepared.groupBy(
+            F.col("window"),
             F.col("n_nationkey").alias("province_id"),
             F.col("n_name").alias("province_name"),
         )

@@ -184,8 +184,15 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     order-independent — a raw double sum varies with Spark's partial-agg
     order and can never hash-match the oracle. The only double ops are
     per-row ln and the final division, identical cross-engine.
+
+    Same up-front repartition as `bigram_logprob_scores`: the explode and
+    the token-frequency join both run in the scan stage otherwise, at
+    file-count parallelism (sf1: 8.0 s single-file vs ~3 s repartitioned).
     """
-    tok = with_tokens(documents).select(
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    tok = with_tokens(documents.repartition(n_parts)).select(
         "doc_id", F.explode("x").alias("t")
     ).filter(F.col("t") != "")
     # freq feeds both the total and the per-token table: checkpoint the

@@ -474,9 +474,17 @@ def q_a19_udtf_lateral(spark, sf):
     session.configure(spark)
     catalog.register_views(spark, sf, ("documents",))
     text.register_split_words(spark)
-    return spark.sql("""
+    # REPARTITION(n) hint: the row-at-a-time UDTF otherwise runs inside the
+    # scan stage at file-count parallelism (sf1 derived data = 1-2 files);
+    # one round-robin exchange of the NARROW doc rows moves the Python
+    # fan-out to full core count. Explicit n (the cluster-tuned shuffle
+    # partitions) rather than the bare hint: AQE's bytes-based coalescing
+    # undersizes stages whose cost is per-row Python, not bytes.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(f"""
         SELECT word AS keyword, COUNT(*) AS ct, 'search' AS source
-        FROM documents, LATERAL split_words(text)
+        FROM (SELECT /*+ REPARTITION({n}) */ text FROM documents) d,
+             LATERAL split_words(text)
         GROUP BY word
         ORDER BY ct DESC, keyword
         LIMIT 100
@@ -491,9 +499,14 @@ def q_a19_udtf_subword(spark, sf):
     session.configure(spark)
     catalog.register_views(spark, sf, ("documents",))
     text.register_split_subwords(spark)
-    return spark.sql("""
+    # Same REPARTITION(n)-before-LATERAL as a19_udtf_lateral: lift the
+    # Python UDTF off the file-parallel scan stage, sized past AQE's
+    # bytes-based coalescing (cost here is per-row Python).
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(f"""
         SELECT piece AS keyword, COUNT(*) AS ct, 'search' AS source
-        FROM documents, LATERAL split_subwords(text)
+        FROM (SELECT /*+ REPARTITION({n}) */ text FROM documents) d,
+             LATERAL split_subwords(text)
         GROUP BY piece
         ORDER BY ct DESC, keyword
         LIMIT 100

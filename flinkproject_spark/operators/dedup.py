@@ -22,6 +22,7 @@ xxhash64 (same plan shape, ~5x cheaper) via the `hash_fn` parameter.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -825,6 +826,39 @@ SRP_SCALE = 1000  # embedding quantization: round(v*1000) -> int64
 SRP_MOD = 2001  # projection entries in [-1000, 1000]
 
 
+def srp_recommended_banding(
+    n_vectors: int, bands: int = 8, pairs_per_vector_budget: float = 1.0
+) -> tuple[int, int]:
+    """The b ~= log2(n) banding rule as code: (bits, bands) for
+    :func:`srp_lsh_near_dups` at a given corpus size.
+
+    A band of b bits has 2^b buckets, so SPURIOUS candidates (unrelated
+    vectors colliding by chance) number ~ C(n,2) * bands / 2^b. The
+    operator's documented sizing is b = ceil(log2(n / budget)), which
+    bounds spurious candidates at (bands/2) * budget * n — i.e. the
+    budget is per-band, a few chance pairs per vector total.
+    BENCH_SF10.md measured the rule end-to-end: the sf1-tuned 96/8
+    (b=12) setting runs 167 s at n=500k (exponent 2.0 — saturated)
+    while this function's answer for that n, (152, 8) (b=19), runs 8 s
+    (exponent 0.84, linearity restored).
+
+    `bands` trades recall for work: per-band TRUE-pair collision
+    probability is (1 - theta/pi)^b, so wider bands (larger b) need MORE
+    bands to keep recall — re-tune upward for tight thresholds. The
+    returned bits = bands * b keeps every band equally wide (the layout
+    :func:`srp_signatures` requires).
+
+    Static driver queries can't use this (their DuckDB oracles regenerate
+    a fixed parameterization); it exists for library callers pointing the
+    operator at a NEW corpus, where the right banding is a function of n,
+    not a constant.
+    """
+    if n_vectors < 2:
+        return (bands, bands)  # 1-bit bands; nothing can saturate
+    b = max(1, math.ceil(math.log2(n_vectors / pairs_per_vector_budget)))
+    return (bands * b, bands)
+
+
 def _srp_projection(dim: int, bits: int):
     """Deterministic signed-random-projection matrix: entry (d, b) =
     hash64('srp:d:b') % 2001 - 1000 — the same md5-derived constant the
@@ -910,7 +944,8 @@ def srp_lsh_near_dups(
     16/4 default (b=4) is the test-SF calibration the DuckDB oracle
     regenerates; at 20k vectors it measured 78 s (207k verified pairs)
     while bits=96, bands=8 (b=12) measured 2.2 s. Choose
-    b ≈ log2(n / pairs-per-vector-budget), then re-tune `bands` upward
+    b ≈ log2(n / pairs-per-vector-budget) — as code:
+    :func:`srp_recommended_banding` — then re-tune `bands` upward
     for recall (per-band collision for true pairs is (1 - θ/π)^b, so
     wider bands need more of them — the standard LSH trade). Separately:
     a LOW cosine threshold can make the TRUE pair set itself quadratic
@@ -956,7 +991,9 @@ def srp_lsh_near_dups(
     return out.filter(F.col("cosine") >= threshold)
 
 
-def semdedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+def semdedup(
+    embeddings: DataFrame, threshold: float = 0.35, max_cell_rows: int | None = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup inside
     coarse k-means cells. Within each cell, vectors whose pairwise cosine
     >= threshold form near-dup groups; the paper KEEPS the member with the
@@ -983,6 +1020,23 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     population bounds the O(m^2) matrices — the coarse quantizer's
     cell-size cap is the knob, same as the matmul near-dup tier. Rounding
     to 6 decimals keeps both cosines bit-identical to the DuckDB oracle.
+
+    `max_cell_rows` IS that knob, in code (BENCH_SF10.md finding: with
+    the testdata's fixed 10-label quantizer, cell population grows
+    linearly with the corpus, so the per-cell matrix is quadratic overall
+    — sf1 1.0 s but sf10 113 s at 10-way parallelism, with ~3.8 GB cosine
+    matrices in flight). When set, a pre-pass counts each cell and
+    REFINES oversized ones by the top ceil(log2(count/cap)) bits of a
+    20-bit single-band SRP signature (:func:`srp_signatures` — the same
+    deterministic integer machinery as the LSH tier, so refinement is
+    reproducible cross-engine). Semantically this is SemDeDup with a
+    finer quantizer — exactly how the paper scales (its k grows with the
+    corpus; 50k clusters for LAION): near-dup groups split along subcell
+    boundaries, so verdicts can differ from the uncapped run on
+    cross-subcell pairs — a documented approximation-granularity change,
+    not an error (and with the cap above every cell's population, output
+    is IDENTICAL; pinned by test). Work returns to
+    O(n * max_cell_rows) and parallelism to the refined cell count.
     """
     import numpy as np
     import pandas as pd
@@ -1017,15 +1071,39 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
             }
         )
 
-    return (
-        embeddings.select("vec_id", "label", "embedding")
-        .groupBy("label")
-        .applyInPandas(
-            cell_verdict,
-            "vec_id bigint, label bigint, cent_cos double, "
-            "n_near_dups bigint, keep boolean",
+    emb = embeddings.select("vec_id", "label", "embedding")
+    out_schema = (
+        "vec_id bigint, label bigint, cent_cos double, "
+        "n_near_dups bigint, keep boolean"
+    )
+    if max_cell_rows is None:
+        return emb.groupBy("label").applyInPandas(cell_verdict, out_schema)
+
+    SUB_BITS = 20  # signature width; top ceil(log2(count/cap)) bits used
+    splits = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "label",
+            F.greatest(
+                F.lit(0),
+                F.ceil(F.log2(F.col("_n") / F.lit(float(max_cell_rows)))),
+            ).cast("int").alias("_xb"),
         )
     )
+    sig = srp_signatures(embeddings, bits=SUB_BITS, bands=1).select(
+        "vec_id", F.col("bucket").alias("_sig")
+    )
+    refined = (
+        emb.join(F.broadcast(splits), "label")
+        .join(sig, "vec_id")
+        # top _xb bits of the signature; exact in doubles (values < 2^20)
+        .withColumn(
+            "_sub",
+            F.floor(F.col("_sig") / F.pow(F.lit(2.0), F.lit(SUB_BITS) - F.col("_xb"))),
+        )
+    )
+    return refined.groupBy("label", "_sub").applyInPandas(cell_verdict, out_schema)
 
 
 def contamination_check(

@@ -992,6 +992,30 @@ def test_srp_signatures_deterministic_and_complete(tables):
     assert a["bucket"].between(0, 15).all()  # 4-bit buckets
 
 
+def test_srp_recommended_banding_rule():
+    """The b~log2(n) rule as code: spurious-candidate bound holds by
+    construction, the sf10-measured knob is reproduced, bands stay
+    equal-width."""
+    # BENCH_SF10.md anchor: n=500k, bands=8 -> the measured (152, 8) knob
+    assert dedup.srp_recommended_banding(500_000, bands=8) == (152, 8)
+    for n in (10, 1_000, 50_000, 500_000, 5_000_000):
+        for bands in (4, 8, 16):
+            bits, got_bands = dedup.srp_recommended_banding(n, bands)
+            assert got_bands == bands and bits % bands == 0
+            b = bits // bands
+            # the bound the rule enforces: spurious candidates are at
+            # most (bands/2) * budget * n — linear in n, not quadratic
+            assert n * (n - 1) / 2 * bands / 2**b <= bands / 2 * n + 1e-9
+            # ...and b is minimal for it (one bit fewer violates), so the
+            # recall cost (1-theta/pi)^b is never paid needlessly
+            if b > 1:
+                assert n / 2**(b - 1) > 1.0
+    # monotone in n at fixed bands
+    widths = [dedup.srp_recommended_banding(n, 8)[0] for n in (100, 10_000, 1_000_000)]
+    assert widths == sorted(widths)
+    assert dedup.srp_recommended_banding(1) == (8, 8)  # degenerate corpus
+
+
 def test_srp_near_dups_sound_and_finds_exact_duplicates(spark, tables):
     """Soundness: every emitted pair really has cosine >= threshold.
     Completeness floor: an exact duplicate vector agrees with its twin on
@@ -1778,6 +1802,40 @@ def test_semdedup_keeps_component_minimum_and_isolated_vectors(tables):
             ) or len(members) == 1 or len(set(
                 by_id.loc[v, "cent_cos"] for v in members
             )) == 0
+
+
+def test_semdedup_cell_cap_identity_and_refinement(tables):
+    """The max_cell_rows scale knob: with the cap above every cell's
+    population the output is IDENTICAL to the uncapped run (the refinement
+    pre-pass assigns every vector sub-bucket 0); with a small cap, every
+    vector still gets exactly one verdict, original labels are preserved,
+    the run is deterministic, and per-vector n_near_dups can only SHRINK
+    (a refined cell's neighbor set is a subset of its parent cell's)."""
+    emb = tables["embeddings"]
+    base = (
+        dedup.semdedup(emb).toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    n = emb.count()
+    loose = (
+        dedup.semdedup(emb, max_cell_rows=n)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert loose.equals(base)
+
+    capped = (
+        dedup.semdedup(emb, max_cell_rows=5)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    again = (
+        dedup.semdedup(emb, max_cell_rows=5)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert capped.equals(again)  # SRP refinement is deterministic
+    assert len(capped) == n  # one verdict per vector
+    assert (capped["label"].to_numpy() == base["label"].to_numpy()).all()
+    assert (capped["n_near_dups"].to_numpy() <= base["n_near_dups"].to_numpy()).all()
+    # isolated vectors stay kept under any quantizer granularity
+    assert capped[capped.n_near_dups == 0].keep.all()
 
 
 def test_semdedup_drops_the_centroid_closer_member_of_a_pair(tables):

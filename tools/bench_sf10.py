@@ -90,6 +90,27 @@ def main() -> None:
     print(f"  srp_third_decade_knob: sf1 {rows[-1]['t1']}s  "
           f"sf10 {rows[-1]['t10']}s  exp {rows[-1]['exponent']}", flush=True)
 
+    # Same story, second instance: `dedup_semantic`'s coarse quantizer is
+    # the testdata's FIXED 10-label assignment, so cell population grows
+    # linearly with the corpus and the per-cell O(m^2) cosine matrix is
+    # quadratic overall (sf10: 21.8k-row cells, ~3.8 GB matrices, 10-way
+    # parallelism). semdedup's max_cell_rows knob refines oversized cells
+    # by deterministic SRP sub-buckets — the paper's own k-grows-with-
+    # corpus practice. Measure driver form AND knob form.
+    for label, fn in (
+        ("dedup_semantic (driver form, fixed 10-cell quantizer)",
+         lambda s, d: _dedup.semdedup(s.read.parquet(f"{d}/embeddings.parquet"))),
+        ("semdedup_cell_cap_knob (max_cell_rows=2000, non-driver)",
+         lambda s, d: _dedup.semdedup(
+             s.read.parquet(f"{d}/embeddings.parquet"), max_cell_rows=2000)),
+    ):
+        t1 = bench_sf1.time_query(fn, spark, sf1_dir)
+        t10 = bench_sf1.time_query(fn, spark, sf10_dir)
+        rows.append(dict(q=label, t1=round(t1, 2), t10=round(t10, 2),
+                         exponent=round(math.log10(t10 / t1), 2)))
+        print(f"  {label}: sf1 {rows[-1]['t1']}s  sf10 {rows[-1]['t10']}s  "
+              f"exp {rows[-1]['exponent']}", flush=True)
+
     flagged = [r["q"] for r in rows if r["exponent"] > SUPERLINEAR_GATE]
     total1 = round(sum(r["t1"] for r in rows), 1)
     total10 = round(sum(r["t10"] for r in rows), 1)
@@ -124,6 +145,17 @@ def main() -> None:
         "setting because its DuckDB oracle regenerates exactly that "
         "parameterization; LSH banding is corpus-size-dependent BY "
         "DESIGN, not an engine defect.",
+        "",
+        "**`dedup_semantic` is the second quantizer-granularity case**: "
+        "the testdata's fixed 10-label coarse quantizer means cell "
+        "population grows linearly with the corpus, making the per-cell "
+        "O(m^2) cosine matrix quadratic overall (21.8k-row cells at "
+        "sf10). `semdedup(max_cell_rows=...)` refines oversized cells by "
+        "deterministic 20-bit SRP sub-buckets (SemDeDup's k grows with "
+        "the corpus in the paper itself — 50k clusters for LAION); the "
+        "knob row restores linear work and full parallelism. The driver "
+        "query keeps the raw labels because its oracle regenerates that "
+        "exact cell assignment.",
         "",
         f"Totals: sf1 **{total1} s**, sf10 **{total10} s** "
         f"(x{round(total10 / total1, 2)} for 10x data). Flagged: "

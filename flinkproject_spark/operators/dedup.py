@@ -776,7 +776,47 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+def _refine_oversized_cells(emb: DataFrame, max_cell_rows: int) -> DataFrame:
+    """Cell-size-cap pre-pass shared by the per-cell matmul operators
+    (:func:`embedding_near_dups`, :func:`semdedup`): count each `label`
+    cell and add a `_sub` column splitting cells over `max_cell_rows`
+    into 2^ceil(log2(count/cap)) subcells keyed by the TOP bits of a
+    20-bit single-band SRP signature (:func:`srp_signatures` — the same
+    deterministic integer machinery as the LSH tier, reproducible
+    cross-engine). Group by (label, _sub) instead of label and per-cell
+    O(m^2) work returns to O(n * max_cell_rows) with parallelism at the
+    refined cell count. Cells under the cap get _sub = 0 — when no cell
+    exceeds the cap the grouping is equivalent to plain `label` and
+    output is IDENTICAL (pinned by test)."""
+    SUB_BITS = 20  # signature width; top ceil(log2(count/cap)) bits used
+    splits = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "label",
+            F.greatest(
+                F.lit(0),
+                F.ceil(F.log2(F.col("_n") / F.lit(float(max_cell_rows)))),
+            ).cast("int").alias("_xb"),
+        )
+    )
+    sig = srp_signatures(emb, bits=SUB_BITS, bands=1).select(
+        "vec_id", F.col("bucket").alias("_sig")
+    )
+    return (
+        emb.join(F.broadcast(splits), "label")
+        .join(sig, "vec_id")
+        # top _xb bits of the signature; exact in doubles (values < 2^20)
+        .withColumn(
+            "_sub",
+            F.floor(F.col("_sig") / F.pow(F.lit(2.0), F.lit(SUB_BITS) - F.col("_xb"))),
+        )
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.35, max_cell_rows: int | None = None
+) -> DataFrame:
     """Near-duplicate vectors: cosine >= threshold within coarse cells.
 
     The `label` column is the precomputed coarse-quantizer cell (IVF-style);
@@ -788,7 +828,13 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
     alternative (self-join + per-pair `aggregate`-lambda dot product) scores
     pairs one at a time on the interpreted expression path — measured ~4x
     slower at 5k vectors. Cell population bounds the O(m^2) term and the
-    matmul memory; at 100 TB the quantizer's cell-size cap is the knob.
+    matmul memory; at 100 TB the quantizer's cell-size cap is the knob —
+    and `max_cell_rows` is that knob as code (see
+    :func:`_refine_oversized_cells`; BENCH_SF10.md measures the fixed
+    10-cell testdata quantizer going quadratic without it). Pairs across
+    subcell boundaries are not emitted — the documented
+    approximation-granularity trade of a finer quantizer, identical
+    output when the cap doesn't bind.
     Rounding to 6 decimals keeps results bit-identical to the DuckDB oracle.
     """
     from typing import Iterator
@@ -817,8 +863,14 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.35) -> DataF
             }
         )
 
-    return embeddings.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
-        cell_pairs, "vec_a bigint, vec_b bigint, cosine double"
+    emb = embeddings.select("vec_id", "label", "embedding")
+    pair_schema = "vec_a bigint, vec_b bigint, cosine double"
+    if max_cell_rows is None:
+        return emb.groupBy("label").applyInPandas(cell_pairs, pair_schema)
+    return (
+        _refine_oversized_cells(emb, max_cell_rows)
+        .groupBy("label", "_sub")
+        .applyInPandas(cell_pairs, pair_schema)
     )
 
 
@@ -1078,32 +1130,11 @@ def semdedup(
     )
     if max_cell_rows is None:
         return emb.groupBy("label").applyInPandas(cell_verdict, out_schema)
-
-    SUB_BITS = 20  # signature width; top ceil(log2(count/cap)) bits used
-    splits = (
-        emb.groupBy("label")
-        .agg(F.count("*").alias("_n"))
-        .select(
-            "label",
-            F.greatest(
-                F.lit(0),
-                F.ceil(F.log2(F.col("_n") / F.lit(float(max_cell_rows)))),
-            ).cast("int").alias("_xb"),
-        )
+    return (
+        _refine_oversized_cells(emb, max_cell_rows)
+        .groupBy("label", "_sub")
+        .applyInPandas(cell_verdict, out_schema)
     )
-    sig = srp_signatures(embeddings, bits=SUB_BITS, bands=1).select(
-        "vec_id", F.col("bucket").alias("_sig")
-    )
-    refined = (
-        emb.join(F.broadcast(splits), "label")
-        .join(sig, "vec_id")
-        # top _xb bits of the signature; exact in doubles (values < 2^20)
-        .withColumn(
-            "_sub",
-            F.floor(F.col("_sig") / F.pow(F.lit(2.0), F.lit(SUB_BITS) - F.col("_xb"))),
-        )
-    )
-    return refined.groupBy("label", "_sub").applyInPandas(cell_verdict, out_schema)
 
 
 def contamination_check(

@@ -1804,6 +1804,26 @@ def test_semdedup_keeps_component_minimum_and_isolated_vectors(tables):
             )) == 0
 
 
+def test_embedding_near_dups_cell_cap_identity_and_subset(tables):
+    """embedding_near_dups' max_cell_rows knob: non-binding cap -> output
+    identical to uncapped; binding cap -> emitted pairs are exactly a
+    SUBSET of the uncapped pairs (subcell pairs are within-cell pairs),
+    with identical cosines on the shared pairs, deterministically."""
+    emb = tables["embeddings"]
+    base = dedup.embedding_near_dups(emb).toPandas()
+    n = emb.count()
+    loose = dedup.embedding_near_dups(emb, max_cell_rows=n).toPandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert key(loose) == key(base)
+
+    capped = dedup.embedding_near_dups(emb, max_cell_rows=5).toPandas()
+    again = dedup.embedding_near_dups(emb, max_cell_rows=5).toPandas()
+    assert key(capped) == key(again)  # deterministic refinement
+    assert set(map(tuple, capped.to_numpy().tolist())) <= set(
+        map(tuple, base.to_numpy().tolist())
+    )
+
+
 def test_semdedup_cell_cap_identity_and_refinement(tables):
     """The max_cell_rows scale knob: with the cap above every cell's
     population the output is IDENTICAL to the uncapped run (the refinement

@@ -103,6 +103,12 @@ def main() -> None:
         ("semdedup_cell_cap_knob (max_cell_rows=2000, non-driver)",
          lambda s, d: _dedup.semdedup(
              s.read.parquet(f"{d}/embeddings.parquet"), max_cell_rows=2000)),
+        ("dedup_embedding (driver form, fixed 10-cell quantizer)",
+         lambda s, d: _dedup.embedding_near_dups(
+             s.read.parquet(f"{d}/embeddings.parquet"))),
+        ("embedding_near_dups_cell_cap_knob (max_cell_rows=2000, non-driver)",
+         lambda s, d: _dedup.embedding_near_dups(
+             s.read.parquet(f"{d}/embeddings.parquet"), max_cell_rows=2000)),
     ):
         t1 = bench_sf1.time_query(fn, spark, sf1_dir)
         t10 = bench_sf1.time_query(fn, spark, sf10_dir)
@@ -146,16 +152,19 @@ def main() -> None:
         "parameterization; LSH banding is corpus-size-dependent BY "
         "DESIGN, not an engine defect.",
         "",
-        "**`dedup_semantic` is the second quantizer-granularity case**: "
-        "the testdata's fixed 10-label coarse quantizer means cell "
-        "population grows linearly with the corpus, making the per-cell "
-        "O(m^2) cosine matrix quadratic overall (21.8k-row cells at "
-        "sf10). `semdedup(max_cell_rows=...)` refines oversized cells by "
-        "deterministic 20-bit SRP sub-buckets (SemDeDup's k grows with "
-        "the corpus in the paper itself — 50k clusters for LAION); the "
-        "knob row restores linear work and full parallelism. The driver "
-        "query keeps the raw labels because its oracle regenerates that "
-        "exact cell assignment.",
+        "**`dedup_semantic` and `dedup_embedding` are the second "
+        "quantizer-granularity case**: the testdata's fixed 10-label "
+        "coarse quantizer means cell population grows linearly with the "
+        "corpus, making the per-cell O(m^2) cosine work quadratic "
+        "overall (21.8k-row cells at sf10). The shared "
+        "`max_cell_rows` knob (`_refine_oversized_cells`) splits "
+        "oversized cells by deterministic 20-bit SRP sub-buckets "
+        "(SemDeDup's k grows with the corpus in the paper itself — 50k "
+        "clusters for LAION); the knob rows restore linear work and "
+        "full parallelism, with output pinned identical when the cap "
+        "doesn't bind and pair-subset semantics when it does. The "
+        "driver queries keep the raw labels because their oracles "
+        "regenerate that exact cell assignment.",
         "",
         f"Totals: sf1 **{total1} s**, sf10 **{total10} s** "
         f"(x{round(total10 / total1, 2)} for 10x data). Flagged: "

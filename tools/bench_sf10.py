@@ -55,10 +55,19 @@ def run_full_surface_sf10(spark, qs, sf1_dir: str, sf10_dir: str) -> list[str]:
     hiding behind fixed overhead in the sf0.1→sf1 table (as the
     embedding-cell operators did) has nowhere left to hide."""
     rows = []
+    n_run = 0
     for name, fn in qs.items():
         if name in FULL_SKIP:
             print(f"  {name}: skipped (decomposed above)", flush=True)
             continue
+        # recycle the session every 25 queries: ~90 sf10-sized queries in
+        # one 8g-driver JVM accumulated enough heap (result frames, AQE
+        # stats, shuffle metadata) to OOM an executor thread mid-shuffle —
+        # same lesson as bench_streaming's fresh-session-per-job
+        if n_run and n_run % 25 == 0:
+            spark.stop()
+            spark = get_spark("sf10-bench")
+        n_run += 1
         rec = {"q": name}
         for key, d in (("1", sf1_dir), ("10", sf10_dir)):
             spark.catalog.clearCache()

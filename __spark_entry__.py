@@ -340,6 +340,14 @@ def q_dedup_chunks_apply(spark, sf):
     return dedup.chunk_dedup_apply(_t(spark, sf, "documents"))
 
 
+def q_dedup_spans(spark, sf):
+    """Exact repeated-SPAN detection (rolling 8-gram hash -> cross-doc df
+    -> per-doc interval merge): the distributed form of suffix-array
+    exact-substring dedup (Lee et al. 2022), alignment-free where the
+    disjoint-chunk pass is alignment-sensitive (dedup.duplicated_spans)."""
+    return dedup.duplicated_spans(_t(spark, sf, "documents"))
+
+
 def q_dedup_srp(spark, sf):
     """Embedding near-dup via signed-random-projection LSH: int64-exact
     quantized hyperplane signatures (bit-identical to the oracle's SQL
@@ -911,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows. The 12 remaining r04 rows rotate next round; the 50 r05-green
     # rows back-fill the tail (freshest evidence last).
     return {
+        # -- never driver-verified (added round 7)
+        "dedup_spans": q_dedup_spans,
         # -- never driver-verified (added round 6)
         "dedup_srp_scaled": q_dedup_srp_scaled,
         # -- last driver-checked in r03 (oldest evidence)
@@ -1809,6 +1819,41 @@ def oracle_sql() -> dict[str, str]:
             FROM o JOIN tot t ON o.doc_id = t.doc_id""",
         "dedup_srp": _srp_sql(16, 4),
         "dedup_srp_scaled": _srp_sql(96, 8),
+        "dedup_spans": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS x,
+                     len(string_split_regex(text, '\s+')) AS n
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(x[i + 1 : i + 8], ' ')) AS gh
+              FROM d, unnest(generate_series(0, n - 8)) AS u(i)
+              WHERE n >= 8),
+            dup AS (
+              SELECT gh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+              FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (SELECT g.doc_id, g.pos, dup.nd FROM g JOIN dup USING (gh)),
+            e AS (
+              SELECT doc_id, pos, nd,
+                     MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM m),
+            s AS (
+              SELECT doc_id, pos, nd,
+                     CASE WHEN prev_end IS NULL OR pos > prev_end
+                          THEN 1 ELSE 0 END AS new_span
+              FROM e),
+            grp AS (
+              SELECT doc_id, pos, nd,
+                     SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS gid
+              FROM s)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(MAX(nd) AS BIGINT) AS nd_max
+            FROM grp GROUP BY doc_id, gid""",
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},
             blocked AS (

@@ -1356,6 +1356,86 @@ def chunk_dedup_apply(documents: DataFrame, chunk_tokens: int = 40) -> DataFrame
     )
 
 
+def duplicated_spans(
+    documents: DataFrame, w: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact repeated-SPAN detection — the distributed re-expression of
+    suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): hash every w-token
+    ROLLING window (stride 1), mark each window whose hash occurs in >=
+    `min_docs` distinct documents, then merge overlapping marked windows
+    per document into MAXIMAL duplicated spans via the standard SQL
+    interval-merge (running max of window end; a window starting past
+    every previous end opens a new span).
+
+    Complements :func:`chunk_level_dedup` (disjoint 40-token chunks): the
+    chunk pass is alignment-SENSITIVE — a one-token prefix shift moves
+    every chunk boundary and hides the repeat — while rolling grams are
+    alignment-free, the property that makes the suffix-array formulation
+    the published gold standard for training-corpus cleaning. w=50 in the
+    paper; the default here is sized to the synthetic corpus (reference
+    analog: none — extension surface beyond FlinkProject's operators).
+
+    Scale posture: gram rows are LINEAR in corpus tokens (one row per
+    position — this pipeline never materializes pairs, so a hot
+    boilerplate gram costs df rows, not df^2); the df count is one
+    hash-groupBy on the gram hash with map-side partial aggregation; the
+    dup-hash join is a hash-keyed equi-join (AQE broadcasts it when the
+    duplicated-gram set is small); span assembly shuffles per-doc rows
+    once, group size bounded by document length. The gram text itself is
+    dropped at the md5 — the shuffled rows are (doc_id, pos, 32-char
+    hash), w-independent width.
+
+    Emits one row per maximal span: (doc_id, span_start, span_len,
+    n_grams, nd_max) — start token index, tokens covered, member
+    windows, and the worst cross-document multiplicity inside the span.
+    """
+    tok = documents.withColumn("x", tokens("text")).select(
+        "doc_id", F.posexplode("x").alias("pos", "w0")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w0", k).over(win).alias(f"w{k}") for k in range(1, w)]
+    grams = tok.select("doc_id", "pos", "w0", *leads).filter(
+        F.col(f"w{w-1}").isNotNull()
+    )
+    gh = grams.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", *[f"w{k}" for k in range(w)])).alias("gh"),
+    )
+    dup = (
+        gh.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    marked = gh.join(dup, "gh").select("doc_id", "pos", "nd")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = (
+        marked.withColumn("prev_end", F.max(F.col("pos") + w).over(prev))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("gid", F.sum("new_span").over(run))
+    )
+    return spans.groupBy("doc_id", "gid").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + w - F.min("pos")).cast("bigint").alias("span_len"),
+        F.count("*").alias("n_grams"),
+        F.max("nd").alias("nd_max"),
+    ).select("doc_id", "span_start", "span_len", "n_grams", "nd_max")
+
+
 def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
     """Near-exact dedup: canonicalize text (lowercase, strip non-alnum,
     collapse whitespace) BEFORE hashing — the cheap pass that catches

@@ -979,6 +979,81 @@ def test_chunk_dedup_apply_strips_boilerplate_keeps_one_copy(spark):
     assert out[3].clean_text == uniq and out[3].n_chunks_dropped == 0
 
 
+# --- exact repeated-span detection (rolling-gram substring dedup) ------------
+
+def test_duplicated_spans_alignment_free(spark):
+    """A 20-token block shared at DIFFERENT offsets (5 in doc 1, 0 in
+    doc 2) surfaces as one maximal span per doc with exact start/length —
+    the case the disjoint-chunk pass misses whenever boundaries shift."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(5)) + " " + shared + " "
+             + " ".join(f"a{i}" for i in range(5, 10)), "en"),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(10)), "en"),
+            (3, " ".join(f"c{i}" for i in range(30)), "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicated_spans(docs).collect()}
+    assert set(out) == {1, 2}  # doc 3 contributes nothing
+    # doc 1: duplicated windows start at 5..17 (those fully inside the
+    # shared block) -> one merged span covering exactly the block
+    assert (out[1].span_start, out[1].span_len, out[1].n_grams) == (5, 20, 13)
+    assert (out[2].span_start, out[2].span_len, out[2].n_grams) == (0, 20, 13)
+    assert out[1].nd_max == 2 and out[2].nd_max == 2
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    """Two repeats separated by a gap SHORTER than the window width merge
+    (their covered token ranges overlap); a gap >= w keeps them apart."""
+    blk_a = " ".join(f"p{i}" for i in range(8))
+    blk_b = " ".join(f"q{i}" for i in range(8))
+    # doc 1/2 share blk_a .. 4-token gap .. blk_b  (gap < w=8 -> windows
+    # [0,8) and [12,20) overlap? no - but gap tokens differ per doc, so
+    # only the two blocks are duplicated; ranges [0,8) and [12,20) do NOT
+    # overlap -> two spans. doc 3/4 share the blocks back-to-back -> the
+    # whole 16-token run is shared -> one span.
+    docs = spark.createDataFrame(
+        [
+            (1, blk_a + " g1a g2a g3a g4a " + blk_b, "en"),
+            (2, blk_a + " g1b g2b g3b g4b " + blk_b, "en"),
+            (3, blk_a + " " + blk_b + " t1a t2a t3a t4a t5a t6a t7a t8a", "en"),
+            (4, blk_a + " " + blk_b + " u1b u2b u3b u4b u5b u6b u7b u8b", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = dedup.duplicated_spans(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # docs 1/2: blk_a and blk_b are each one exact window (len 8); the
+    # gap differs, so two separate spans of len 8
+    for d in (1, 2):
+        spans = sorted((r.span_start, r.span_len) for r in by_doc[d])
+        assert spans == [(0, 8), (12, 8)]
+    # docs 3/4: contiguous 16 shared tokens -> every window 0..8 is
+    # duplicated -> ONE merged span of len 16
+    for d in (3, 4):
+        assert [(r.span_start, r.span_len) for r in by_doc[d]] == [(0, 16)]
+
+
+def test_duplicated_spans_corpus_matches_island_invariants(tables):
+    """Corpus-level sanity: spans are disjoint per doc (merge is maximal),
+    each covers >= w tokens, n_grams == span_len - w + 1 for solid spans
+    (every position marked) and never exceeds it."""
+    out = dedup.duplicated_spans(tables["documents"]).toPandas()
+    assert len(out) > 0
+    assert (out["span_len"] >= 8).all()
+    assert (out["n_grams"] <= out["span_len"] - 8 + 1).all()
+    assert (out["nd_max"] >= 2).all()
+    for _, g in out.groupby("doc_id"):
+        s = g.sort_values("span_start")
+        starts, lens = s["span_start"].tolist(), s["span_len"].tolist()
+        for (st, ln), nxt in zip(zip(starts, lens), starts[1:]):
+            assert st + ln < nxt  # disjoint AND non-adjacent (else merged)
+
+
 # --- SRP-LSH embedding near-dup ----------------------------------------------
 
 def test_srp_signatures_deterministic_and_complete(tables):

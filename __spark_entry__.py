@@ -392,6 +392,28 @@ def q_ann_recall_report(spark, sf):
     return out.select("query_id", F.round("recall", 6).alias("recall"))
 
 
+def q_sim_topk_pq(spark, sf):
+    """Product-quantization ANN with ADC shortlist + exact rerank
+    (similarity.pq_adc_topk): candidates scored from m=16 6-bit codes via
+    a broadcast lookup table, ADC top-100 re-scored with true vectors —
+    the compressed-index serving path (Jegou et al. 2011), deterministic
+    end-to-end via the int64 quantization contract."""
+    out = similarity.pq_adc_topk(_t(spark, sf, "embeddings"), QUERY_IDS, rerank=100)
+    return out
+
+
+def q_pq_recall_report(spark, sf):
+    """Recall@10 of the PQ+rerank tier against the exact brute-force
+    ground truth — the calibration row that justifies the (m, bits,
+    shortlist) knobs, oracle-checked because both pipelines are
+    DuckDB-reproducible."""
+    emb = _t(spark, sf, "embeddings")
+    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
+    approx = similarity.pq_adc_topk(emb, QUERY_IDS, rerank=100)
+    out = similarity.recall_at_k(approx, exact, k=10)
+    return out.select("query_id", F.round("recall", 6).alias("recall"))
+
+
 def q_sim_topk_bruteforce(spark, sf):
     out = similarity.cosine_topk_bruteforce(_t(spark, sf, "embeddings"), QUERY_IDS)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -921,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified (added round 7)
         "dedup_spans": q_dedup_spans,
+        "sim_topk_pq": q_sim_topk_pq,
+        "pq_recall_report": q_pq_recall_report,
         # -- never driver-verified (added round 6)
         "dedup_srp_scaled": q_dedup_srp_scaled,
         # -- last driver-checked in r03 (oldest evidence)
@@ -1376,6 +1400,95 @@ def _ann_recall_sql() -> str:
     return f"""
 WITH ex AS ({_topk_sql(cell_pruned=False).strip()}),
 ap AS ({_topk_nprobe_sql().strip()}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM ex e JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1),
+base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+SELECT b.query_id,
+       round(COALESCE(h.n_hit, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
+def _pq_sql(m: int = 16, bits: int = 6, rerank: int = 100, k: int = 10) -> str:
+    """Oracle twin of similarity.pq_adc_topk(rerank=R): regenerates the
+    md5-derived per-subspace hyperplanes, the int64 quantization, codes,
+    codebook sums, the ADC table ((int dot / n) / 1e6 — the same two IEEE
+    divisions), the FIXED-ORDER m-term score sum (explicit left-assoc
+    `+` chain, never a commutative SUM), the ADC shortlist, and the exact
+    rerank with the brute-force tier's rounded-cosine contract."""
+    sub = 64 // m
+    qids = ", ".join(str(i) for i in QUERY_IDS)
+    t_sum = " + ".join(f"SUM(CASE WHEN blk = {b} THEN term END)" for b in range(m))
+    dot = _DOT.format(a="eq.embedding", b="ec.embedding")
+    qn = _NORM.format(a="eq.embedding")
+    cn = _NORM.format(a="ec.embedding")
+    return f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+proj AS (
+  SELECT b.blk, t.t, j.j,
+         (('0x' || substr(md5('pq:' || b.blk || ':' || j.j || ':' || t.t), 1, 15))::BIGINT
+          % 2001) - 1000 AS p
+  FROM range(0, {m}) b(blk), range(0, {bits}) j(j), range(0, {sub}) t(t)),
+dots AS (
+  SELECT qz.vec_id, pr.blk, pr.j,
+         SUM(qz.qv[pr.blk * {sub} + pr.t + 1] * pr.p) AS s
+  FROM qz, proj pr GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, blk,
+         SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS code
+  FROM dots GROUP BY 1, 2),
+cb AS (
+  SELECT c.blk, c.code, t.t,
+         SUM(qz.qv[c.blk * {sub} + t.t + 1]) AS s,
+         COUNT(*) AS n
+  FROM codes c JOIN qz USING (vec_id) CROSS JOIN range(0, {sub}) t(t)
+  GROUP BY 1, 2, 3),
+adc AS (
+  SELECT q2.vec_id AS query_id, cb.blk, cb.code,
+         (CAST(SUM(q2.qv[cb.blk * {sub} + cb.t + 1] * cb.s) AS DOUBLE)
+          / CAST(MAX(cb.n) AS DOUBLE)) / 1000000.0 AS term
+  FROM qz q2 CROSS JOIN cb
+  WHERE q2.vec_id IN ({qids})
+  GROUP BY 1, 2, 3),
+pairs AS (
+  SELECT a.query_id, c.vec_id AS neighbor_id, a.blk, a.term
+  FROM codes c JOIN adc a ON a.blk = c.blk AND a.code = c.code
+  WHERE c.vec_id <> a.query_id),
+sc AS (
+  SELECT query_id, neighbor_id, round({t_sum}, 6) AS adc_score
+  FROM pairs GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id, adc_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_score DESC, neighbor_id) AS srank
+  FROM sc QUALIFY srank <= {rerank})
+SELECT s.query_id,
+       row_number() OVER (PARTITION BY s.query_id
+                          ORDER BY round(({dot}) / (({qn}) * ({cn})), 6) DESC,
+                                   s.neighbor_id) AS rank,
+       s.neighbor_id,
+       round(({dot}) / (({qn}) * ({cn})), 6) AS cosine
+FROM short s
+JOIN embeddings eq ON eq.vec_id = s.query_id
+JOIN embeddings ec ON ec.vec_id = s.neighbor_id
+QUALIFY rank <= {k}
+"""
+
+
+def _pq_recall_sql() -> str:
+    """Oracle twin of q_pq_recall_report: the exact brute-force and the
+    PQ-rerank pipelines as CTEs, then per-query |exact ∩ pq| / |exact| —
+    the same shape as _ann_recall_sql."""
+    return f"""
+WITH ex AS ({_topk_sql(cell_pruned=False).strip()}),
+ap AS ({_pq_sql().strip()}),
 hits AS (
   SELECT e.query_id, COUNT(*) AS n_hit
   FROM ex e JOIN ap a
@@ -2088,6 +2201,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 10""",
         "sim_topk_bruteforce": _topk_sql(cell_pruned=False),
         "ann_recall_report": _ann_recall_sql(),
+        "sim_topk_pq": _pq_sql(),
+        "pq_recall_report": _pq_recall_sql(),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
         "sim_topk_ivf_nprobe": _topk_nprobe_sql(),

@@ -1841,6 +1841,80 @@ def test_ivf_trained_cells_beat_single_arbitrary_cell(tables):
     assert rt >= rs
 
 
+# --- product quantization (ADC + rerank) -----------------------------------
+
+def test_pq_encode_deterministic_complete_in_range(tables):
+    """Exact-integer pipeline: two runs bit-identical; one row per
+    (vector, block); codes inside [0, 2^bits); qsub carries the
+    quantized subvector (sub_dim ints)."""
+    emb = tables["embeddings"]
+    a = (similarity.pq_encode(emb).toPandas()
+         .sort_values(["vec_id", "block"]).reset_index(drop=True))
+    b = (similarity.pq_encode(emb).toPandas()
+         .sort_values(["vec_id", "block"]).reset_index(drop=True))
+    assert a[["vec_id", "block", "code"]].equals(b[["vec_id", "block", "code"]])
+    n = emb.count()
+    assert len(a) == n * 16
+    assert a["code"].between(0, 63).all()
+    assert (a["qsub"].map(len) == 4).all()
+
+
+def test_pq_codebook_sums_are_exact_totals(tables):
+    """Codebook invariant: per block, the member counts sum to the
+    collection size and the per-dim sums total the whole collection's
+    quantized mass (nothing dropped or double-counted by the cell
+    partition)."""
+    emb = tables["embeddings"]
+    enc = similarity.pq_encode(emb)
+    cb = similarity.pq_codebook(enc).toPandas()
+    n = emb.count()
+    for _, g in cb.groupby("block"):
+        assert g["n"].sum() == n
+    # total quantized mass per block from the encode rows matches the
+    # codebook's summed S vectors
+    ex = enc.select("block", F.posexplode("qsub").alias("t", "qv"))
+    tot = {r.block: r.s for r in
+           ex.groupBy("block").agg(F.sum("qv").alias("s")).collect()}
+    for blk, g in cb.groupby("block"):
+        assert sum(sum(s) for s in g["S"]) == tot[blk]
+
+
+def test_pq_rerank_finds_planted_near_duplicate(spark):
+    """A vector that is a tiny perturbation of another must come back as
+    its rerank top-1 with the exact cosine: the ADC shortlist surfaces
+    it, the refine stage scores it with true vectors."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    twin = [v + 0.001 for v in base[0]]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    rows.append((99, [float(x) for x in twin], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = similarity.pq_adc_topk(emb, [0], k=3, rerank=20).collect()
+    top1 = next(r for r in out if r.rank == 1)
+    assert top1.neighbor_id == 99
+    assert top1.cosine > 0.999
+
+
+def test_pq_rerank_recall_beats_raw_adc(tables):
+    """The refine stage is the point: recall@10 with the ADC top-100
+    shortlist re-scored exactly must beat the raw ADC ranking and clear
+    the measured floor (0.88 on this sf0.001 corpus, 0.98 at sf0.01;
+    assert >= 0.85 to absorb future data regeneration)."""
+    emb = tables["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk_bruteforce(emb, qids)
+    raw = similarity.pq_adc_topk(emb, qids)
+    rer = similarity.pq_adc_topk(emb, qids, rerank=100)
+    r_raw = similarity.recall_at_k(raw, exact).agg(F.avg("recall")).first()[0]
+    r_rer = similarity.recall_at_k(rer, exact).agg(F.avg("recall")).first()[0]
+    assert r_rer >= r_raw
+    assert r_rer >= 0.85
+
+
 # --- semdedup / dsir / zipf / split leakage (round-4 additions) ------------
 
 def test_semdedup_keeps_component_minimum_and_isolated_vectors(tables):

@@ -39,7 +39,7 @@ BNLJ_ALLOWED = {
     "dedup_minhash_xx", "minhash_pr_report",
     # composes cosine_topk_bruteforce (the allowed tiny-query-set BNL)
     # as its exact ground-truth side
-    "ann_recall_report",
+    "ann_recall_report", "pq_recall_report",
 }
 
 
@@ -132,6 +132,29 @@ def test_ivf_partial_topk_prunes_before_global_rank(plans, name):
     nodes = {m.group(2): int(m.group(1))
              for m in re.finditer(r"\((\d+)\) (\w+)", p)}
     assert nodes["MapInPandas"] < nodes["Window"], f"{name}: pruning not upstream of rank"
+
+
+def test_pq_adc_join_is_broadcast_never_data_shuffle(plans):
+    """sim_topk_pq: the ADC lookup table (Q x m x 2^bits rows) must
+    broadcast onto the code stream, and the candidate side must never
+    sort-merge — a shuffle of the code rows to meet a kilobyte-scale
+    table is exactly the anti-pattern ADC exists to avoid. The rerank
+    stage likewise broadcasts the Q x R shortlist ids and query vectors."""
+    p = plans["sim_topk_pq"]
+    assert "BroadcastHashJoin" in p, "ADC/rerank joins lost their broadcast"
+    assert "SortMergeJoin" not in p, "candidate codes are being shuffle-joined"
+
+
+def test_dedup_spans_scan_prunes_and_no_data_join_shuffle(plans):
+    """dedup_spans: the documents scan must read only (doc_id, text) —
+    span detection never needs lang/source/n_chars — and the dup-hash
+    join must stay hash-keyed (broadcast or shuffled-hash), never
+    sort-merge over the gram stream."""
+    p = plans["dedup_spans"]
+    scan = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan and "n_chars" not in scan
+    assert "SortMergeJoin" not in p
 
 
 def test_corpus_sample_prunes_text_column(plans):

@@ -1390,6 +1390,22 @@ def duplicated_spans(
     n_grams, nd_max) — start token index, tokens covered, member
     windows, and the worst cross-document multiplicity inside the span.
     """
+    gh = span_gram_rows(documents, w)
+    dup = (
+        gh.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    marked = gh.join(dup, "gh").select("doc_id", "pos", "nd")
+    return merge_marked_spans(marked, w)
+
+
+def span_gram_rows(documents: DataFrame, w: int = 8) -> DataFrame:
+    """(doc_id, pos, gh) rows: the md5 of every rolling w-token window,
+    keyed by its start token index — the posexplode+lead codegen form
+    (see _shingle_rows for why not the higher-order-function form).
+    Shared by the batch detector (duplicated_spans) and the streaming
+    incremental index (streaming.sinks.span_incremental_writer)."""
     tok = documents.withColumn("x", tokens("text")).select(
         "doc_id", F.posexplode("x").alias("pos", "w0")
     )
@@ -1398,17 +1414,18 @@ def duplicated_spans(
     grams = tok.select("doc_id", "pos", "w0", *leads).filter(
         F.col(f"w{w-1}").isNotNull()
     )
-    gh = grams.select(
+    return grams.select(
         "doc_id",
         "pos",
         F.md5(F.concat_ws(" ", *[f"w{k}" for k in range(w)])).alias("gh"),
     )
-    dup = (
-        gh.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-    )
-    marked = gh.join(dup, "gh").select("doc_id", "pos", "nd")
+
+
+def merge_marked_spans(marked: DataFrame, w: int = 8) -> DataFrame:
+    """(doc_id, pos, nd) marked-window rows -> maximal merged spans
+    (doc_id, span_start, span_len, n_grams, nd_max) via the running-max
+    interval merge (windows at p and p' overlap iff |p - p'| < w, so
+    adjacency is 'starts at or before the previous running end')."""
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

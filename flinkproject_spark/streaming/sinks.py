@@ -809,6 +809,80 @@ def srp_incremental_writer(
     return fn
 
 
+def span_incremental_writer(
+    gram_index_path: str, spans_path: str, w: int = 8
+) -> Callable[[DataFrame, int], None]:
+    """Ingest-time repeated-SPAN detection: the streaming twin of
+    operators.dedup.duplicated_spans. Each micro-batch's rolling w-token
+    gram hashes (span_gram_rows) are matched against the PERSISTED
+    corpus gram index AND cross-document within the batch; matched
+    windows merge into maximal spans (merge_marked_spans — identical
+    interval-merge semantics to the batch operator) which append to
+    `spans_path`, and the batch's distinct (doc_id, gh) rows append to
+    the index. Join work is O(batch x gram collisions) per trigger; the
+    flat-parquet index re-scan carries the same caveat as
+    srp_incremental_writer — at scale store the index partitioned/
+    bucketed on gh so the read prunes to the hashes the batch touches.
+
+    Semantics are ONE-SIDED by design: a span records that an ingested
+    document repeats content seen at-or-before its ingest time; the
+    earlier document gets no retroactive span (exactly
+    incremental_dedup's keeper rule). Within a single batch matching is
+    symmetric, so a one-batch run reproduces the batch operator's output
+    row-for-row (pinned by test). nd_max counts the distinct documents
+    sharing the span's worst gram INCLUDING the owner, matching the
+    batch operator's multiplicity column.
+
+    This writer ANNOTATES rather than gates: every document's grams join
+    the index regardless of spans (a span is a quality signal — scrub or
+    drop decisions belong to the corpus pipeline composing this sink
+    with the gates it already has).
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from flinkproject_spark.operators.dedup import (
+            merge_marked_spans,
+            span_gram_rows,
+        )
+
+        spark = batch.sparkSession
+        gh = span_gram_rows(batch, w).localCheckpoint(eager=True)
+        try:
+            idx = spark.read.parquet(gram_index_path)
+        except AnalysisException:
+            logging.getLogger(__name__).info(
+                "span_incremental_writer batch %d: no index at %s yet; "
+                "within-batch matching only",
+                batch_id,
+                gram_index_path,
+            )
+            idx = None
+        other = gh.select(F.col("doc_id").alias("doc_b"), "gh")
+        matches = (
+            gh.join(other, "gh")
+            .filter(F.col("doc_id") != F.col("doc_b"))
+            .select("doc_id", "pos", "doc_b")
+        )
+        if idx is not None:
+            m_idx = (
+                gh.join(idx.withColumnRenamed("doc_id", "doc_b"), "gh")
+                .filter(F.col("doc_id") != F.col("doc_b"))  # re-ingest guard
+                .select("doc_id", "pos", "doc_b")
+            )
+            matches = matches.unionByName(m_idx)
+        marked = matches.groupBy("doc_id", "pos").agg(
+            (F.countDistinct("doc_b") + 1).alias("nd")
+        )
+        merge_marked_spans(marked, w).write.mode("append").parquet(spans_path)
+        gh.select("doc_id", "gh").distinct().write.mode("append").parquet(
+            gram_index_path
+        )
+
+    return fn
+
+
 def _scoring_split_writer(
     corpus_path: str,
     side_suffix: str,

@@ -1285,6 +1285,95 @@ def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_pa
     assert idx.count() == idx.distinct().count() == len(want)
 
 
+def test_span_incremental_single_batch_matches_batch_operator(spark, sf_dir, tmp_path):
+    """One-batch run of the span sink == the batch detector row-for-row:
+    within a batch the matching is symmetric, so the incremental form
+    must reproduce duplicated_spans exactly (spans AND nd multiplicity)."""
+    from flinkproject_spark.operators import dedup as dedup_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    spans = str(tmp_path / "spans")
+    index = str(tmp_path / "gramidx")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.span_incremental_writer(index, spans)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(spans).collect()}
+    want = {tuple(r) for r in dedup_ops.duplicated_spans(docs).collect()}
+    assert got == want
+    # index holds one row per distinct (doc, gram hash)
+    idx = spark.read.parquet(index)
+    assert idx.count() == idx.distinct().count()
+
+
+def test_span_incremental_is_one_sided_across_batches(spark, tmp_path):
+    """Batch 1 ingests unique docs (no spans, index populated); batch 2
+    brings a doc repeating a 12-token block from batch 1 — exactly that
+    doc gets exactly that span; the earlier doc is never retroactively
+    annotated and the batch-2 unique doc stays clean."""
+    import shutil
+    import time as _time
+
+    block = " ".join(f"s{i}" for i in range(12))
+    b0 = spark.createDataFrame(
+        [
+            (1, block + " " + " ".join(f"a{i}" for i in range(6)), "en"),
+            (2, " ".join(f"b{i}" for i in range(20)), "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, " ".join(f"c{i}" for i in range(3)) + " " + block + " "
+             + " ".join(f"d{i}" for i in range(5)), "en"),
+            (4, " ".join(f"e{i}" for i in range(20)), "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = _time.time() - 100
+    for i, b in enumerate((b0, b1)):
+        part = str(tmp_path / f"p{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.move(os.path.join(part, pf), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    spans = str(tmp_path / "spans")
+    index = str(tmp_path / "gramidx")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.span_incremental_writer(index, spans)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = [tuple(r) for r in spark.read.parquet(spans).collect()]
+    # doc 3's block sits at token offset 3; w=8 windows fully inside a
+    # 12-token block start at 3..7 -> span (start 3, len 12, 5 grams),
+    # shared with exactly one other doc
+    assert got == [(3, 3, 12, 5, 2)]
+
+
 # --- late-data semantics (SURVEY §2E): eviction-based late drop -------------
 
 def test_late_data_semantics_eviction_based(spark, tmp_path):

@@ -70,6 +70,10 @@ HEADLINE = [
     # the oracle-verified scale knob (96 bits / 8 bands) next to the
     # fixed 16/4 calibration it remedies
     "dedup_srp_scaled",
+    # round-7 additions: rolling-gram span dedup (df-sensitive posting
+    # stage) and the PQ/ADC+rerank ANN tier (fixed-R refine stage)
+    "dedup_spans",
+    "sim_topk_pq",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

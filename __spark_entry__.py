@@ -348,6 +348,13 @@ def q_dedup_spans(spark, sf):
     return dedup.duplicated_spans(_t(spark, sf, "documents"))
 
 
+def q_dedup_spans_apply(spark, sf):
+    """Repeated-span dedup APPLICATION: strip duplicated spans from
+    non-keeper documents at token granularity (keeper windows protect
+    their copy) and reassemble clean text (dedup.span_dedup_apply)."""
+    return dedup.span_dedup_apply(_t(spark, sf, "documents"))
+
+
 def q_dedup_srp(spark, sf):
     """Embedding near-dup via signed-random-projection LSH: int64-exact
     quantized hyperplane signatures (bit-identical to the oracle's SQL
@@ -943,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-verified (added round 7)
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_apply": q_dedup_spans_apply,
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
         # -- never driver-verified (added round 6)
@@ -1967,6 +1975,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_grams,
                    CAST(MAX(nd) AS BIGINT) AS nd_max
             FROM grp GROUP BY doc_id, gid""",
+        "dedup_spans_apply": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS x,
+                     len(string_split_regex(text, '\s+')) AS n
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(x[i + 1 : i + 8], ' ')) AS gh
+              FROM d, unnest(generate_series(0, n - 8)) AS u(i)
+              WHERE n >= 8),
+            own AS (
+              SELECT gh, MIN(doc_id) AS min_owner
+              FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (
+              SELECT g.doc_id, g.pos,
+                     (g.doc_id = own.min_owner) AS is_keeper
+              FROM g JOIN own USING (gh)),
+            cov AS (
+              SELECT doc_id, pos + off AS t, is_keeper
+              FROM m, unnest(generate_series(0, 7)) AS u(off)),
+            flags AS (
+              SELECT doc_id, t,
+                     MAX(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS any_keeper,
+                     MAX(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS any_rem
+              FROM cov GROUP BY 1, 2),
+            tok AS (
+              SELECT doc_id, i - 1 AS t, x[i] AS tok
+              FROM d, unnest(generate_series(1, n)) AS u(i)),
+            kept AS (
+              SELECT tok.doc_id, tok.t, tok.tok
+              FROM tok LEFT JOIN flags USING (doc_id, t)
+              WHERE NOT COALESCE(any_rem = 1 AND any_keeper = 0, FALSE)),
+            tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tok GROUP BY 1),
+            o AS (
+              SELECT doc_id,
+                     array_to_string(list(tok ORDER BY t), ' ') AS clean_text,
+                     COUNT(*) AS n_tokens_kept
+              FROM kept GROUP BY 1)
+            SELECT o.doc_id, o.clean_text,
+                   CAST(o.n_tokens_kept AS BIGINT) AS n_tokens_kept,
+                   CAST(t.n_total - o.n_tokens_kept AS BIGINT) AS n_tokens_dropped
+            FROM o JOIN tot t ON o.doc_id = t.doc_id""",
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},
             blocked AS (

@@ -1453,6 +1453,71 @@ def merge_marked_spans(marked: DataFrame, w: int = 8) -> DataFrame:
     ).select("doc_id", "span_start", "span_len", "n_grams", "nd_max")
 
 
+def span_dedup_apply(documents: DataFrame, w: int = 8) -> DataFrame:
+    """APPLY repeated-span dedup: strip duplicated spans from every
+    document EXCEPT each gram's corpus-wide keeper (the minimum doc_id
+    holding it), keeping exactly one copy of repeated content in the
+    corpus — the scrub step of suffix-array substring dedup (Lee et al.
+    2022 cut duplicated spans the same way; chunk_dedup_apply is the
+    disjoint-chunk analog of this rolling-window form).
+
+    Token-level rule: a token is DROPPED when at least one duplicated
+    window covering it is a non-keeper copy and NO covering duplicated
+    window is keeper-owned by this document (keeper windows protect
+    their tokens, so the retained copy survives even where spans
+    overlap). Documents whose every token is dropped vanish from the
+    output; count columns make the removal auditable.
+
+    Scale: the same linear gram pipeline as duplicated_spans plus a
+    w-bounded coverage explode (each marked window marks <= w token
+    rows — never a pair expansion), one (doc_id, t) flag aggregation,
+    and a per-doc reassembly groupBy whose group size is bounded by
+    document length (array_sort over (t, token) structs, never a
+    window). Returns (doc_id, clean_text, n_tokens_kept,
+    n_tokens_dropped)."""
+    gh = span_gram_rows(documents, w)
+    own = (
+        gh.groupBy("gh")
+        .agg(F.min("doc_id").alias("min_owner"), F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    marked = gh.join(own, "gh").select(
+        "doc_id", "pos", (F.col("doc_id") == F.col("min_owner")).alias("is_keeper")
+    )
+    cov = marked.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("t"),
+        "is_keeper",
+    )
+    flags = cov.groupBy("doc_id", "t").agg(
+        F.max(F.col("is_keeper").cast("int")).alias("any_keeper"),
+        F.max((~F.col("is_keeper")).cast("int")).alias("any_rem"),
+    )
+    tok = documents.withColumn("x", tokens("text")).select(
+        "doc_id", F.posexplode("x").alias("t", "tok")
+    )
+    joined = tok.join(flags, ["doc_id", "t"], "left")
+    kept = joined.filter(
+        ~F.coalesce(
+            (F.col("any_rem") == 1) & (F.col("any_keeper") == 0), F.lit(False)
+        )
+    )
+    totals = tok.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    out = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.collect_list(F.struct("t", "tok"))).getField("tok"),
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens_kept"),
+    )
+    return out.join(totals, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_tokens_kept",
+        (F.col("n_total") - F.col("n_tokens_kept")).alias("n_tokens_dropped"),
+    )
+
+
 def normalized_exact_dedup(documents: DataFrame) -> DataFrame:
     """Near-exact dedup: canonicalize text (lowercase, strip non-alnum,
     collapse whitespace) BEFORE hashing — the cheap pass that catches

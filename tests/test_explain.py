@@ -157,6 +157,15 @@ def test_dedup_spans_scan_prunes_and_no_data_join_shuffle(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_dedup_spans_apply_scan_prunes_metadata(plans):
+    """dedup_spans_apply: same (doc_id, text)-only scan discipline as the
+    detector — the scrub never reads lang/source/n_chars."""
+    p = plans["dedup_spans_apply"]
+    scan = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan and "n_chars" not in scan
+
+
 def test_corpus_sample_prunes_text_column(plans):
     """The sampling predicate hashes doc_id only and the output carries no
     text — the scan must not read the corpus's heaviest column."""

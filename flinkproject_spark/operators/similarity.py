@@ -550,7 +550,11 @@ def pq_adc_topk(
     from functools import reduce
 
     shortlist_k = rerank if rerank is not None else k
-    enc = pq_encode(embeddings, m, bits).persist()  # codebook + queries + candidates
+    # The persist feeds three branches of the ONE returned plan (codebook,
+    # query rows, candidate rows) and is reclaimed with the session — the
+    # same contract as minhash_xx_certificate; a long-lived caller
+    # embedding this in a larger job should unpersist after materializing.
+    enc = pq_encode(embeddings, m, bits).persist()
     cb = pq_codebook(enc)
     qs = enc.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "block", F.col("qsub").alias("qq")

@@ -743,3 +743,48 @@ def test_upsert_parquet_equals_last_writer_model(spark, tmp_path_factory, batche
         r.pk: r.val for r in spark.read.parquet(path).select("pk", "val").collect()
     }
     assert got == model
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=14),
+        min_size=2, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicated_spans_equals_bruteforce_on_random_corpora(spark, word_lists, w):
+    """Property: on arbitrary tiny-vocabulary corpora (dense gram
+    collisions, duplicate docs, within-doc repetition, docs shorter than
+    the window), duplicated_spans matches an independent brute-force
+    matcher exactly — spans, gram counts, and multiplicity. Within-doc
+    repetition alone must NOT mark (min_docs counts DISTINCT documents)."""
+    from flinkproject_spark.operators import dedup
+
+    rows = [(i, " ".join(ws), "en") for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {tuple(r) for r in dedup.duplicated_spans(df, w=w).collect()}
+
+    toks = {i: (ws if ws else [""]) for i, ws in enumerate(word_lists)}
+    owners: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - w + 1):
+            owners.setdefault(tuple(ts[p : p + w]), set()).add(i)
+    expect = set()
+    for i, ts in toks.items():
+        marked = [
+            (p, len(owners[tuple(ts[p : p + w])]))
+            for p in range(len(ts) - w + 1)
+            if len(owners[tuple(ts[p : p + w])]) >= 2
+        ]
+        spans: list[list[int]] = []  # [start, end_excl, n_grams, nd_max]
+        for p, nd in marked:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = p + w
+                spans[-1][2] += 1
+                spans[-1][3] = max(spans[-1][3], nd)
+            else:
+                spans.append([p, p + w, 1, nd])
+        for s, e, n, nd in spans:
+            expect.add((i, s, e - s, n, nd))
+    assert got == expect

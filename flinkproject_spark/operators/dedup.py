@@ -1502,7 +1502,12 @@ def span_dedup_apply(documents: DataFrame, w: int = 8) -> DataFrame:
             (F.col("any_rem") == 1) & (F.col("any_keeper") == 0), F.lit(False)
         )
     )
-    totals = tok.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    # n_total is a NARROW projection (array size), never a groupBy over
+    # the exploded token rows — one scan, no shuffle, joins the handful
+    # of output rows on doc_id
+    totals = documents.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_total")
+    )
     out = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",

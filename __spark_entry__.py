@@ -355,6 +355,14 @@ def q_dedup_spans_apply(spark, sf):
     return dedup.span_dedup_apply(_t(spark, sf, "documents"))
 
 
+def q_event_freq_cms(spark, sf):
+    """Count-Min Sketch heavy-hitter calibration: d x w md5-hash counters,
+    min-over-rows estimates for the exact top-20 users, overshoot and
+    soundness columns — the sketch is rebuilt bit-for-bit by the oracle
+    (relational.cms_frequency_report)."""
+    return relational.cms_frequency_report(_t(spark, sf, "events"))
+
+
 def q_dedup_srp(spark, sf):
     """Embedding near-dup via signed-random-projection LSH: int64-exact
     quantized hyperplane signatures (bit-identical to the oracle's SQL
@@ -953,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_apply": q_dedup_spans_apply,
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
+        "event_freq_cms": q_event_freq_cms,
         # -- never driver-verified (added round 6)
         "dedup_srp_scaled": q_dedup_srp_scaled,
         # -- last driver-checked in r03 (oldest evidence)
@@ -2017,6 +2026,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.n_tokens_kept AS BIGINT) AS n_tokens_kept,
                    CAST(t.n_total - o.n_tokens_kept AS BIGINT) AS n_tokens_dropped
             FROM o JOIN tot t ON o.doc_id = t.doc_id""",
+        "event_freq_cms": """
+            WITH keys AS (
+              SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+            h AS (
+              SELECT key, i,
+                     ('0x' || substr(md5('cms:' || i || ':' || key), 1, 15))::BIGINT
+                       % 256 AS bucket
+              FROM keys, range(0, 4) r(i)),
+            counters AS (SELECT i, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+            exact AS (SELECT key, COUNT(*) AS exact_ct FROM keys GROUP BY 1),
+            top AS (SELECT * FROM exact ORDER BY exact_ct DESC, key LIMIT 20),
+            est AS (
+              SELECT t.key, t.exact_ct, MIN(c.c) AS cms_est
+              FROM top t CROSS JOIN range(0, 4) r(i)
+              JOIN counters c
+                ON c.i = r.i
+               AND c.bucket = ('0x' || substr(md5('cms:' || r.i || ':' || t.key), 1, 15))::BIGINT
+                              % 256
+              GROUP BY 1, 2)
+            SELECT CAST(key AS BIGINT) AS user_id,
+                   CAST(exact_ct AS BIGINT) AS exact_ct,
+                   CAST(cms_est AS BIGINT) AS cms_est,
+                   CAST(cms_est - exact_ct AS BIGINT) AS overshoot,
+                   cms_est >= exact_ct AS sound
+            FROM est""",
         "dedup_ngram_blocked": f"""
             WITH {_SHINGLES.strip()},
             blocked AS (

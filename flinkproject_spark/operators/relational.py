@@ -320,6 +320,65 @@ def order_value_percentiles_approx(
     )
 
 
+def cms_frequency_report(
+    events: DataFrame, d: int = 4, w: int = 256, k: int = 20
+) -> DataFrame:
+    """Count-Min Sketch heavy-hitter report — the FREQUENCY member of the
+    sketch family (HLL certifies distinct counts, GK certifies
+    quantiles, CMS bounds per-key counts in fixed memory): d x w
+    counters, each event incrementing one bucket per hash row, estimate =
+    min over rows — deterministic and overestimate-only by construction
+    (Cormode & Muthukrishnan 2005).
+
+    Built on the cross-engine md5 kernel (K.hash64, 'cms:{row}:{key}'
+    namespace), so unlike Spark's opaque `count_min_sketch` binary the
+    ENTIRE sketch — counters, estimates, overshoot — is reproduced
+    bit-for-bit by the DuckDB oracle: the estimates themselves are
+    value-verified, not just certified through a flag.
+
+    Scale posture: the counter build is one narrow x`d` explode and ONE
+    groupBy over (row, bucket) — d*w counters total, map-side partial
+    aggregation, mergeable across partitions/streams by addition (the
+    property that makes CMS the streaming heavy-hitter structure). The
+    top-k exact side aggregates per key then uses orderBy+limit (Spark
+    compiles TakeOrdered — per-partition top-k, never a global sort);
+    ties break on the STRING key so both engines rank identically. The
+    exact counts exist to measure the sketch (this is a calibration
+    report, cf. minhash_pr_report); production reads estimates alone.
+
+    Returns (user_id, exact_ct, cms_est, overshoot, sound): overshoot =
+    collision inflation (0 = no colliding keys in any of the d rows),
+    sound = est >= exact, TRUE by construction — a FALSE row means the
+    hash wiring is broken, which is exactly what the oracle would catch.
+    """
+    keys = events.select(F.col("user_id").cast("string").alias("key"))
+    bucket = lambda key_col, i_col: F.pmod(  # noqa: E731
+        K.hash64(F.concat(F.lit("cms:"), i_col.cast("string"), F.lit(":"), key_col)),
+        F.lit(w),
+    )
+    hashed = keys.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    ).withColumn("bucket", bucket(F.col("key"), F.col("i")))
+    counters = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    exact = keys.groupBy("key").agg(F.count("*").alias("exact_ct"))
+    top = exact.orderBy(F.desc("exact_ct"), F.asc("key")).limit(k)
+    probes = top.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    ).withColumn("bucket", bucket(F.col("key"), F.col("i")))
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("key", "exact_ct")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "exact_ct",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_ct")).alias("overshoot"),
+        (F.col("cms_est") >= F.col("exact_ct")).alias("sound"),
+    )
+
+
 def daily_event_type_pivot(events: DataFrame) -> DataFrame:
     """Per-day crosstab: one column per event type with summed values — the
     dashboard pivot the reference's serving layer reshapes driver-side

@@ -883,6 +883,61 @@ def span_incremental_writer(
     return fn
 
 
+def cms_incremental_writer(
+    counters_path: str, d: int = 4, w: int = 256
+) -> Callable[[DataFrame, int], None]:
+    """Streaming Count-Min Sketch: per micro-batch compute the batch's
+    (row, bucket) counter DELTAS (operators.relational.cms_frequency_report
+    hashing, one narrow explode + one groupBy per trigger) and append
+    them tagged with the batch id. CMS counters merge by ADDITION, so the
+    serving sketch is a sum over deltas — read it with
+    :func:`read_cms_counters`, which first collapses duplicate
+    (batch_id, row, bucket) rows. That makes the sink idempotent under
+    foreachBatch retries: a replayed batch recomputes the SAME delta rows
+    (the hashing is deterministic), the reader drops the duplicates, and
+    the merged sketch is exactly the one-shot batch sketch — the
+    append-with-id + dedup-on-read discipline, proven by the replay test
+    the same way the staged-commit JDBC sink is.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark import functions as K
+
+        keys = batch.select(F.col("user_id").cast("string").alias("key"))
+        hashed = keys.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+        ).withColumn(
+            "bucket",
+            F.pmod(
+                K.hash64(
+                    F.concat(
+                        F.lit("cms:"), F.col("i").cast("string"),
+                        F.lit(":"), F.col("key"),
+                    )
+                ),
+                F.lit(w),
+            ),
+        )
+        deltas = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+        deltas.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            counters_path
+        )
+
+    return fn
+
+
+def read_cms_counters(spark, counters_path: str) -> DataFrame:
+    """Merged CMS counters from the delta log: collapse replayed batches
+    (identical (batch_id, i, bucket) rows — deterministic recomputation —
+    so MAX of the duplicate values is the one true delta), then sum
+    across batches. Returns (i, bucket, c) — the same shape
+    cms_frequency_report's internal counter table has, ready for
+    min-over-rows estimates."""
+    raw = spark.read.parquet(counters_path)
+    per_batch = raw.groupBy("batch_id", "i", "bucket").agg(F.max("c").alias("c"))
+    return per_batch.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+
+
 def _scoring_split_writer(
     corpus_path: str,
     side_suffix: str,

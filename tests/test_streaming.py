@@ -1374,6 +1374,64 @@ def test_span_incremental_is_one_sided_across_batches(spark, tmp_path):
     assert got == [(3, 3, 12, 5, 2)]
 
 
+def test_cms_incremental_counters_merge_and_survive_replay(spark, sf_dir, tmp_path):
+    """Streaming CMS == batch CMS under crash replay: events streamed in
+    three chunks with the FIRST batch's foreachBatch deliberately
+    re-invoked (simulating a retry after a crash-before-checkpoint), the
+    merged counter table must equal the one-shot batch sketch exactly —
+    the dedup-on-read collapses the replayed deltas."""
+    from flinkproject_spark import functions as K
+    from flinkproject_spark.operators import relational
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    chunks = [
+        events.filter(F.pmod("event_id", F.lit(3)) == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    counters_path = str(tmp_path / "cms")
+    fn = sinks.cms_incremental_writer(counters_path)
+    fn(chunks[0], 0)
+    fn(chunks[0], 0)  # replayed batch: same id, same deterministic deltas
+    fn(chunks[1], 1)
+    fn(chunks[2], 2)
+
+    merged = {
+        (r.i, r.bucket): r.c
+        for r in sinks.read_cms_counters(spark, counters_path).collect()
+    }
+    # one-shot batch sketch over the full table (rebuild the counter
+    # table the same way the operator does internally)
+    keys = events.select(F.col("user_id").cast("string").alias("key"))
+    hashed = keys.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            K.hash64(F.concat(F.lit("cms:"), F.col("i").cast("string"),
+                              F.lit(":"), F.col("key"))),
+            F.lit(256),
+        ),
+    )
+    want = {
+        (r.i, r.bucket): r.c
+        for r in hashed.groupBy("i", "bucket").agg(F.count("*").alias("c")).collect()
+    }
+    assert merged == want
+    # and the merged counters price the same estimates the batch report
+    # emits for the top keys
+    report = relational.cms_frequency_report(events).collect()
+    for r in report:
+        est = min(
+            merged[(i, b)]
+            for i, b in (
+                (i, int(__import__("hashlib").md5(
+                    f"cms:{i}:{r.user_id}".encode()).hexdigest()[:15], 16) % 256)
+                for i in range(4)
+            )
+        )
+        assert est == r.cms_est
+
+
 # --- late-data semantics (SURVEY §2E): eviction-based late drop -------------
 
 def test_late_data_semantics_eviction_based(spark, tmp_path):

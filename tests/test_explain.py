@@ -166,6 +166,15 @@ def test_dedup_spans_apply_scan_prunes_metadata(plans):
     assert "lang" not in scan and "source" not in scan and "n_chars" not in scan
 
 
+def test_cms_topk_is_take_ordered_and_counters_broadcast(plans):
+    """event_freq_cms: the exact top-k must compile to TakeOrdered
+    (per-partition top-k, never a global sort of the key table) and the
+    d*w counter table must broadcast onto the probe rows."""
+    p = plans["event_freq_cms"]
+    assert "TakeOrderedAndProject" in p, "top-k degenerated into a global sort"
+    assert "BroadcastHashJoin" in p, "counter join lost its broadcast"
+
+
 def test_corpus_sample_prunes_text_column(plans):
     """The sampling predicate hashes doc_id only and the output carries no
     text — the scan must not read the corpus's heaviest column."""

@@ -71,9 +71,12 @@ HEADLINE = [
     # fixed 16/4 calibration it remedies
     "dedup_srp_scaled",
     # round-7 additions: rolling-gram span dedup (df-sensitive posting
-    # stage) and the PQ/ADC+rerank ANN tier (fixed-R refine stage)
+    # stage), its token-level scrub apply, the PQ/ADC+rerank ANN tier
+    # (fixed-R refine stage), and the CMS heavy-hitter report
     "dedup_spans",
+    "dedup_spans_apply",
     "sim_topk_pq",
+    "event_freq_cms",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

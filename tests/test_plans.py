@@ -46,6 +46,45 @@ def test_log_parse_clean_and_dirty_split(tables):
     assert row.common["mid"] is not None and row.ts > 0
 
 
+# --- sources.jsonl ----------------------------------------------------------
+
+def test_jsonl_corpus_split_and_roundtrip(spark, tables, tmp_path):
+    """(1) Exact clean/dirty partition on a hand-built file mixing valid
+    docs, corrupt JSON, a blank line, and contract violations (missing
+    doc_id / text); (2) documents-table roundtrip through JSONL preserves
+    every row and recomputes n_chars."""
+    from flinkproject_spark.sources import jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}',
+        'not json at all {{{',
+        '',
+        '{"doc_id": null, "text": "orphan"}',
+        '{"doc_id": 3, "lang": "en"}',
+        '{"doc_id": 2, "text": "ok", "lang": "fr", "source": "book"}',
+    ]
+    p.write_text("\n".join(lines))
+    clean, dirty = jsonl.read_jsonl_corpus(spark, str(p))
+    got = {r.doc_id: r for r in clean.collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_chars == len("hello world") and got[1].lang == "en"
+    raws = sorted(r.raw for r in dirty.collect())
+    assert raws == sorted([lines[1], lines[2], lines[3], lines[4]])
+    assert clean.count() + dirty.count() == len(lines)  # nothing vanishes
+
+    # roundtrip: documents -> JSONL -> (clean, dirty) == (documents, empty)
+    docs = tables["documents"]
+    out = tmp_path / "docs_jsonl"
+    docs.select(F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("value")) \
+        .write.mode("overwrite").text(str(out))
+    c2, d2 = jsonl.read_jsonl_corpus(spark, str(out))
+    assert d2.count() == 0
+    a = c2.orderBy("doc_id").collect()
+    b = docs.select("doc_id", "text", "lang", "source", "n_chars").orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 # --- sources.cdc -----------------------------------------------------------
 
 def test_snapshot_envelope_shape(tables):

@@ -39,6 +39,8 @@ def main() -> None:
 
     stage_dir = tempfile.mkdtemp(prefix="replay_bench_")
     et_stage = tempfile.mkdtemp(prefix="replay_bench_et_")
+    doc_stage = tempfile.mkdtemp(prefix="replay_bench_docs_")
+    ev_stage = tempfile.mkdtemp(prefix="replay_bench_ev_")
     try:
         replay.stage_replay(events, stage_dir, chunks=CHUNKS)
         # separate staging for event_type-keyed jobs: the heartbeat must
@@ -114,9 +116,65 @@ def main() -> None:
                 "sec": round(wall, 3),
                 "rows_per_sec": round(n_rows / wall),
             }
+        # foreachBatch ingest sinks (round 7) — parquet-state writers, so
+        # they get their own staging (order-insensitive: no event-time
+        # re-sort needed) and are timed start->awaitTermination. Input is
+        # the table each sink actually ingests: documents for the span
+        # index, events for the CMS counter deltas.
+        from flinkproject_spark.streaming import sinks as sk
+
+        # the cases loop recycled the session; reload inputs on the live one
+        docs = catalog.load_table(spark, SF_DIR, "documents")
+        ev2 = catalog.load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id"
+        )
+        n_docs = docs.count()
+        docs.repartition(CHUNKS).write.mode("overwrite").parquet(doc_stage)
+        ev2.repartition(CHUNKS).write.mode("overwrite").parquet(ev_stage)
+        doc_schema = docs.schema
+        ev_schema = ev2.schema
+        fb_cases = {
+            "span_incremental_index": (
+                doc_stage, doc_schema, n_docs,
+                lambda out: sk.span_incremental_writer(
+                    f"{out}/gramidx", f"{out}/spans"
+                ),
+            ),
+            "cms_incremental_counters": (
+                ev_stage, ev_schema, n_rows,
+                lambda out: sk.cms_incremental_writer(f"{out}/cms"),
+            ),
+        }
+        for name, (src, schema, n_in, mk) in fb_cases.items():
+            spark.stop()
+            spark = get_spark("bench-streaming")
+            out_dir = tempfile.mkdtemp(prefix=f"replay_bench_{name}_")
+            try:
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+                    .parquet(src)
+                )
+                t0 = time.perf_counter()
+                q = (
+                    stream.writeStream.foreachBatch(mk(out_dir))
+                    .option("checkpointLocation", f"{out_dir}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                wall = time.perf_counter() - t0
+                results[name] = {
+                    "sec": round(wall, 3),
+                    "rows_per_sec": round(n_in / wall),
+                }
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(et_stage, ignore_errors=True)
+        shutil.rmtree(doc_stage, ignore_errors=True)
+        shutil.rmtree(ev_stage, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -1374,6 +1374,49 @@ def test_span_incremental_is_one_sided_across_batches(spark, tmp_path):
     assert got == [(3, 3, 12, 5, 2)]
 
 
+def test_jsonl_corpus_streaming_split_equals_batch(spark, tmp_path):
+    """The JSONL source's projection is trigger-agnostic by claim
+    (sources/jsonl.py): the same parse over readStream.text must produce
+    the identical clean/dirty partition the batch read does, across
+    multiple triggers."""
+    from flinkproject_spark.sources import jsonl
+
+    lines_a = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}',
+        'broken {{{',
+    ]
+    lines_b = [
+        '{"doc_id": 2, "text": "ok", "lang": "fr", "source": "book"}',
+        '{"doc_id": null, "text": "orphan"}',
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(lines_a))
+    (src / "b.jsonl").write_text("\n".join(lines_b))
+
+    b_clean, b_dirty = jsonl.read_jsonl_corpus(spark, str(src))
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    s_clean, s_dirty = jsonl.parse_jsonl_corpus(stream)
+    # two availableNow queries, one per side of the split
+    for name, sdf in (("clean_t", s_clean), ("dirty_t", s_dirty)):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    sc = spark.sql("SELECT * FROM clean_t")
+    sd = spark.sql("SELECT * FROM dirty_t")
+    assert sorted(map(tuple, sc.collect())) == sorted(map(tuple, b_clean.collect()))
+    assert sorted(map(tuple, sd.collect())) == sorted(map(tuple, b_dirty.collect()))
+
+
 def test_cms_incremental_counters_merge_and_survive_replay(spark, sf_dir, tmp_path):
     """Streaming CMS == batch CMS under crash replay: events streamed in
     three chunks with the FIRST batch's foreachBatch deliberately

@@ -809,6 +809,15 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def q_corpus_pipeline_v4(spark, sf):
+    """The sub-document-clean corpus build (plans/corpus.py v4): repeated-
+    span scrub -> doc dedup on the SCRUBBED text -> quality gate ->
+    token-budget pack, one Catalyst plan composing the round-7 surface."""
+    from flinkproject_spark.plans import corpus
+
+    return corpus.build_training_corpus_v4(_t(spark, sf, "documents"))
+
+
 def q_text_chunks(spark, sf):
     """Sliding-window document chunking (40-token chunks, 10 overlap)."""
     return text.chunk_documents(_t(spark, sf, "documents"))
@@ -962,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
         "event_freq_cms": q_event_freq_cms,
+        "corpus_pipeline_v4": q_corpus_pipeline_v4,
         # -- never driver-verified (added round 6)
         "dedup_srp_scaled": q_dedup_srp_scaled,
         # -- last driver-checked in r03 (oldest evidence)
@@ -1530,6 +1540,50 @@ _LANG_CASE = "CASE " + " ".join(
 ) + " END"
 
 
+_SPANS_APPLY_SQL = r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS x,
+                     len(string_split_regex(text, '\s+')) AS n
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(x[i + 1 : i + 8], ' ')) AS gh
+              FROM d, unnest(generate_series(0, n - 8)) AS u(i)
+              WHERE n >= 8),
+            own AS (
+              SELECT gh, MIN(doc_id) AS min_owner
+              FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (
+              SELECT g.doc_id, g.pos,
+                     (g.doc_id = own.min_owner) AS is_keeper
+              FROM g JOIN own USING (gh)),
+            cov AS (
+              SELECT doc_id, pos + off AS t, is_keeper
+              FROM m, unnest(generate_series(0, 7)) AS u(off)),
+            flags AS (
+              SELECT doc_id, t,
+                     MAX(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS any_keeper,
+                     MAX(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS any_rem
+              FROM cov GROUP BY 1, 2),
+            tok AS (
+              SELECT doc_id, i - 1 AS t, x[i] AS tok
+              FROM d, unnest(generate_series(1, n)) AS u(i)),
+            kept AS (
+              SELECT tok.doc_id, tok.t, tok.tok
+              FROM tok LEFT JOIN flags USING (doc_id, t)
+              WHERE NOT COALESCE(any_rem = 1 AND any_keeper = 0, FALSE)),
+            tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tok GROUP BY 1),
+            o AS (
+              SELECT doc_id,
+                     array_to_string(list(tok ORDER BY t), ' ') AS clean_text,
+                     COUNT(*) AS n_tokens_kept
+              FROM kept GROUP BY 1)
+            SELECT o.doc_id, o.clean_text,
+                   CAST(o.n_tokens_kept AS BIGINT) AS n_tokens_kept,
+                   CAST(t.n_total - o.n_tokens_kept AS BIGINT) AS n_tokens_dropped
+            FROM o JOIN tot t ON o.doc_id = t.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "a1_project_orders": f"""
@@ -1984,48 +2038,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_grams,
                    CAST(MAX(nd) AS BIGINT) AS nd_max
             FROM grp GROUP BY doc_id, gid""",
-        "dedup_spans_apply": r"""
-            WITH d AS (
-              SELECT doc_id, string_split_regex(text, '\s+') AS x,
-                     len(string_split_regex(text, '\s+')) AS n
-              FROM documents),
-            g AS (
-              SELECT doc_id, i AS pos,
-                     md5(array_to_string(x[i + 1 : i + 8], ' ')) AS gh
-              FROM d, unnest(generate_series(0, n - 8)) AS u(i)
-              WHERE n >= 8),
-            own AS (
-              SELECT gh, MIN(doc_id) AS min_owner
-              FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-            m AS (
-              SELECT g.doc_id, g.pos,
-                     (g.doc_id = own.min_owner) AS is_keeper
-              FROM g JOIN own USING (gh)),
-            cov AS (
-              SELECT doc_id, pos + off AS t, is_keeper
-              FROM m, unnest(generate_series(0, 7)) AS u(off)),
-            flags AS (
-              SELECT doc_id, t,
-                     MAX(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS any_keeper,
-                     MAX(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS any_rem
-              FROM cov GROUP BY 1, 2),
-            tok AS (
-              SELECT doc_id, i - 1 AS t, x[i] AS tok
-              FROM d, unnest(generate_series(1, n)) AS u(i)),
-            kept AS (
-              SELECT tok.doc_id, tok.t, tok.tok
-              FROM tok LEFT JOIN flags USING (doc_id, t)
-              WHERE NOT COALESCE(any_rem = 1 AND any_keeper = 0, FALSE)),
-            tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tok GROUP BY 1),
-            o AS (
-              SELECT doc_id,
-                     array_to_string(list(tok ORDER BY t), ' ') AS clean_text,
-                     COUNT(*) AS n_tokens_kept
-              FROM kept GROUP BY 1)
-            SELECT o.doc_id, o.clean_text,
-                   CAST(o.n_tokens_kept AS BIGINT) AS n_tokens_kept,
-                   CAST(t.n_total - o.n_tokens_kept AS BIGINT) AS n_tokens_dropped
-            FROM o JOIN tot t ON o.doc_id = t.doc_id""",
+        "dedup_spans_apply": _SPANS_APPLY_SQL,
+        "corpus_pipeline_v4": f"""
+            WITH scrub AS ({_SPANS_APPLY_SQL.strip()}),
+            keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM scrub GROUP BY md5(clean_text)),
+            scored AS (
+              SELECT s.doc_id,
+                     len(string_split_regex(clean_text, '\\s+'))::BIGINT AS n_tokens,
+                     s.n_tokens_dropped,
+                     least(len(string_split_regex(clean_text, '\\s+'))::DOUBLE / 100.0, 1.0) * 0.5
+                       + (len(list_distinct(string_split_regex(clean_text, '\\s+')))::DOUBLE
+                          / len(string_split_regex(clean_text, '\\s+'))::DOUBLE) * 0.5
+                       AS quality_score
+              FROM scrub s JOIN keepers k ON s.doc_id = k.doc_id),
+            gated AS (SELECT * FROM scored WHERE quality_score >= 0.5)
+            SELECT doc_id, n_tokens, n_tokens_dropped, quality_score,
+                   CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_tokens
+            FROM gated
+            QUALIFY cum_tokens <= 10000""",
         "event_freq_cms": """
             WITH keys AS (
               SELECT CAST(user_id AS VARCHAR) AS key FROM events),

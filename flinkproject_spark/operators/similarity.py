@@ -521,8 +521,11 @@ def pq_adc_topk(
     codes (64x smaller at m=16/6-bit on d=64 float32), the scan reads
     only (vec_id, block, code), and per-candidate cost is m table
     lookups instead of d multiplies. The ADC table (Q x m x 2^bits rows)
-    is broadcast; the only shuffle is the per-(query, candidate)
-    aggregation, which partial-aggregates map-side.
+    is broadcast — sized for a SERVING probe set (Q up to ~10^2 keeps it
+    kilobytes); a bulk offline query batch should drop the broadcast
+    hint and let the (block, code) equi-join shuffle instead. The only
+    shuffle here is the per-(query, candidate) aggregation, which
+    partial-aggregates map-side.
 
     `rerank=R` enables the standard refine stage: ADC ranks a shortlist
     of R candidates per query, then ONLY those R rows are re-scored with

@@ -254,3 +254,68 @@ def build_training_corpus_v3(
         "log_importance",
         "global_pos",
     )
+
+
+def build_training_corpus_v4(
+    documents: DataFrame,
+    w: int = 8,
+    min_quality: float = 0.5,
+    budget_tokens: int = 10_000,
+) -> DataFrame:
+    """The SUB-DOCUMENT-clean corpus build — the round-7 surface composed
+    end to end, each stage an oracle-checked operator:
+
+      1. span scrub   (dedup.span_dedup_apply — strip repeated w-token
+                       spans from non-keeper copies, keeper protected:
+                       Lee et al.'s cut step runs BEFORE doc-level dedup
+                       so shared boilerplate can't make distinct docs
+                       read as near-dups downstream)
+      2. doc dedup    (md5 window over the SCRUBBED text — scrubbing can
+                       turn former near-dups byte-identical; the same
+                       single-shuffle window form as v1's stage 1)
+      3. quality gate (v1's length/diversity composite, recomputed on
+                       the scrubbed text — the text that actually trains)
+      4. budget pack  (quality-first greedy prefix under budget_tokens —
+                       v1's stage 4, global window with the banded
+                       equal-output twin documented there)
+
+    Stage order is load-bearing both ways: scrub-before-dedup (above) and
+    dedup-before-quality, so a duplicated doc can't spend budget twice.
+    Documents whose every token was a non-keeper duplicate vanish at
+    stage 1 (audited by span_dedup_apply's count columns when run
+    standalone). Returns (doc_id, n_tokens, n_tokens_dropped,
+    quality_score, cum_tokens) — lang/source are deliberately not joined
+    back; the manifest keys on doc_id.
+    """
+    scrubbed = dedup.span_dedup_apply(documents, w)
+
+    wdup = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    base = (
+        scrubbed.withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    x = F.split("clean_text", r"\s+")
+    n_tok = F.size(x).cast("double")
+    uniq = F.size(F.array_distinct(x)).cast("double")
+    scored = base.select(
+        "doc_id",
+        F.size(x).cast("bigint").alias("n_tokens"),
+        "n_tokens_dropped",
+        (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (uniq / n_tok) * 0.5
+        ).alias("quality_score"),
+    ).filter(F.col("quality_score") >= min_quality)
+
+    wpack = (
+        Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(wpack).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

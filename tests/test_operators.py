@@ -1106,6 +1106,34 @@ def test_duplicated_spans_corpus_matches_island_invariants(tables):
             assert st + ln < nxt  # disjoint AND non-adjacent (else merged)
 
 
+def test_corpus_pipeline_v4_composes_its_components(tables):
+    """v4's manifest must be consistent with its own stages run
+    standalone: every emitted doc survives the span scrub, is its
+    scrubbed-text group's keeper (min doc_id), carries the scrubbed
+    token count, and the pack prefix is budget-bounded and monotone in
+    (quality desc, doc_id) order."""
+    from flinkproject_spark.plans import corpus
+
+    docs = tables["documents"]
+    out = corpus.build_training_corpus_v4(docs).toPandas()
+    assert len(out) > 0
+    scrub = dedup.span_dedup_apply(docs).toPandas()
+    scrub_by_id = scrub.set_index("doc_id")
+    keepers = set(
+        scrub.sort_values("doc_id").groupby("clean_text").head(1)["doc_id"]
+    )
+    for r in out.itertuples():
+        assert r.doc_id in scrub_by_id.index  # survived the scrub
+        assert r.doc_id in keepers  # keeper of its scrubbed-text group
+        assert r.n_tokens == len(scrub_by_id.loc[r.doc_id, "clean_text"].split()) or (
+            scrub_by_id.loc[r.doc_id, "clean_text"] == "" and r.n_tokens == 1
+        )
+        assert r.n_tokens_dropped == scrub_by_id.loc[r.doc_id, "n_tokens_dropped"]
+    s = out.sort_values(["quality_score", "doc_id"], ascending=[False, True])
+    assert (s["cum_tokens"] == s["n_tokens"].cumsum()).all()
+    assert s["cum_tokens"].max() <= 10_000
+
+
 # --- SRP-LSH embedding near-dup ----------------------------------------------
 
 def test_srp_signatures_deterministic_and_complete(tables):

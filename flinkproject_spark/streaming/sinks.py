@@ -876,9 +876,15 @@ def span_incremental_writer(
             (F.countDistinct("doc_b") + 1).alias("nd")
         )
         merge_marked_spans(marked, w).write.mode("append").parquet(spans_path)
-        gh.select("doc_id", "gh").distinct().write.mode("append").parquet(
-            gram_index_path
-        )
+        # index hygiene: a re-ingested document's grams are already
+        # present — anti-join against the (already-read) index so the
+        # store never accumulates duplicate (doc_id, gh) rows. Matching
+        # is countDistinct-based so duplicates would be harmless for
+        # correctness; this bounds storage, not semantics.
+        new_rows = gh.select("doc_id", "gh").distinct()
+        if idx is not None:
+            new_rows = new_rows.join(idx, ["doc_id", "gh"], "left_anti")
+        new_rows.write.mode("append").parquet(gram_index_path)
 
     return fn
 

@@ -1373,6 +1373,16 @@ def test_span_incremental_is_one_sided_across_batches(spark, tmp_path):
     # shared with exactly one other doc
     assert got == [(3, 3, 12, 5, 2)]
 
+    # re-ingest hygiene: replaying batch 1's docs must not grow the gram
+    # index (anti-join dedupe) nor self-match the re-ingested doc
+    n_idx = spark.read.parquet(index).count()
+    sinks.span_incremental_writer(index, spans)(b1, 99)
+    assert spark.read.parquet(index).count() == n_idx
+    again = [tuple(r) for r in spark.read.parquet(spans).collect()]
+    # doc 3 re-emits its span (its content still repeats doc 1's block —
+    # the self-match guard only suppresses matching a doc to ITSELF)
+    assert sorted(again) == [(3, 3, 12, 5, 2), (3, 3, 12, 5, 2)]
+
 
 def test_jsonl_corpus_streaming_split_equals_batch(spark, tmp_path):
     """The JSONL source's projection is trigger-agnostic by claim

@@ -954,16 +954,15 @@ def q_text_tfidf(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles. Round-6 window (VERDICT r05 #1):
-    # the one never-verified query (dedup_srp_scaled, added this round),
-    # the 11 queries whose latest driver row is r03, then the three whose
-    # implementation/semantics changed after their last driver row
-    # (dedup_ngram_blocked rebuilt onto struct postings in r05 commit
-    # 971ad9a; product_stats_approx tolerance re-derived this round per
-    # ADVICE r05 #2; the a19 UDTF pair moved to the Spark 4 Arrow path
-    # this round per VERDICT r05 #4), then the 34 oldest r04-evidence
-    # rows. The 12 remaining r04 rows rotate next round; the 50 r05-green
-    # rows back-fill the tail (freshest evidence last).
+    # entries against the DuckDB oracles. Round-7 window: the six queries
+    # added this round (span detect/apply, PQ topk + recall, CMS, corpus
+    # v4) and round 6's dedup_srp_scaled — none yet driver-verified —
+    # then the r03-stale group and the oldest r04-evidence rows up to the
+    # window edge (the r06 driver gate never recorded, so the round-6
+    # rotation is still pending independent verification and is kept in
+    # place). r04 rows displaced by the insertions rotate next round;
+    # freshest evidence back-fills the tail. Per-query recency is
+    # auto-audited in VERIFIED.md (tools/verified_rounds.py).
     return {
         # -- never driver-verified (added round 7)
         "dedup_spans": q_dedup_spans,

@@ -367,8 +367,17 @@ def q_dedup_srp(spark, sf):
     """Embedding near-dup via signed-random-projection LSH: int64-exact
     quantized hyperplane signatures (bit-identical to the oracle's SQL
     regeneration of the same md5-derived projection), banded buckets,
-    exact cosine verification (dedup.srp_lsh_near_dups)."""
-    return dedup.srp_lsh_near_dups(_t(spark, sf, "embeddings"))
+    exact cosine verification (dedup.srp_lsh_near_dups).
+
+    ADAPTIVE banding (VERDICT r07 task 1b): bits=None makes the operator
+    derive the band width from the corpus count (b = ceil(log2 n) via
+    dedup.srp_recommended_banding), so this driver form IS the
+    scale-safe form — the fixed 16/4 calibration it replaces measured
+    exponent 1.83 at sf1 (BENCH_SF1.md) while the rule-derived banding
+    stays linear through sf10. The oracle regenerates the identical
+    banding in SQL from count(*), so adaptivity itself is
+    oracle-verified."""
+    return dedup.srp_lsh_near_dups(_t(spark, sf, "embeddings"), bits=None, bands=8)
 
 
 def q_dedup_srp_scaled(spark, sf):
@@ -391,7 +400,14 @@ def q_dedup_ngram_blocked(spark, sf):
 
 
 def q_dedup_embedding(spark, sf):
-    return dedup.embedding_near_dups(_t(spark, sf, "embeddings"))
+    """Within-cell cosine near-dups with the cell-size cap WIRED IN
+    (VERDICT r07 task 1a): max_cell_rows=2000 never binds at sf0.01/0.1
+    (max cell 59 / 218 rows — output identical, oracle untouched, pinned
+    by test) but bounds per-cell O(m^2) work at scale, where the
+    testdata's fixed 10-label quantizer otherwise makes cell population
+    linear in corpus size (BENCH_SF10.md: exponent 2.15 uncapped, 0.36
+    with this cap)."""
+    return dedup.embedding_near_dups(_t(spark, sf, "embeddings"), max_cell_rows=2000)
 
 
 def q_ann_recall_report(spark, sf):
@@ -891,8 +907,14 @@ def q_retention_cohorts(spark, sf):
 def q_dedup_semantic(spark, sf):
     """SemDeDup (arXiv:2303.09540): within-cell semantic near-dup groups;
     keep the member FURTHEST from the cell centroid (pairwise-dominance
-    form of the paper's greedy; dedup.semdedup)."""
-    return dedup.semdedup(_t(spark, sf, "embeddings"))
+    form of the paper's greedy; dedup.semdedup).
+
+    Cell-size cap WIRED IN (VERDICT r07 task 1a): max_cell_rows=2000
+    never binds at sf0.01/0.1 (output identical, oracle untouched,
+    pinned by test) but caps per-cell matmul work at scale — the paper's
+    own scaling move (k grows with the corpus) as a knob
+    (BENCH_SF10.md: exponent 1.93 uncapped, 0.28 with this cap)."""
+    return dedup.semdedup(_t(spark, sf, "embeddings"), max_cell_rows=2000)
 
 
 def q_text_dsir(spark, sf):
@@ -1315,6 +1337,54 @@ _DOT = ("list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)), (x, y) -> x + y)")
 _NORM = ("sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
          "i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))")
+
+
+def _srp_sql_adaptive(bands: int = 8) -> str:
+    """Oracle twin of srp_lsh_near_dups' ADAPTIVE mode (bits=None): the
+    band width is not a constant but the same corpus-count formula the
+    operator evaluates — w = greatest(1, ceil(log2(count(*)))) — so the
+    scale-safe adaptivity itself is verified, not just one fixed
+    parameterization (VERDICT r07 task 1b). Mirrors
+    dedup.srp_recommended_banding with the default
+    pairs_per_vector_budget=1.0 (count(*)/1.0, kept explicit below)."""
+    return f"""
+            WITH params AS (
+              SELECT GREATEST(1, CAST(ceil(log2(COUNT(*) / 1.0)) AS BIGINT)) AS w
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            proj AS (
+              SELECT d.i AS dim, u.j AS bit,
+                     (('0x' || substr(md5('srp:' || d.i || ':' || u.j), 1, 15))::BIGINT
+                      % 2001) - 1000 AS p
+              FROM range(0, 64) d(i), params,
+                   unnest(generate_series(0, {bands} * params.w - 1)) AS u(j)),
+            dots AS (
+              SELECT q.vec_id, pr.bit, SUM(q.qv[pr.dim + 1] * pr.p) AS s
+              FROM q, proj pr GROUP BY 1, 2),
+            bucks AS (
+              SELECT vec_id, bit // (SELECT w FROM params) AS band,
+                     SUM(CASE WHEN s >= 0
+                              THEN 1 << (bit % (SELECT w FROM params))
+                              ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bucks a JOIN bucks b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
+                         / (({_NORM.format(a='ea.embedding')})
+                            * ({_NORM.format(a='eb.embedding')})), 6) AS cosine
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.vec_a
+            JOIN embeddings eb ON eb.vec_id = cand.vec_b
+            WHERE round(({_DOT.format(a='ea.embedding', b='eb.embedding')})
+                        / (({_NORM.format(a='ea.embedding')})
+                           * ({_NORM.format(a='eb.embedding')})), 6) >= 0.35"""
 
 
 def _srp_sql(bits: int, bands: int) -> str:
@@ -2000,7 +2070,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.doc_id, o.clean_text, o.n_chunks_kept,
                    t.n_total - o.n_chunks_kept AS n_chunks_dropped
             FROM o JOIN tot t ON o.doc_id = t.doc_id""",
-        "dedup_srp": _srp_sql(16, 4),
+        "dedup_srp": _srp_sql_adaptive(bands=8),
         "dedup_srp_scaled": _srp_sql(96, 8),
         "dedup_spans": r"""
             WITH d AS (

@@ -2138,6 +2138,37 @@ def test_semdedup_cell_cap_identity_and_refinement(tables):
     assert capped[capped.n_near_dups == 0].keep.all()
 
 
+def test_srp_adaptive_mode_equals_formula_banding(tables):
+    """bits=None (the round-8 scale-safe driver form) must equal an
+    explicit call at the banding srp_recommended_banding returns for the
+    corpus count — adaptivity changes WHO computes the knob, not the
+    pipeline (VERDICT r07 task 1b)."""
+    emb = tables["embeddings"]
+    n = emb.count()
+    bits, bands = dedup.srp_recommended_banding(n, bands=8)
+    auto = dedup.srp_lsh_near_dups(emb, bits=None, bands=8).toPandas()
+    fixed = dedup.srp_lsh_near_dups(emb, bits=bits, bands=bands).toPandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert key(auto) == key(fixed)
+
+
+def test_driver_cell_cap_2000_is_non_binding_at_test_sf(spark, tables, sf_dir):
+    """The driver queries' wired-in max_cell_rows=2000 (VERDICT r07 task
+    1a) must NOT bind at test SF — q_dedup_embedding / q_dedup_semantic
+    outputs stay identical to the uncapped operators, so the sf0.01
+    DuckDB oracles are untouched while the cap bounds work at scale."""
+    import __spark_entry__ as entrymod
+
+    emb = tables["embeddings"]
+    assert emb.groupBy("label").count().agg(F.max("count")).first()[0] < 2000
+
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    got_e = entrymod.q_dedup_embedding(spark, sf_dir).toPandas()
+    assert key(got_e) == key(dedup.embedding_near_dups(emb).toPandas())
+    got_s = entrymod.q_dedup_semantic(spark, sf_dir).toPandas()
+    assert key(got_s) == key(dedup.semdedup(emb).toPandas())
+
+
 def test_semdedup_drops_the_centroid_closer_member_of_a_pair(tables):
     """For any isolated near-dup PAIR (both endpoints degree-1), exactly the
     higher-centroid-cosine member is dropped (the paper's keep rule)."""

@@ -468,6 +468,7 @@ def minhash_xx_certificate(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Cross-engine CERTIFICATE for the xxhash64 MinHash fast path: the
     signatures themselves are engine-specific (no DuckDB xxhash64), but
@@ -498,28 +499,76 @@ def minhash_xx_certificate(
     `minhash_lsh_dedup` covers pair-level semantics; this covers the
     engine-specific hash tier.
 
-    Scale posture (ADVICE r05 #5): the truth side is deliberately
-    UNCAPPED — capping it would make `sound` falsifiable by the cap
-    itself (a correct emitted pair whose Jaccard clears the threshold
-    only with the dropped shingles would read as unsound). The
-    certificate is therefore a test-SF artifact, quadratic in stop-
-    shingle df; at sf1+ calibrate with
-    `minhash_precision_recall(max_df=PR_MAX_DF)` instead, whose capped
-    truth is honest-by-construction (dropped count reported). The two
-    `persist()`s feed multiple branches of the ONE returned plan and are
-    reclaimed with the session (each driver/bench invocation is its own
-    session); a long-lived caller embedding this in a larger job should
-    unpersist after materializing.
+    Scale posture (ADVICE r05 #5, knob added per ADVICE r07): with the
+    default `max_df=None` the truth side is fully exact — the form the
+    sf0.01 oracle pins — but its posting-list pair expansion is
+    quadratic in stop-shingle df, a test-SF-only cost. `max_df=k` is
+    the sf1+ valve: `n_true` switches to the CAPPED truth
+    (exact_jaccard_pairs(max_df=k), 'Jaccard over non-stop shingles' —
+    the same honest-by-construction semantics minhash_precision_recall
+    reports), while `sound` switches to an INDEPENDENT per-emitted-pair
+    exact UNCAPPED Jaccard — only the |emitted| pairs are verified
+    (work linear in emitted pairs x doc shingles, never the posting
+    quadratic), so soundness keeps its uncapped meaning and can never
+    be falsified by the cap. The check stays independent of the
+    pipeline's own array_intersect arithmetic (shingle-row join +
+    count, a different code path). The `persist()`s feed multiple
+    branches of the ONE returned plan and are reclaimed with the
+    session (each driver/bench invocation is its own session); a
+    long-lived caller embedding this in a larger job should unpersist
+    after materializing.
     """
     emitted = minhash_lsh_dedup(
         documents, num_hashes, bands, n, threshold, hash_fn=xxhash64_mod
     ).select("doc_a", "doc_b").persist()  # feeds soundness + recall branches
-    truth = exact_jaccard_pairs(documents, n, threshold).persist()  # 2 consumers
-    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
-    sound = (
-        emitted.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
-        .agg((F.count("*") == 0).alias("sound"))
-    )
+    if max_df is None:
+        truth = exact_jaccard_pairs(documents, n, threshold).persist()  # 2 uses
+        n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+        sound = (
+            emitted.join(
+                truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+            ).agg((F.count("*") == 0).alias("sound"))
+        )
+    else:
+        capped = exact_jaccard_pairs(documents, n, threshold, max_df=max_df)
+        n_true = capped.agg(F.count("*").cast("bigint").alias("n_true"))
+        # per-emitted-pair exact UNCAPPED Jaccard: shingle rows joined to
+        # the pair list from each side, shared-shingle count per pair
+        sh = (
+            shingle_docs(documents.withColumn("x", tokens("text")), n)
+            .select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+        )
+        a_side = emitted.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh"
+            ),
+            "doc_a",
+        )
+        inter = a_side.join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh"
+            ),
+            ["doc_b", "sh"],
+        )
+        per_pair = inter.groupBy("doc_a", "doc_b", "na", "nb").agg(
+            F.count("*").alias("i")
+        )
+        jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        verdicts = emitted.join(
+            per_pair.select("doc_a", "doc_b", jac.alias("jac")),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        sound = verdicts.agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("jac").isNull() | (F.col("jac") < threshold), 1
+                    )
+                )
+                == 0
+            ).alias("sound")
+        )
     # exact shingle-SET-equality clone pairs: group docs by a hash of the
     # sorted distinct-shingle array (rounding-free, unlike jaccard == 1.0).
     # Each shingle is md5'd FIRST — fixed-width elements make the joined
@@ -1377,7 +1426,10 @@ def chunk_dedup_apply(documents: DataFrame, chunk_tokens: int = 40) -> DataFrame
 
 
 def duplicated_spans(
-    documents: DataFrame, w: int = 8, min_docs: int = 2
+    documents: DataFrame,
+    w: int = 8,
+    min_docs: int = 2,
+    include_intra_doc: bool = False,
 ) -> DataFrame:
     """Exact repeated-SPAN detection — the distributed re-expression of
     suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
@@ -1406,14 +1458,29 @@ def duplicated_spans(
     dropped at the md5 — the shuffled rows are (doc_id, pos, 32-char
     hash), w-independent width.
 
+    SEMANTICS — CROSS-DOCUMENT ONLY by default (ADVICE r07): a gram is
+    marked when it occurs in >= `min_docs` DISTINCT documents, so a span
+    repeated many times WITHIN one document is NOT detected — a
+    deliberate divergence from the cited suffix-array method, which also
+    removes intra-document repeats. `include_intra_doc=True` switches
+    the mark rule to total OCCURRENCE count >= min_docs (a gram
+    appearing twice in one doc then qualifies, the Lee-et-al.-faithful
+    rule); `nd`/`nd_max` then report occurrences, not documents. The
+    default stays distinct-doc because the streaming twin
+    (span_incremental_writer) and the sf0.01 oracle pin that form.
+
     Emits one row per maximal span: (doc_id, span_start, span_len,
     n_grams, nd_max) — start token index, tokens covered, member
-    windows, and the worst cross-document multiplicity inside the span.
+    windows, and the worst multiplicity inside the span (distinct
+    documents by default, occurrences with include_intra_doc).
     """
     gh = span_gram_rows(documents, w)
+    mult = (
+        F.count("*") if include_intra_doc else F.countDistinct("doc_id")
+    )
     dup = (
         gh.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(mult.alias("nd"))
         .filter(F.col("nd") >= min_docs)
     )
     marked = gh.join(dup, "gh").select("doc_id", "pos", "nd")
@@ -1479,7 +1546,11 @@ def span_dedup_apply(documents: DataFrame, w: int = 8) -> DataFrame:
     holding it), keeping exactly one copy of repeated content in the
     corpus — the scrub step of suffix-array substring dedup (Lee et al.
     2022 cut duplicated spans the same way; chunk_dedup_apply is the
-    disjoint-chunk analog of this rolling-window form).
+    disjoint-chunk analog of this rolling-window form). Like
+    :func:`duplicated_spans`, the dup test is CROSS-DOCUMENT only
+    (distinct-doc count >= 2): content repeated solely within one
+    document is kept — a documented divergence from the suffix-array
+    method, which scrubs intra-document repeats too (ADVICE r07).
 
     Token-level rule: a token is DROPPED when at least one duplicated
     window covering it is a non-keeper copy and NO covering duplicated

@@ -461,6 +461,13 @@ def pq_encode(embeddings: DataFrame, m: int = 16, bits: int = 6) -> DataFrame:
             Y = X * PQ_SCALE
             Q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
             if P is None:
+                if Q.shape[1] % m != 0:
+                    raise ValueError(
+                        f"pq_encode: embedding dim {Q.shape[1]} is not "
+                        f"divisible by m={m} subspaces — trailing dims "
+                        "would be silently dropped from codes (ADVICE "
+                        "r07); pick m | d or pad the vectors"
+                    )
                 sub = Q.shape[1] // m
                 P = _pq_projection(m, sub, bits)
             n = len(pdf)
@@ -553,11 +560,15 @@ def pq_adc_topk(
     from functools import reduce
 
     shortlist_k = rerank if rerank is not None else k
-    # The persist feeds three branches of the ONE returned plan (codebook,
-    # query rows, candidate rows) and is reclaimed with the session — the
-    # same contract as minhash_xx_certificate; a long-lived caller
-    # embedding this in a larger job should unpersist after materializing.
-    enc = pq_encode(embeddings, m, bits).persist()
+    # The encoded frame feeds three branches of the ONE returned plan
+    # (codebook, query rows, candidate rows). localCheckpoint instead of
+    # persist (ADVICE r07): blocks are reclaimed by the ContextCleaner as
+    # soon as the checkpointed RDD is unreferenced, so repeated callers
+    # (q_pq_recall_report runs two of these per report) don't accumulate
+    # executor storage for the session lifetime the way an unpaired
+    # .persist() does. Eager: one materialization job here, then every
+    # branch reads the stored blocks — same total work as the persist.
+    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=True)
     cb = pq_codebook(enc)
     qs = enc.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "block", F.col("qsub").alias("qq")

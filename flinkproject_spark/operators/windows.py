@@ -361,7 +361,7 @@ def product_stats_approx_certified(
     lineitem: DataFrame,
     duration_days: int = 30,
     rsd: float = 0.05,
-    rel_tol: float = 0.2,
+    rel_tol: float = 0.5,
     abs_tol: int = 2,
 ) -> DataFrame:
     """`product_stats_approx` made oracle-checkable: the HLL++ estimate is
@@ -374,15 +374,19 @@ def product_stats_approx_certified(
     column, wrong grouping, degenerate registers) trips the flag and
     fails the hash match.
 
-    The tolerance is 4x the configured rsd plus a count-DERIVED absolute
-    floor (ADVICE r05 #2): in HLL's linear-counting regime the only error
-    source is register collisions, whose expected number for n distincts
-    over m registers is ~n^2/(2m) — the floor is abs_tol + ceil(3x that),
-    so it stays 2-3 for the 1-10-distinct groups driver SFs produce yet
-    widens automatically for the occasional dense group where a fixed
-    floor of 2 had a nontrivial trip probability on regenerated data. A
-    gate failure here means re-check this tolerance BEFORE suspecting the
-    sketch wiring. Both distinct aggregates run in ONE groupBy
+    The tolerance is a WIRING-BUG envelope, not a precision certificate
+    (ADVICE r06, closing the flaky-oracle risk): the oracle asserts TRUE
+    for every group, so across ~50k groups the per-group trip
+    probability must be negligible on ANY regenerated corpus. rel_tol
+    defaults to 0.5 = 10 sigma at the configured rsd=0.05 (Gaussian
+    trip probability < 1e-22 per dense group), and the count-DERIVED
+    absolute floor abs_tol + ceil(3 * n^2/(2m)) covers the
+    linear-counting regime the 1-10-distinct driver groups live in.
+    Every failure mode the flag exists to catch — wrong column, wrong
+    grouping key, degenerate registers — produces |approx - exact| on
+    the order of `exact` itself or worse, far outside the envelope, so
+    the widened tolerance costs no detection power. A gate failure here
+    is therefore a real wiring bug, not sketch noise. Both distinct aggregates run in ONE groupBy
     (Catalyst's distinct-rewrite handles the mix), so the plan still
     demonstrates the sketch path executing next to its exact twin.
 

@@ -837,6 +837,16 @@ def span_incremental_writer(
     the index regardless of spans (a span is a quality signal — scrub or
     drop decisions belong to the corpus pipeline composing this sink
     with the gates it already has).
+
+    Idempotent under foreachBatch crash-replay (ADVICE r07): span rows
+    append TAGGED with batch_id, and a replayed batch recomputes the
+    IDENTICAL rows (grams, index matches and nd counts are all
+    deterministic; the gram index itself is replay-safe via the
+    anti-join below, so the replay sees the same effective index) —
+    read the log with :func:`read_spans`, which collapses the duplicate
+    (batch_id, span) rows exactly as :func:`read_cms_counters` does for
+    counter deltas. Same doc re-ingested in a LATER batch keeps both
+    annotations (different batch_id — a real second ingest event).
     """
 
     def fn(batch: DataFrame, batch_id: int) -> None:
@@ -875,7 +885,9 @@ def span_incremental_writer(
         marked = matches.groupBy("doc_id", "pos").agg(
             (F.countDistinct("doc_b") + 1).alias("nd")
         )
-        merge_marked_spans(marked, w).write.mode("append").parquet(spans_path)
+        merge_marked_spans(marked, w).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(spans_path)
         # index hygiene: a re-ingested document's grams are already
         # present — anti-join against the (already-read) index so the
         # store never accumulates duplicate (doc_id, gh) rows. Matching
@@ -930,6 +942,18 @@ def cms_incremental_writer(
         )
 
     return fn
+
+
+def read_spans(spark, spans_path: str) -> DataFrame:
+    """Span annotations from the batch-tagged log written by
+    :func:`span_incremental_writer`: drop crash-replay duplicates — a
+    replayed batch appends byte-identical rows under the SAME batch_id,
+    so a full-row distinct collapses exactly those — then project the
+    batch_id tag away. Rows repeated across DIFFERENT batch_ids survive
+    (a document genuinely re-ingested later is a second annotation
+    event). Mirrors :func:`read_cms_counters`'s append-with-id +
+    dedup-on-read discipline (ADVICE r07)."""
+    return spark.read.parquet(spans_path).distinct().drop("batch_id")
 
 
 def read_cms_counters(spark, counters_path: str) -> DataFrame:

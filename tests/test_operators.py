@@ -1004,6 +1004,30 @@ def test_duplicated_spans_alignment_free(spark):
     assert out[1].nd_max == 2 and out[2].nd_max == 2
 
 
+def test_duplicated_spans_intra_doc_flag(spark):
+    """Cross-document-only default vs the Lee-et-al.-faithful occurrence
+    rule (ADVICE r07): a 12-token block repeated twice WITHIN one doc is
+    invisible to the default (countDistinct(doc_id)=1) but detected with
+    include_intra_doc=True — both copies mark, merging per the gap."""
+    blk = " ".join(f"r{i}" for i in range(12))
+    gap = " ".join(f"g{i}" for i in range(10))  # gap >= w keeps spans apart
+    docs = spark.createDataFrame(
+        [
+            (1, blk + " " + gap + " " + blk, "en"),
+            (2, " ".join(f"z{i}" for i in range(30)), "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    assert dedup.duplicated_spans(docs).count() == 0  # default: nothing
+    rows = dedup.duplicated_spans(docs, include_intra_doc=True).collect()
+    assert {r.doc_id for r in rows} == {1}
+    spans = sorted((r.span_start, r.span_len) for r in rows)
+    # copies at token 0 and 22; windows fully inside each 12-token block
+    # -> two spans of len 12, nd = 2 OCCURRENCES of the worst gram
+    assert spans == [(0, 12), (22, 12)]
+    assert all(r.nd_max == 2 for r in rows)
+
+
 def test_duplicated_spans_merges_overlapping_windows(spark):
     """Two repeats separated by a gap SHORTER than the window width merge
     (their covered token ranges overlap); a gap >= w keeps them apart."""
@@ -1229,6 +1253,33 @@ def test_minhash_xx_certificate_invariants(spark, tables):
     ).toPandas()
     hit = emitted[(emitted.doc_a == base["doc_id"]) & (emitted.doc_b == 999999)]
     assert len(hit) == 1 and hit.iloc[0].jaccard == 1.0
+
+
+def test_minhash_xx_certificate_max_df_knob(spark, tables):
+    """The certificate's scale valve (ADVICE r07): with a cap looser than
+    every observed df the capped mode must agree with the uncapped
+    certificate on every column (capped truth == exact truth, and the
+    per-emitted-pair soundness check reproduces the anti-join verdict);
+    with a binding cap, `sound` keeps its UNCAPPED meaning (the clone
+    pair's Jaccard is 1.0 regardless of caps) so it must stay True even
+    as n_true moves to the capped truth."""
+    docs = tables["documents"].limit(50)
+    base = docs.first()
+    clone = spark.createDataFrame(
+        [(999999, base["text"], base["lang"], base["source"], base["n_chars"])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(clone)
+    uncapped = dedup.minhash_xx_certificate(corpus).first()
+    loose = dedup.minhash_xx_certificate(corpus, max_df=corpus.count()).first()
+    assert tuple(loose) == tuple(uncapped)
+    tight = dedup.minhash_xx_certificate(corpus, max_df=1).first()
+    # max_df=1 drops every shared shingle -> capped truth is empty, but
+    # soundness is judged against UNCAPPED Jaccard and the clone pair is
+    # genuinely a dup, so the pipeline's emissions stay sound
+    assert tight["n_true"] == 0
+    assert tight["sound"] is True
+    assert tight["exact_dup_recall_ok"] is True
 
 
 def test_exact_jaccard_pairs_df_cap(tables):

@@ -409,6 +409,37 @@ def test_mean6_is_cross_engine_exact_including_half_boundaries(spark, micros):
     assert got == math.floor((2 * s_micro + n) / (2 * n)) / 1_000_000
 
 
+def test_mean6_documented_sum_bound_is_exact_at_the_frontier(spark):
+    """Lock the |2*S_micro + n| <= 2^53 domain the mean6 docstring claims
+    (ADVICE r06): (a) the kernel is still bit-exact vs pure-integer math
+    at a sum chosen to land the numerator AT the frontier; (b) the bound
+    is real — the first integers past 2^53 no longer round-trip through
+    double, which is exactly the failure mode the docstring warns new
+    call sites about."""
+    import math
+
+    from flinkproject_spark import functions as K
+
+    LIM = 1 << 53
+    # (b) the premise: round-trip exactness ends exactly at 2^53
+    assert all(float(v) == v for v in range(LIM - 8, LIM + 1))
+    assert any(float(v) != v for v in range(LIM + 1, LIM + 9))
+
+    # (a) numerator 2*S+n == 2^53 - 1 (odd -> a half case, the hard kind);
+    # the decimal comes from a STRING — a double division here would
+    # itself lose micro-units at this magnitude, which is the point
+    for n in (1, 3, 7):
+        s_micro = (LIM - 1 - n) // 2
+        txt = f"{s_micro // 1_000_000}.{s_micro % 1_000_000:06d}"
+        df = spark.createDataFrame([(txt,)], "t string").select(
+            F.col("t").cast("decimal(18,6)").alias("v")
+        )
+        got = df.agg(
+            K.mean6(F.sum("v"), F.lit(n).cast("bigint")).alias("mean")
+        ).first()["mean"]
+        assert got == math.floor((2 * s_micro + n) / (2 * n)) / 1_000_000
+
+
 # ---------------------------------------------------------------------------
 # CEP NFA equivalence (VERDICT r05 #8): the generalized machine
 # (operators/cep.py run_machine) vs an independently-written brute-force

@@ -1307,7 +1307,7 @@ def test_span_incremental_single_batch_matches_batch_operator(spark, sf_dir, tmp
     )
     assert q.awaitTermination(180)
 
-    got = {tuple(r) for r in spark.read.parquet(spans).collect()}
+    got = {tuple(r) for r in sinks.read_spans(spark, spans).collect()}
     want = {tuple(r) for r in dedup_ops.duplicated_spans(docs).collect()}
     assert got == want
     # index holds one row per distinct (doc, gram hash)
@@ -1367,20 +1367,33 @@ def test_span_incremental_is_one_sided_across_batches(spark, tmp_path):
     )
     assert q.awaitTermination(180)
 
-    got = [tuple(r) for r in spark.read.parquet(spans).collect()]
+    got = [tuple(r) for r in sinks.read_spans(spark, spans).collect()]
     # doc 3's block sits at token offset 3; w=8 windows fully inside a
     # 12-token block start at 3..7 -> span (start 3, len 12, 5 grams),
     # shared with exactly one other doc
     assert got == [(3, 3, 12, 5, 2)]
 
-    # re-ingest hygiene: replaying batch 1's docs must not grow the gram
-    # index (anti-join dedupe) nor self-match the re-ingested doc
+    # crash-replay idempotency (ADVICE r07): re-running the LAST batch
+    # under its checkpointed batch_id appends byte-identical rows that
+    # read_spans collapses — the served annotations are unchanged
+    writer = sinks.span_incremental_writer(index, spans)
+    last_bid = (
+        spark.read.parquet(spans).agg(F.max("batch_id")).first()[0]
+    )
+    writer(b1, int(last_bid))
+    replayed = [tuple(r) for r in sinks.read_spans(spark, spans).collect()]
+    assert replayed == [(3, 3, 12, 5, 2)]
+
+    # re-ingest hygiene: replaying batch 1's docs under a NEW batch id
+    # must not grow the gram index (anti-join dedupe) nor self-match the
+    # re-ingested doc
     n_idx = spark.read.parquet(index).count()
-    sinks.span_incremental_writer(index, spans)(b1, 99)
+    writer(b1, 99)
     assert spark.read.parquet(index).count() == n_idx
-    again = [tuple(r) for r in spark.read.parquet(spans).collect()]
-    # doc 3 re-emits its span (its content still repeats doc 1's block —
-    # the self-match guard only suppresses matching a doc to ITSELF)
+    again = [tuple(r) for r in sinks.read_spans(spark, spans).collect()]
+    # doc 3 re-emits its span under batch 99 (its content still repeats
+    # doc 1's block — the self-match guard only suppresses matching a
+    # doc to ITSELF; a distinct batch_id is a real second ingest event)
     assert sorted(again) == [(3, 3, 12, 5, 2), (3, 3, 12, 5, 2)]
 
 

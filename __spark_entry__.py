@@ -976,44 +976,116 @@ def q_text_tfidf(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles. Round-7 window: the six queries
-    # added this round (span detect/apply, PQ topk + recall, CMS, corpus
-    # v4) and round 6's dedup_srp_scaled — none yet driver-verified —
-    # then the r03-stale group and the oldest r04-evidence rows up to the
-    # window edge (the r06 driver gate never recorded, so the round-6
-    # rotation is still pending independent verification and is kept in
-    # place). r04 rows displaced by the insertions rotate next round;
-    # freshest evidence back-fills the tail. Per-query recency is
-    # auto-audited in VERIFIED.md (tools/verified_rounds.py).
+    # entries against the DuckDB oracles. Round-8 window (VERDICT r07
+    # task 2): first the queries whose CODE CHANGED this round — the
+    # three de-weakened scale forms (dedup_embedding/dedup_semantic cell
+    # caps, dedup_srp adaptive banding, plus dedup_srp_scaled sharing
+    # the retouched operator), the span pair (intra-doc flag touched
+    # duplicated_spans), the PQ pair (localCheckpoint swap), the widened
+    # product_stats_approx envelope and the certificate's max_df knob —
+    # then the rest of the 18 r04-stale rows (positions 51-68 last
+    # round), then back-fill to the window edge with the oldest
+    # untouched evidence (r05). Everything r07-verified and untouched
+    # holds the tail. Per-query recency is auto-audited in VERIFIED.md
+    # (tools/verified_rounds.py).
     return {
-        # -- never driver-verified (added round 7)
+        # -- code changed this round (rotation rule: must re-verify)
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_srp": q_dedup_srp,
+        "dedup_srp_scaled": q_dedup_srp_scaled,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
+        "product_stats_approx": q_product_stats_approx,
+        "dedup_minhash_xx": q_dedup_minhash_xx,
+        # -- last driver-checked in r04 (the stale 17 of last round's
+        #    positions 51-68; dedup_embedding leads the block above)
+        "product_stats": q_product_stats,
+        "dedup_exact": q_dedup_exact,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_vectorized": q_sim_topk_vectorized,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_corpus_summary": q_text_corpus_summary,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "session_stats": q_session_stats,
+        "mm_decode": q_mm_decode,
+        "asof_last_order": q_asof_last_order,
+        "gmv_rollup": q_gmv_rollup,
+        "funnel_windowed": q_funnel_windowed,
+        # -- back-fill: oldest untouched evidence (r05)
+        "daily_anomalies": q_daily_anomalies,
+        "daily_anomalies_dense": q_daily_anomalies_dense,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
+        "ann_recall_report": q_ann_recall_report,
+        "minhash_pr_report": q_minhash_pr_report,
+        "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "a1_project_orders": q_a1_project_orders,
+        "a2_filter_events": q_a2_filter_events,
+        "a3_explode_words": q_a3_explode_words,
+        "a4_split_routes": q_a4_split_routes,
+        "a5_union_streams": q_a5_union_streams,
+        "a6_visitor_stats": q_a6_visitor_stats,
+        "a6_visitor_stats_4d": q_a6_visitor_stats_4d,
+        "a7_window_distinct": q_a7_window_distinct,
+        "a8_interval_join": q_a8_interval_join,
+        "a8_payment_wide": q_a8_payment_wide,
+        "a9_order_wide": q_a9_order_wide,
+        "a9_product_wide": q_a9_product_wide,
+        "funnel": q_funnel,
+        # ---- end of the 50-query verified window ----
+        # -- r05 evidence, untouched, next in the rotation queue
+        "retention_cohorts": q_retention_cohorts,
+        "order_prorate": q_order_prorate,
+        "text_chunks": q_text_chunks,
+        "corpus_split": q_corpus_split,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
+        "token_budget_pack": q_token_budget_pack,
+        "text_repetition": q_text_repetition,
+        "text_entropy": q_text_entropy,
+        "cluster_assign": q_cluster_assign,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_normalized": q_dedup_normalized,
+        "sim_quantize": q_sim_quantize,
+        "corpus_cube": q_corpus_cube,
+        "corpus_by_cluster": q_corpus_by_cluster,
+        "corpus_pipeline": q_corpus_pipeline,
+        "event_type_pivot": q_event_type_pivot,
+        "dedup_survivors": q_dedup_survivors,
+        "running_spend": q_running_spend,
+        "topn_per_nation": q_topn_per_nation,
+        "sliding_visitor_stats": q_sliding_visitor_stats,
+        "order_value_percentiles": q_order_value_percentiles,
+        "scd2_order_state": q_scd2_order_state,
+        "a8_interval_join_outer": q_a8_interval_join_outer,
+        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
+        # -- freshest evidence (driver-verified green in r07)
         "event_freq_cms": q_event_freq_cms,
         "corpus_pipeline_v4": q_corpus_pipeline_v4,
-        # -- never driver-verified (added round 6)
-        "dedup_srp_scaled": q_dedup_srp_scaled,
-        # -- last driver-checked in r03 (oldest evidence)
         "dedup_clusters_star": q_dedup_clusters_star,
         "text_redact_pii": q_text_redact_pii,
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,
         "text_gopher": q_text_gopher,
-        "dedup_srp": q_dedup_srp,
         "text_logprob": q_text_logprob,
         "dedup_chunks": q_dedup_chunks,
         "corpus_pipeline_v2": q_corpus_pipeline_v2,
         "dedup_chunks_apply": q_dedup_chunks_apply,
-        # -- code/semantics changed after their last driver row
         "dedup_ngram_blocked": q_dedup_ngram_blocked,
-        "product_stats_approx": q_product_stats_approx,
         "a19_udtf_lateral": q_a19_udtf_lateral,
         "a19_udtf_subword": q_a19_udtf_subword,
-        # -- last driver-checked in r04 (oldest 35 of 49)
-        "dedup_semantic": q_dedup_semantic,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "text_tfidf": q_text_tfidf,
         "text_bigram_logprob": q_text_bigram_logprob,
@@ -1041,77 +1113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_sql_province_stats": q_a20_sql_province_stats,
         "b4_cdc_roundtrip": q_b4_cdc_roundtrip,
         "province_stats": q_province_stats,
-        "product_stats": q_product_stats,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        # ---- end of the 50-query verified window ----
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        # -- r04 rows awaiting next round's rotation (all pass the local
-        #    oracle gate every round; tools/verify_local.py)
-        "sim_topk_vectorized": q_sim_topk_vectorized,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "text_token_stats": q_text_token_stats,
-        "text_corpus_summary": q_text_corpus_summary,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "session_stats": q_session_stats,
-        "mm_decode": q_mm_decode,
-        "asof_last_order": q_asof_last_order,
-        "gmv_rollup": q_gmv_rollup,
-        "funnel_windowed": q_funnel_windowed,
-        # -- freshest evidence (driver-verified green in CORRECTNESS_r05)
-        "daily_anomalies": q_daily_anomalies,
-        "daily_anomalies_dense": q_daily_anomalies_dense,
-        "dedup_minhash_xx": q_dedup_minhash_xx,
-        "order_value_percentiles_approx": q_order_value_percentiles_approx,
-        "ann_recall_report": q_ann_recall_report,
-        "minhash_pr_report": q_minhash_pr_report,
-        "mm_features": q_mm_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize": q_mm_resize,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "a1_project_orders": q_a1_project_orders,
-        "a2_filter_events": q_a2_filter_events,
-        "a3_explode_words": q_a3_explode_words,
-        "a4_split_routes": q_a4_split_routes,
-        "a5_union_streams": q_a5_union_streams,
-        "a6_visitor_stats": q_a6_visitor_stats,
-        "a6_visitor_stats_4d": q_a6_visitor_stats_4d,
-        "a7_window_distinct": q_a7_window_distinct,
-        "a8_interval_join": q_a8_interval_join,
-        "a8_payment_wide": q_a8_payment_wide,
-        "a9_order_wide": q_a9_order_wide,
-        "a9_product_wide": q_a9_product_wide,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "order_prorate": q_order_prorate,
-        "text_chunks": q_text_chunks,
-        "corpus_split": q_corpus_split,
-        "corpus_pack": q_corpus_pack,
-        "corpus_sample": q_corpus_sample,
-        "token_budget_pack": q_token_budget_pack,
-        "text_repetition": q_text_repetition,
-        "text_entropy": q_text_entropy,
-        "cluster_assign": q_cluster_assign,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_normalized": q_dedup_normalized,
-        "sim_quantize": q_sim_quantize,
-        "corpus_cube": q_corpus_cube,
-        "corpus_by_cluster": q_corpus_by_cluster,
-        "corpus_pipeline": q_corpus_pipeline,
-        "event_type_pivot": q_event_type_pivot,
-        "dedup_survivors": q_dedup_survivors,
-        "running_spend": q_running_spend,
-        "topn_per_nation": q_topn_per_nation,
-        "sliding_visitor_stats": q_sliding_visitor_stats,
-        "order_value_percentiles": q_order_value_percentiles,
-        "scd2_order_state": q_scd2_order_state,
-        "a8_interval_join_outer": q_a8_interval_join_outer,
-        "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
     }
 
 

@@ -698,8 +698,92 @@ def incremental_dedup_writer(
     return fn
 
 
+class BucketedParquetIndex:
+    """Hash-bucketed parquet layout for the incremental sinks' persisted
+    state (VERDICT r07 task 4): rows live under `pb=<k>/` directories
+    keyed by pmod(hash64(key), n_buckets), so a per-batch read PRUNES to
+    the buckets the batch's keys actually touch (partition pruning at the
+    file listing — the flat layout re-scanned the whole index every
+    trigger, the measured per-batch wall growth in BENCH_CC_SCALE.md).
+    Appends `repartition("pb")` first, so each touched bucket gains
+    exactly ONE file per batch, and `maybe_compact` rewrites the index to
+    one file per bucket every `compact_every` batches — bounding the
+    file count the next reads must open (the LSM discipline, hand-rolled
+    on parquet).
+
+    Touched-set discovery is a driver-side collect BOUNDED by n_buckets
+    (the same bounded-metadata contract as routing's n_buckets collect).
+
+    Production caveat: the compaction overwrite is not atomic — parquet
+    directories have no commit protocol, so a crash mid-compaction loses
+    the index (the sink's outputs are unaffected; rebuild the index by
+    re-scanning the corpus). A transactional table format (Delta/Iceberg)
+    gives the same layout with atomic compaction; this class documents
+    the plan shape those formats execute.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        compact_every: int | None = 8,
+    ) -> None:
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
+
+    def _with_pb(self, df: DataFrame) -> DataFrame:
+        from flinkproject_spark import functions as K
+
+        key = F.concat_ws(":", *[F.col(c).cast("string") for c in self.key_cols])
+        return df.withColumn(
+            "pb", F.pmod(K.hash64(key), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def read_pruned(self, spark, probe: DataFrame) -> DataFrame | None:
+        """Index rows in the buckets `probe`'s keys touch (probe must
+        carry the key columns; other columns are ignored), or None
+        before the first append."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            idx = spark.read.parquet(self.path)
+        except AnalysisException:
+            return None
+        touched = [
+            r.pb for r in self._with_pb(probe).select("pb").distinct().collect()
+        ]
+        return idx.filter(F.col("pb").isin(touched)).drop("pb")
+
+    def append(self, df: DataFrame) -> None:
+        (
+            self._with_pb(df)
+            .repartition("pb")
+            .write.mode("append")
+            .partitionBy("pb")
+            .parquet(self.path)
+        )
+
+    def maybe_compact(self, spark, batch_id: int) -> None:
+        if not self.compact_every or (batch_id + 1) % self.compact_every:
+            return
+        full = spark.read.parquet(self.path).localCheckpoint(eager=True)
+        (
+            full.repartition("pb")
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(self.path)
+        )
+
+
 def srp_incremental_writer(
-    corpus_path: str, sig_index_path: str, threshold: float = 0.9
+    corpus_path: str,
+    sig_index_path: str,
+    threshold: float = 0.9,
+    index_buckets: int | None = None,
+    compact_every: int | None = 8,
 ) -> Callable[[DataFrame, int], None]:
     """Embedding-space incremental near-dup gate: the SRP-LSH twin of
     `incremental_dedup_writer` (which gates on EXACT content hashes).
@@ -724,7 +808,24 @@ def srp_incremental_writer(
     verify >= threshold through a shared band bucket. (Per-batch exact
     clustering — connected components inside foreachBatch — buys back the
     borderline members at iterative-job cost; wrong trade for a sink.)
+
+    `index_buckets=N` switches BOTH stores to the
+    :class:`BucketedParquetIndex` layout — the signature index bucketed
+    on (band, bucket), the corpus on vec_id — so each trigger reads only
+    the buckets the batch's signatures (and then its candidates' vec_ids)
+    touch, plus compaction every `compact_every` batches: trigger cost
+    becomes O(batch), not O(corpus) (VERDICT r07 task 4; the flat
+    default re-scans both stores per trigger, fine for short runs and
+    pinned by the existing tests). Admitted output is IDENTICAL across
+    layouts (parity-pinned by test): pruning only removes index rows
+    that cannot join the batch.
     """
+    sig_store = BucketedParquetIndex(
+        sig_index_path, ["band", "bucket"], index_buckets or 32, compact_every
+    )
+    corpus_store = BucketedParquetIndex(
+        corpus_path, ["vec_id"], index_buckets or 32, compact_every
+    )
 
     def _verified_pairs(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
         """cand (vec_a, vec_b) against embeddings in left/right -> pairs
@@ -763,31 +864,43 @@ def srp_incremental_writer(
         spark = batch.sparkSession
         sig = srp_signatures(batch).localCheckpoint(eager=True)
         dropped = None
-        try:
-            idx = spark.read.parquet(sig_index_path)
-            corpus = spark.read.parquet(corpus_path)
-        except AnalysisException:
-            # First batch: neither the signature index nor the corpus
-            # exists yet.  Only PATH_NOT_FOUND-class failures mean that —
-            # corrupt files / schema drift / IO errors must propagate, or
-            # the sink would silently skip cross-corpus dedup and admit
-            # duplicates (the invariant this writer exists to guarantee).
-            logging.getLogger(__name__).info(
-                "srp_incremental_writer batch %d: no index at %s yet; "
-                "skipping cross-corpus check",
-                batch_id,
-                sig_index_path,
-            )
-            idx = None
+        corpus = None
+        if index_buckets is not None:
+            idx = sig_store.read_pruned(spark, sig)
+        else:
+            try:
+                idx = spark.read.parquet(sig_index_path)
+                corpus = spark.read.parquet(corpus_path)
+            except AnalysisException:
+                # First batch: neither the signature index nor the corpus
+                # exists yet.  Only PATH_NOT_FOUND-class failures mean that —
+                # corrupt files / schema drift / IO errors must propagate, or
+                # the sink would silently skip cross-corpus dedup and admit
+                # duplicates (the invariant this writer exists to guarantee).
+                logging.getLogger(__name__).info(
+                    "srp_incremental_writer batch %d: no index at %s yet; "
+                    "skipping cross-corpus check",
+                    batch_id,
+                    sig_index_path,
+                )
+                idx = None
         if idx is not None:
             cand_x = (
                 sig.join(idx.withColumnRenamed("vec_id", "vec_b"), ["band", "bucket"])
                 .select(F.col("vec_id").alias("vec_a"), "vec_b")
                 .distinct()
             )
-            dropped = _verified_pairs(cand_x, batch, corpus).select(
-                F.col("vec_a").alias("vec_id")
-            ).distinct()
+            if index_buckets is not None:
+                # candidates drive the SECOND pruned read: only the
+                # corpus buckets holding candidate vec_ids are fetched
+                cand_x = cand_x.localCheckpoint(eager=True)
+                corpus = corpus_store.read_pruned(
+                    spark, cand_x.select(F.col("vec_b").alias("vec_id"))
+                )
+            if corpus is not None:
+                dropped = _verified_pairs(cand_x, batch, corpus).select(
+                    F.col("vec_a").alias("vec_id")
+                ).distinct()
         # within-batch: candidates through shared buckets, lower id wins
         s2 = sig.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
         cand_in = (
@@ -801,16 +914,25 @@ def srp_incremental_writer(
         ).distinct()
         dropped = in_batch if dropped is None else dropped.unionByName(in_batch).distinct()
         admitted = batch.join(dropped, "vec_id", "left_anti").localCheckpoint(eager=True)
-        admitted.write.mode("append").parquet(corpus_path)
-        sig.join(admitted.select("vec_id"), "vec_id", "left_semi").write.mode(
-            "append"
-        ).parquet(sig_index_path)
+        new_sigs = sig.join(admitted.select("vec_id"), "vec_id", "left_semi")
+        if index_buckets is not None:
+            corpus_store.append(admitted)
+            sig_store.append(new_sigs)
+            corpus_store.maybe_compact(spark, batch_id)
+            sig_store.maybe_compact(spark, batch_id)
+        else:
+            admitted.write.mode("append").parquet(corpus_path)
+            new_sigs.write.mode("append").parquet(sig_index_path)
 
     return fn
 
 
 def span_incremental_writer(
-    gram_index_path: str, spans_path: str, w: int = 8
+    gram_index_path: str,
+    spans_path: str,
+    w: int = 8,
+    index_buckets: int | None = None,
+    compact_every: int | None = 8,
 ) -> Callable[[DataFrame, int], None]:
     """Ingest-time repeated-SPAN detection: the streaming twin of
     operators.dedup.duplicated_spans. Each micro-batch's rolling w-token
@@ -820,9 +942,15 @@ def span_incremental_writer(
     interval-merge semantics to the batch operator) which append to
     `spans_path`, and the batch's distinct (doc_id, gh) rows append to
     the index. Join work is O(batch x gram collisions) per trigger; the
-    flat-parquet index re-scan carries the same caveat as
-    srp_incremental_writer — at scale store the index partitioned/
-    bucketed on gh so the read prunes to the hashes the batch touches.
+    flat-parquet default re-scans the whole index per trigger —
+    `index_buckets=N` switches the gram index to the
+    :class:`BucketedParquetIndex` layout keyed on gh (VERDICT r07 task
+    4): reads prune to the buckets the batch's grams touch, appends add
+    one file per touched bucket, compaction every `compact_every`
+    batches bounds the file count. Detected spans are IDENTICAL across
+    layouts (parity-pinned by test) — pruning only drops index rows
+    whose gh cannot join the batch, and the anti-join hygiene sees every
+    bucket the batch writes to.
 
     Semantics are ONE-SIDED by design: a span records that an ingested
     document repeats content seen at-or-before its ingest time; the
@@ -848,6 +976,9 @@ def span_incremental_writer(
     counter deltas. Same doc re-ingested in a LATER batch keeps both
     annotations (different batch_id — a real second ingest event).
     """
+    gram_store = BucketedParquetIndex(
+        gram_index_path, ["gh"], index_buckets or 32, compact_every
+    )
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -859,16 +990,19 @@ def span_incremental_writer(
 
         spark = batch.sparkSession
         gh = span_gram_rows(batch, w).localCheckpoint(eager=True)
-        try:
-            idx = spark.read.parquet(gram_index_path)
-        except AnalysisException:
-            logging.getLogger(__name__).info(
-                "span_incremental_writer batch %d: no index at %s yet; "
-                "within-batch matching only",
-                batch_id,
-                gram_index_path,
-            )
-            idx = None
+        if index_buckets is not None:
+            idx = gram_store.read_pruned(spark, gh)
+        else:
+            try:
+                idx = spark.read.parquet(gram_index_path)
+            except AnalysisException:
+                logging.getLogger(__name__).info(
+                    "span_incremental_writer batch %d: no index at %s yet; "
+                    "within-batch matching only",
+                    batch_id,
+                    gram_index_path,
+                )
+                idx = None
         other = gh.select(F.col("doc_id").alias("doc_b"), "gh")
         matches = (
             gh.join(other, "gh")
@@ -896,7 +1030,11 @@ def span_incremental_writer(
         new_rows = gh.select("doc_id", "gh").distinct()
         if idx is not None:
             new_rows = new_rows.join(idx, ["doc_id", "gh"], "left_anti")
-        new_rows.write.mode("append").parquet(gram_index_path)
+        if index_buckets is not None:
+            gram_store.append(new_rows)
+            gram_store.maybe_compact(spark, batch_id)
+        else:
+            new_rows.write.mode("append").parquet(gram_index_path)
 
     return fn
 

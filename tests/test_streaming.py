@@ -1234,6 +1234,105 @@ def test_srp_incremental_sink_admits_near_dup_free_corpus(spark, sf_dir, tmp_pat
     assert spark.read.parquet(sig_index).count() == len(ids) * 4
 
 
+def test_srp_incremental_bucketed_layout_parity(spark, sf_dir, tmp_path):
+    """The BucketedParquetIndex layout (VERDICT r07 task 4) must admit
+    EXACTLY the flat layout's corpus over the same batch sequence —
+    pruning only skips index buckets the batch cannot join — across a
+    compaction boundary (compact_every=2 fires mid-sequence)."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    base = emb.limit(120).localCheckpoint(eager=True)
+    twins = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    batches = [
+        base.filter(F.col("vec_id") % 3 == i) if i < 3 else twins
+        for i in range(4)
+    ]
+    flat = sinks.srp_incremental_writer(
+        str(tmp_path / "flat_corpus"), str(tmp_path / "flat_sigs")
+    )
+    buck = sinks.srp_incremental_writer(
+        str(tmp_path / "b_corpus"),
+        str(tmp_path / "b_sigs"),
+        index_buckets=8,
+        compact_every=2,
+    )
+    for i, b in enumerate(batches):
+        flat(b, i)
+        buck(b, i)
+    got_flat = {
+        r.vec_id for r in spark.read.parquet(str(tmp_path / "flat_corpus")).collect()
+    }
+    got_buck = {
+        r.vec_id for r in spark.read.parquet(str(tmp_path / "b_corpus")).collect()
+    }
+    assert got_buck == got_flat
+    # layout really is bucketed: pb= partition dirs on disk, and the
+    # sig index contents (modulo the pb column) match the flat index
+    assert any(d.startswith("pb=") for d in os.listdir(str(tmp_path / "b_sigs")))
+    flat_sigs = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "flat_sigs")).collect()
+    }
+    buck_sigs = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "b_sigs")).drop("pb").collect()
+    }
+    assert buck_sigs == flat_sigs
+    # compaction left at most one file per bucket directory
+    for d in os.listdir(str(tmp_path / "b_sigs")):
+        if d.startswith("pb="):
+            parts = [
+                f
+                for f in os.listdir(str(tmp_path / "b_sigs" / d))
+                if f.endswith(".parquet")
+            ]
+            assert len(parts) <= 1 + 1  # compacted file + at most 1 newer batch
+
+
+def test_span_incremental_bucketed_layout_parity(spark, sf_dir, tmp_path):
+    """Span sink parity across layouts: identical detected spans and
+    identical gram-index row sets over a multi-batch run with a
+    re-ingested document (exercising the anti-join hygiene against a
+    PRUNED index read)."""
+    docs = catalog.load_table(spark, sf_dir, "documents").limit(90)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    # clones under new ids guarantee cross-document spans in the last
+    # batch; plus a genuine re-ingest exercising the anti-join hygiene
+    batches.append(
+        batches[0].limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .unionByName(batches[1].limit(5))
+    )
+    flat = sinks.span_incremental_writer(
+        str(tmp_path / "flat_idx"), str(tmp_path / "flat_spans")
+    )
+    buck = sinks.span_incremental_writer(
+        str(tmp_path / "b_idx"),
+        str(tmp_path / "b_spans"),
+        index_buckets=8,
+        compact_every=2,
+    )
+    for i, b in enumerate(batches):
+        flat(b, i)
+        buck(b, i)
+    got_flat = sorted(
+        tuple(r) for r in sinks.read_spans(spark, str(tmp_path / "flat_spans")).collect()
+    )
+    got_buck = sorted(
+        tuple(r) for r in sinks.read_spans(spark, str(tmp_path / "b_spans")).collect()
+    )
+    assert got_buck == got_flat
+    flat_idx = {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "flat_idx")).collect()
+    }
+    buck_idx = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "b_idx")).drop("pb").collect()
+    }
+    assert buck_idx == flat_idx
+    assert any(d.startswith("pb=") for d in os.listdir(str(tmp_path / "b_idx")))
+
+
 def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):
     """Documents streamed in doc_id order through the incremental-dedup
     sink: the admitted corpus must equal the batch exact-dedup keeper set

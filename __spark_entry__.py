@@ -426,10 +426,16 @@ def q_ann_recall_report(spark, sf):
 def q_sim_topk_pq(spark, sf):
     """Product-quantization ANN with ADC shortlist + exact rerank
     (similarity.pq_adc_topk): candidates scored from m=16 6-bit codes via
-    a broadcast lookup table, ADC top-100 re-scored with true vectors —
+    a broadcast lookup table, ADC shortlist re-scored with true vectors —
     the compressed-index serving path (Jegou et al. 2011), deterministic
-    end-to-end via the int64 quantization contract."""
-    out = similarity.pq_adc_topk(_t(spark, sf, "embeddings"), QUERY_IDS, rerank=100)
+    end-to-end via the int64 quantization contract.
+
+    rerank="auto" (VERDICT r07 task 5): the shortlist R is sized from
+    the corpus count (similarity.pq_auto_rerank, R ~ sqrt(n) in
+    power-of-two steps — R=100 at test SFs, identical output) so the
+    driver form holds its recall as the corpus grows; the oracle
+    regenerates the same R from count(*)."""
+    out = similarity.pq_adc_topk(_t(spark, sf, "embeddings"), QUERY_IDS, rerank="auto")
     return out
 
 
@@ -440,7 +446,7 @@ def q_pq_recall_report(spark, sf):
     DuckDB-reproducible."""
     emb = _t(spark, sf, "embeddings")
     exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
-    approx = similarity.pq_adc_topk(emb, QUERY_IDS, rerank=100)
+    approx = similarity.pq_adc_topk(emb, QUERY_IDS, rerank="auto")
     out = similarity.recall_at_k(approx, exact, k=10)
     return out.select("query_id", F.round("recall", 6).alias("recall"))
 
@@ -1509,21 +1515,38 @@ FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
-def _pq_sql(m: int = 16, bits: int = 6, rerank: int = 100, k: int = 10) -> str:
+def _pq_sql(
+    m: int = 16, bits: int = 6, rerank: int | str = "auto", k: int = 10
+) -> str:
     """Oracle twin of similarity.pq_adc_topk(rerank=R): regenerates the
     md5-derived per-subspace hyperplanes, the int64 quantization, codes,
     codebook sums, the ADC table ((int dot / n) / 1e6 — the same two IEEE
     divisions), the FIXED-ORDER m-term score sum (explicit left-assoc
     `+` chain, never a commutative SUM), the ADC shortlist, and the exact
-    rerank with the brute-force tier's rounded-cosine contract."""
+    rerank with the brute-force tier's rounded-cosine contract.
+
+    rerank="auto" regenerates similarity.pq_auto_rerank's corpus-sized R
+    in SQL — r0 * 2^ceil(log2(count/n0)/2), floored at r0=100 — so the
+    adaptive shortlist itself is oracle-verified (VERDICT r07 task 5)."""
     sub = 64 // m
+    if rerank == "auto":
+        r_expr = "(SELECT r FROM rp)"
+        rp_cte = """rp AS (
+  SELECT CASE WHEN COUNT(*) <= 2000 THEN 100
+         ELSE 100 * CAST(pow(2, CAST(ceil(log2(COUNT(*) / 2000.0) / 2)
+                                     AS BIGINT)) AS BIGINT) END AS r
+  FROM embeddings),
+"""
+    else:
+        r_expr = str(rerank)
+        rp_cte = ""
     qids = ", ".join(str(i) for i in QUERY_IDS)
     t_sum = " + ".join(f"SUM(CASE WHEN blk = {b} THEN term END)" for b in range(m))
     dot = _DOT.format(a="eq.embedding", b="ec.embedding")
     qn = _NORM.format(a="eq.embedding")
     cn = _NORM.format(a="ec.embedding")
     return f"""
-WITH qz AS (
+WITH {rp_cte}qz AS (
   SELECT vec_id,
          list_transform(range(1, len(embedding) + 1),
            i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
@@ -1565,7 +1588,7 @@ short AS (
   SELECT query_id, neighbor_id, adc_score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_score DESC, neighbor_id) AS srank
-  FROM sc QUALIFY srank <= {rerank})
+  FROM sc QUALIFY srank <= {r_expr})
 SELECT s.query_id,
        row_number() OVER (PARTITION BY s.query_id
                           ORDER BY round(({dot}) / (({qn}) * ({cn})), 6) DESC,

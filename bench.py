@@ -122,7 +122,9 @@ def load_prev_bench() -> tuple[str, dict] | None:
         return None
 
 
-def vs_prev_summary(timings: dict, noise_spread_pct: float) -> dict | None:
+def vs_prev_summary(
+    timings: dict, noise_spread_pct: float, retime=None
+) -> dict | None:
     prev = load_prev_bench()
     if not prev:
         return None
@@ -143,6 +145,25 @@ def vs_prev_summary(timings: dict, noise_spread_pct: float) -> dict | None:
     flag_gate = round(1.0 + noise_spread_pct / 100.0, 3)
     flagged = {q: r for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
                if r > flag_gate and timings[q] >= 0.5}
+    # noise-hardening (VERDICT r07 task 6): re-time each provisional flag
+    # back-to-back IN-SESSION before emitting it — the manual procedure
+    # that cleared all 4 r07 false flags, automated. A flag survives only
+    # if its fresh median still clears the gate; cleared flags are
+    # reported (ratio + retimed value) so the attribution is auditable.
+    retimed: dict[str, dict] = {}
+    if retime is not None:
+        survivors = {}
+        for q in list(flagged)[:8]:
+            fresh = retime(q)
+            fresh_ratio = round(fresh / pq[q], 3) if pq[q] > 0 else None
+            retimed[q] = {
+                "first_pass_ratio": flagged[q],
+                "retimed_s": fresh,
+                "retimed_ratio": fresh_ratio,
+            }
+            if fresh_ratio is not None and fresh_ratio > flag_gate:
+                survivors[q] = fresh_ratio
+        flagged = survivors
     return {
         "baseline_file": fname,
         "n_common": len(ratios),
@@ -151,7 +172,23 @@ def vs_prev_summary(timings: dict, noise_spread_pct: float) -> dict | None:
         "worst": {worst: ratios[worst]},
         "regression_gate": flag_gate,
         "flagged": dict(list(flagged.items())[:8]),
+        "retimed": retimed,
     }
+
+
+def _retimer(spark, qs):
+    """Back-to-back in-session re-timer for provisionally flagged queries
+    (median of REPEATS fresh runs, same materialize contract)."""
+
+    def retime(name: str) -> float:
+        reps = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+        return round(statistics.median(reps), 3)
+
+    return retime
 
 
 def main() -> None:
@@ -211,7 +248,7 @@ def main() -> None:
             "median": round(noise_med, 3),
             "spread_pct": spread_pct,
         },
-        "vs_prev": vs_prev_summary(timings, spread_pct),
+        "vs_prev": vs_prev_summary(timings, spread_pct, retime=_retimer(spark, qs)),
     }
     print(json.dumps(out))
 

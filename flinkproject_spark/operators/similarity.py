@@ -510,13 +510,34 @@ def pq_codebook(enc: DataFrame) -> DataFrame:
     )
 
 
+def pq_auto_rerank(n_vectors: int, r0: int = 100, n0: int = 2000) -> int:
+    """Corpus-size-aware rerank shortlist (VERDICT r07 task 5): R grows
+    ~sqrt(corpus) in power-of-two steps — R = r0 * 2^ceil(log2(n/n0)/2),
+    floored at r0. BENCH_PQ_SCALE.md measured WHY: a FIXED R=100 recall
+    sags 0.80 -> 0.72 as distractor mass grows 16x, while R doubled per
+    4x corpus holds 0.96 — the shortlist must keep pace with the number
+    of distractors whose ADC score beats true neighbors by quantization
+    luck, which grows ~linearly in n with a sqrt-n safe margin at these
+    recall targets. Power-of-two steps keep the formula exact in IEEE
+    doubles at every breakpoint (n/n0 = 4^j is exactly representable and
+    log2 of it exact), so the DuckDB oracle regenerates the identical R
+    from count(*) — the same adaptive-knob-as-code contract as
+    dedup.srp_recommended_banding."""
+    import math
+
+    if n_vectors <= n0:
+        return r0
+    return r0 * (1 << math.ceil(math.log2(n_vectors / n0) / 2))
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     m: int = 16,
     bits: int = 6,
-    rerank: int | None = None,
+    rerank: int | str | None = None,
+    broadcast_adc: bool = True,
 ) -> DataFrame:
     """Compressed top-k via Asymmetric Distance Computation (Jegou et al.
     2011, the IVFADC search half): each candidate is scored from its m
@@ -543,7 +564,19 @@ def pq_adc_topk(
     the exact top-10 at sf0.01 -> recall@10 = 0.98 after rerank (0.88 on
     the sf0.001 regeneration), vs 0.46 raw ADC.
     Fixed R means the re-scored fraction SHRINKS as the corpus grows —
-    the knob is absolute cost, not a corpus ratio.
+    and recall sags with it (BENCH_PQ_SCALE.md: 0.80 -> 0.72 at 16x).
+    `rerank="auto"` sizes R from the corpus count via
+    :func:`pq_auto_rerank` (one metadata-backed count(), R ~ sqrt(n) in
+    power-of-two steps) — the scale-safe default for serving a growing
+    corpus, oracle-verifiable because the formula is reproducible SQL.
+
+    `broadcast_adc=False` is the BULK-mode switch the broadcast note
+    below documents: for an offline query batch too large for a
+    kilobyte-scale ADC table (Q x m x 2^bits rows grows with Q), drop
+    the broadcast hint and let the (block, code) equi-join pick its own
+    strategy (AQE broadcasts when it fits, shuffles otherwise). Output
+    is identical; only the join strategy moves (parity + plan pinned by
+    test, wall measured in BENCH_PQ_SCALE.md).
 
     Determinism contract: the table term is (exact int dot of the query
     subvector with the codeword SUM) / n / 1e6 — two IEEE divisions of
@@ -559,6 +592,8 @@ def pq_adc_topk(
     """
     from functools import reduce
 
+    if rerank == "auto":
+        rerank = pq_auto_rerank(embeddings.count())
     shortlist_k = rerank if rerank is not None else k
     # The encoded frame feeds three branches of the ONE returned plan
     # (codebook, query rows, candidate rows). localCheckpoint instead of
@@ -588,7 +623,8 @@ def pq_adc_topk(
         ).alias("term"),
     )
     cands = enc.select(F.col("vec_id").alias("neighbor_id"), "block", "code")
-    scored = cands.join(F.broadcast(adc), ["block", "code"]).filter(
+    adc_side = F.broadcast(adc) if broadcast_adc else adc
+    scored = cands.join(adc_side, ["block", "code"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     per_pair = scored.groupBy("query_id", "neighbor_id").agg(

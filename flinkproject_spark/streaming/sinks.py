@@ -784,6 +784,8 @@ def srp_incremental_writer(
     threshold: float = 0.9,
     index_buckets: int | None = None,
     compact_every: int | None = 8,
+    bits: int = 16,
+    bands: int = 4,
 ) -> Callable[[DataFrame, int], None]:
     """Embedding-space incremental near-dup gate: the SRP-LSH twin of
     `incremental_dedup_writer` (which gates on EXACT content hashes).
@@ -819,6 +821,15 @@ def srp_incremental_writer(
     pinned by the existing tests). Admitted output is IDENTICAL across
     layouts (parity-pinned by test): pruning only removes index rows
     that cannot join the batch.
+
+    `bits`/`bands` size the SRP banding — STATIC per writer because the
+    persisted signature index must be built with one consistent family
+    (re-banding an existing index means re-signing the corpus). Size
+    them for the EXPECTED corpus via dedup.srp_recommended_banding
+    (b ~ log2 of the eventual vector count); the 16/4 default is the
+    test-SF calibration, and an undersized banding makes candidate
+    verification — not storage layout — the growing per-batch cost
+    (BENCH_SINKS_SCALE.md measures exactly that conflation).
     """
     sig_store = BucketedParquetIndex(
         sig_index_path, ["band", "bucket"], index_buckets or 32, compact_every
@@ -862,7 +873,7 @@ def srp_incremental_writer(
         from flinkproject_spark.operators.dedup import srp_signatures
 
         spark = batch.sparkSession
-        sig = srp_signatures(batch).localCheckpoint(eager=True)
+        sig = srp_signatures(batch, bits, bands).localCheckpoint(eager=True)
         dropped = None
         corpus = None
         if index_buckets is not None:
@@ -891,12 +902,11 @@ def srp_incremental_writer(
                 .distinct()
             )
             if index_buckets is not None:
-                # candidates drive the SECOND pruned read: only the
-                # corpus buckets holding candidate vec_ids are fetched
-                cand_x = cand_x.localCheckpoint(eager=True)
-                corpus = corpus_store.read_pruned(
-                    spark, cand_x.select(F.col("vec_b").alias("vec_id"))
-                )
+                # the PRUNED index drives the second pruned read: only
+                # corpus buckets holding vec_ids that can appear as
+                # candidates are fetched (a cheap superset of the
+                # candidate vec_b set — never materializes candidates)
+                corpus = corpus_store.read_pruned(spark, idx.select("vec_id"))
             if corpus is not None:
                 dropped = _verified_pairs(cand_x, batch, corpus).select(
                     F.col("vec_a").alias("vec_id")

@@ -2097,6 +2097,29 @@ def test_pq_rerank_recall_beats_raw_adc(tables):
     assert r_rer >= 0.85
 
 
+def test_pq_auto_rerank_formula_and_modes(tables):
+    """pq_auto_rerank reproduces the measured R-scaling schedule
+    (BENCH_PQ_SCALE.md: 2000->100, 8000->200, 32000->400) and floors at
+    r0 below n0; rerank='auto' and the explicit R it resolves to produce
+    IDENTICAL results; broadcast_adc=False (bulk mode) is also output-
+    identical — only the join strategy moves (VERDICT r07 task 5)."""
+    assert similarity.pq_auto_rerank(500) == 100
+    assert similarity.pq_auto_rerank(2000) == 100
+    assert similarity.pq_auto_rerank(8000) == 200
+    assert similarity.pq_auto_rerank(32000) == 400
+    assert similarity.pq_auto_rerank(128000) == 800
+
+    emb = tables["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    n = emb.count()
+    key = lambda df: sorted(map(tuple, df.toPandas().to_numpy().tolist()))
+    auto = similarity.pq_adc_topk(emb, qids, rerank="auto")
+    fixed = similarity.pq_adc_topk(emb, qids, rerank=similarity.pq_auto_rerank(n))
+    assert key(auto) == key(fixed)
+    bulk = similarity.pq_adc_topk(emb, qids, rerank="auto", broadcast_adc=False)
+    assert key(bulk) == key(auto)
+
+
 # --- semdedup / dsir / zipf / split leakage (round-4 additions) ------------
 
 def test_semdedup_keeps_component_minimum_and_isolated_vectors(tables):

@@ -1,0 +1,327 @@
+"""Incremental-sink scale curves: per-batch wall time as persisted state
+grows, for the three stateful ingest sinks (VERDICT r07 tasks 4 & 7).
+
+1. SRP near-dup gate (`srp_incremental_writer`) — FLAT parquet layout vs
+   the BucketedParquetIndex layout (index_buckets, periodic compaction):
+   the flat curve grows linearly with the index re-scan; the bucketed
+   curve must stay flat (±noise) with IDENTICAL admitted output
+   (parity pinned by tests/test_streaming.py).
+2. Repeated-span detector (`span_incremental_writer`) — same comparison
+   over batch-salted document batches (every gram batch-unique, so the
+   curve isolates index read/write cost from match work).
+3. Count-Min sink (`cms_incremental_writer`) — write wall per batch plus
+   the `read_cms_counters` serving-read wall as the delta log grows.
+
+Writes BENCH_SINKS_SCALE.md. Usage: python tools/bench_sinks_scale.py
+[n_batches] (default 10).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flinkproject_spark import catalog  # noqa: E402
+from flinkproject_spark.session import get_spark  # noqa: E402
+from flinkproject_spark.streaming import sinks  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def srp_batches(spark, n_batches):
+    emb = catalog.load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    for b in range(n_batches):
+        # deterministic per-batch sign mask (same construction as
+        # bench_cc_scale): batches are mutually ~orthogonal, so the curve
+        # measures trigger overhead vs index size, not match volume
+        yield emb.select(
+            (F.col("vec_id") + F.lit(b * 10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(b), i), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+
+
+def span_batches(spark, n_batches):
+    docs = catalog.load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    for b in range(n_batches):
+        # batch-salted tokens: every gram is batch-unique, so cross-batch
+        # match work is ~zero and the curve isolates index scan/write cost
+        yield docs.select(
+            (F.col("doc_id") + F.lit(b * 10_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"_{b}")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+        ).localCheckpoint(eager=True)
+
+
+def run_curve(name, writer, batches, index_path, spark, extra=None):
+    rows = []
+    for b, batch in enumerate(batches):
+        t0 = time.perf_counter()
+        writer(batch, b)
+        wall = round(time.perf_counter() - t0, 2)
+        row = dict(batch=b, wall_s=wall)
+        try:
+            row["index_rows"] = spark.read.parquet(index_path).count()
+        except Exception:
+            row["index_rows"] = 0
+        if extra:
+            row.update(extra(b))
+        rows.append(row)
+        print(f"  {name} batch {b}: {wall}s index={row['index_rows']}", flush=True)
+    return rows
+
+
+def trickle_curve(name, writer, batches, spark):
+    rows = []
+    for b, batch in batches:
+        t0 = time.perf_counter()
+        writer(batch, b)
+        wall = round(time.perf_counter() - t0, 2)
+        rows.append(dict(batch=b, wall_s=wall))
+        print(f"  {name} trickle {b}: {wall}s", flush=True)
+    return rows
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("sinks-scale", shuffle_partitions=8)
+    tmp = tempfile.mkdtemp(prefix="sinks_scale_")
+    curves = {}
+    # banding sized for the corpus the run builds (srp_recommended_banding
+    # for ~20k vectors: 15-bit bands) — an undersized banding makes
+    # candidate VERIFICATION the growing cost and drowns the layout signal
+    from flinkproject_spark.operators.dedup import srp_recommended_banding
+
+    SRP_BITS, SRP_BANDS = srp_recommended_banding(20_000, bands=8)
+    try:
+        writers = {}
+        print(f"SRP sink ({SRP_BITS}/{SRP_BANDS} banding), flat layout:",
+              flush=True)
+        writers["srp_flat"] = sinks.srp_incremental_writer(
+            f"{tmp}/sf_corpus", f"{tmp}/sf_sigs",
+            bits=SRP_BITS, bands=SRP_BANDS,
+        )
+        curves["srp_flat"] = run_curve(
+            "srp_flat", writers["srp_flat"],
+            srp_batches(spark, n_batches), f"{tmp}/sf_sigs", spark,
+        )
+        print("SRP sink, bucketed layout (64 buckets, compact every 4):",
+              flush=True)
+        writers["srp_bucketed"] = sinks.srp_incremental_writer(
+            f"{tmp}/sb_corpus", f"{tmp}/sb_sigs",
+            index_buckets=64, compact_every=4,
+            bits=SRP_BITS, bands=SRP_BANDS,
+        )
+        curves["srp_bucketed"] = run_curve(
+            "srp_bucketed", writers["srp_bucketed"],
+            srp_batches(spark, n_batches), f"{tmp}/sb_sigs", spark,
+        )
+        print("span sink, flat layout:", flush=True)
+        writers["span_flat"] = sinks.span_incremental_writer(
+            f"{tmp}/pf_idx", f"{tmp}/pf_spans"
+        )
+        curves["span_flat"] = run_curve(
+            "span_flat", writers["span_flat"],
+            span_batches(spark, n_batches), f"{tmp}/pf_idx", spark,
+        )
+        print("span sink, bucketed layout (256 buckets, compact every 4):",
+              flush=True)
+        writers["span_bucketed"] = sinks.span_incremental_writer(
+            f"{tmp}/pb_idx", f"{tmp}/pb_spans",
+            index_buckets=256, compact_every=4,
+        )
+        curves["span_bucketed"] = run_curve(
+            "span_bucketed", writers["span_bucketed"],
+            span_batches(spark, n_batches), f"{tmp}/pb_idx", spark,
+        )
+
+        # trickle phase: single-item triggers against the built-up state —
+        # the serving-ingest regime where batch keys << n_buckets and the
+        # pruned read touches a FRACTION of the index directories
+        emb1 = catalog.load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        docs1 = catalog.load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        for lay in ("flat", "bucketed"):
+            sb = [
+                (
+                    n_batches + i,
+                    emb1.filter(F.col("vec_id") == i).select(
+                        (F.col("vec_id") + 777_000_000 + i).alias("vec_id"),
+                        "embedding",
+                    ).localCheckpoint(eager=True),
+                )
+                for i in range(5)
+            ]
+            curves[f"srp_trickle_{lay}"] = trickle_curve(
+                f"srp_{lay}", writers[f"srp_{lay}"], sb, spark
+            )
+            db = [
+                (
+                    n_batches + i,
+                    docs1.filter(F.col("doc_id") == i).select(
+                        (F.col("doc_id") + 777_000_000 + i).alias("doc_id"),
+                        "text", "lang",
+                    ).localCheckpoint(eager=True),
+                )
+                for i in range(5)
+            ]
+            curves[f"span_trickle_{lay}"] = trickle_curve(
+                f"span_{lay}", writers[f"span_{lay}"], db, spark
+            )
+
+        print("CMS sink (write + serving read):", flush=True)
+        events = catalog.load_table(spark, SF_DIR, "events").select("user_id")
+        cms_writer = sinks.cms_incremental_writer(f"{tmp}/cms")
+        cms_rows = []
+        for b in range(n_batches):
+            batch = events.select(
+                (F.col("user_id").cast("bigint") + F.lit(b * 10_000_000))
+                .cast("string").alias("user_id")
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            cms_writer(batch, b)
+            w_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_ctr = sinks.read_cms_counters(spark, f"{tmp}/cms").count()
+            r_wall = round(time.perf_counter() - t0, 2)
+            cms_rows.append(
+                dict(batch=b, write_s=w_wall, read_s=r_wall, counters=n_ctr)
+            )
+            print(f"  cms batch {b}: write {w_wall}s read {r_wall}s "
+                  f"counters={n_ctr}", flush=True)
+        curves["cms"] = cms_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def slope(rows, key="wall_s"):
+        half = len(rows) // 2
+        a = sum(r[key] for r in rows[:half]) / half
+        b = sum(r[key] for r in rows[half:]) / (len(rows) - half)
+        return round(b / a, 2) if a else float("nan")
+
+    lines = [
+        "# Incremental-sink scale curves",
+        "",
+        f"Generated by `python tools/bench_sinks_scale.py {n_batches}`"
+        f" over {SF_DIR} batches (local[32], shuffle=8). second-half /"
+        " first-half mean wall ratio ~1.0 = flat trigger cost."
+        f" SRP banding {SRP_BITS}/{SRP_BANDS}"
+        " (srp_recommended_banding for the 20k-vector corpus this run"
+        " builds — the r07 curve's 16/4 banding made candidate"
+        " verification the growing cost and drowned the layout signal).",
+        "",
+        "## SRP near-dup gate: flat vs bucketed index layout",
+        "",
+        "| batch | flat wall s | flat index rows | bucketed wall s |"
+        " bucketed index rows |",
+        "|---|---|---|---|---|",
+    ]
+    for rf, rb in zip(curves["srp_flat"], curves["srp_bucketed"]):
+        lines.append(
+            f"| {rf['batch']} | {rf['wall_s']} | {rf['index_rows']} "
+            f"| {rb['wall_s']} | {rb['index_rows']} |"
+        )
+    lines += [
+        "",
+        f"Half-over-half wall ratio: flat **{slope(curves['srp_flat'])}**,"
+        f" bucketed **{slope(curves['srp_bucketed'])}** (1.0 = flat)."
+        " The flat layout's growth is the whole-index re-scan + per-batch"
+        " file accumulation; the bucketed layout prunes reads to touched"
+        " pb= directories and compacts every 4 batches"
+        " (streaming/sinks.py BucketedParquetIndex). Outputs are"
+        " identical across layouts (parity tests).",
+        "",
+        "## Repeated-span detector: flat vs bucketed gram index",
+        "",
+        "| batch | flat wall s | flat index rows | bucketed wall s |"
+        " bucketed index rows |",
+        "|---|---|---|---|---|",
+    ]
+    for rf, rb in zip(curves["span_flat"], curves["span_bucketed"]):
+        lines.append(
+            f"| {rf['batch']} | {rf['wall_s']} | {rf['index_rows']} "
+            f"| {rb['wall_s']} | {rb['index_rows']} |"
+        )
+    lines += [
+        "",
+        f"Half-over-half wall ratio: flat **{slope(curves['span_flat'])}**,"
+        f" bucketed **{slope(curves['span_bucketed'])}**. Batch-salted"
+        " tokens keep cross-batch matches ~zero, so the curves isolate"
+        " index scan/write cost from genuine span-match work.",
+        "",
+        "## Count-Min sink: write + serving read vs delta-log growth",
+        "",
+        "| batch | write wall s | serving read wall s | merged counters |",
+        "|---|---|---|---|",
+    ]
+    for r in curves["cms"]:
+        lines.append(
+            f"| {r['batch']} | {r['write_s']} | {r['read_s']} | {r['counters']} |"
+        )
+    lines += [
+        "",
+        "## Trickle ingest: single-item triggers against the built index",
+        "",
+        "| trigger | srp flat s | srp bucketed s | span flat s |"
+        " span bucketed s |",
+        "|---|---|---|---|---|",
+    ]
+    for i in range(len(curves["srp_trickle_flat"])):
+        lines.append(
+            f"| {i} | {curves['srp_trickle_flat'][i]['wall_s']} "
+            f"| {curves['srp_trickle_bucketed'][i]['wall_s']} "
+            f"| {curves['span_trickle_flat'][i]['wall_s']} "
+            f"| {curves['span_trickle_bucketed'][i]['wall_s']} |"
+        )
+    lines += [
+        "",
+        "The serving-ingest regime: one vector / one document per"
+        " trigger. Here batch keys << n_buckets, so the bucketed read"
+        " prunes to the handful of pb= directories the item's keys hash"
+        " to — the regime the layout exists for. Bulk batches (tables"
+        " above) legitimately touch every bucket; their bucketed win is"
+        " bounded file counts (compaction) and, on a real cluster, the"
+        " co-partitioned join a transactional bucketed table gives.",
+        "",
+        f"Half-over-half ratios: write **{slope(curves['cms'], 'write_s')}**,"
+        f" read **{slope(curves['cms'], 'read_s')}**. Writes are O(batch)"
+        " by construction (per-batch deltas); the serving read merges the"
+        " whole delta log (d x w counters per batch — bounded rows, the"
+        " sketch's point), so its growth is bounded by batch count, not"
+        " stream volume. A serving deployment snapshots the merged"
+        " counters periodically (same compaction discipline as the"
+        " bucketed indexes).",
+        "",
+    ]
+    with open("/root/repo/BENCH_SINKS_SCALE.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote /root/repo/BENCH_SINKS_SCALE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -355,6 +355,15 @@ def q_dedup_spans_apply(spark, sf):
     return dedup.span_dedup_apply(_t(spark, sf, "documents"))
 
 
+def q_dedup_spans_intradoc(spark, sf):
+    """Repeated-span detection under the OCCURRENCE rule
+    (include_intra_doc=True, ADVICE r07): a gram qualifies when its
+    total occurrence count >= 2, so content repeated WITHIN one document
+    is detected too — the Lee-et-al.-faithful mode next to the default
+    cross-document form; nd_max reports occurrences."""
+    return dedup.duplicated_spans(_t(spark, sf, "documents"), include_intra_doc=True)
+
+
 def q_event_freq_cms(spark, sf):
     """Count-Min Sketch heavy-hitter calibration: d x w md5-hash counters,
     min-over-rows estimates for the exact top-20 users, overshoot and
@@ -1002,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_srp_scaled": q_dedup_srp_scaled,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
+        # -- new this round (ADVICE r07: occurrence-rule span detection)
+        "dedup_spans_intradoc": q_dedup_spans_intradoc,
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
         "product_stats_approx": q_product_stats_approx,
@@ -1048,9 +1059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_payment_wide": q_a8_payment_wide,
         "a9_order_wide": q_a9_order_wide,
         "a9_product_wide": q_a9_product_wide,
-        "funnel": q_funnel,
         # ---- end of the 50-query verified window ----
         # -- r05 evidence, untouched, next in the rotation queue
+        "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "order_prorate": q_order_prorate,
         "text_chunks": q_text_chunks,
@@ -1633,6 +1644,49 @@ _LANG_CASE = "CASE " + " ".join(
 ) + " END"
 
 
+def _spans_sql(intra_doc: bool = False) -> str:
+    """Oracle twin of dedup.duplicated_spans: rolling 8-gram hashes,
+    multiplicity-marked grams, per-doc running-max interval merge.
+    `intra_doc` mirrors include_intra_doc — the dup test counts total
+    OCCURRENCES instead of distinct documents (ADVICE r07)."""
+    mult = "COUNT(*)" if intra_doc else "COUNT(DISTINCT doc_id)"
+    return rf"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS x,
+                     len(string_split_regex(text, '\s+')) AS n
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(x[i + 1 : i + 8], ' ')) AS gh
+              FROM d, unnest(generate_series(0, n - 8)) AS u(i)
+              WHERE n >= 8),
+            dup AS (
+              SELECT gh, CAST({mult} AS BIGINT) AS nd
+              FROM g GROUP BY 1 HAVING {mult} >= 2),
+            m AS (SELECT g.doc_id, g.pos, dup.nd FROM g JOIN dup USING (gh)),
+            e AS (
+              SELECT doc_id, pos, nd,
+                     MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM m),
+            s AS (
+              SELECT doc_id, pos, nd,
+                     CASE WHEN prev_end IS NULL OR pos > prev_end
+                          THEN 1 ELSE 0 END AS new_span
+              FROM e),
+            grp AS (
+              SELECT doc_id, pos, nd,
+                     SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS gid
+              FROM s)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(MAX(nd) AS BIGINT) AS nd_max
+            FROM grp GROUP BY doc_id, gid"""
+
+
 _SPANS_APPLY_SQL = r"""
             WITH d AS (
               SELECT doc_id, string_split_regex(text, '\s+') AS x,
@@ -2096,41 +2150,8 @@ def oracle_sql() -> dict[str, str]:
             FROM o JOIN tot t ON o.doc_id = t.doc_id""",
         "dedup_srp": _srp_sql_adaptive(bands=8),
         "dedup_srp_scaled": _srp_sql(96, 8),
-        "dedup_spans": r"""
-            WITH d AS (
-              SELECT doc_id, string_split_regex(text, '\s+') AS x,
-                     len(string_split_regex(text, '\s+')) AS n
-              FROM documents),
-            g AS (
-              SELECT doc_id, i AS pos,
-                     md5(array_to_string(x[i + 1 : i + 8], ' ')) AS gh
-              FROM d, unnest(generate_series(0, n - 8)) AS u(i)
-              WHERE n >= 8),
-            dup AS (
-              SELECT gh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
-              FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-            m AS (SELECT g.doc_id, g.pos, dup.nd FROM g JOIN dup USING (gh)),
-            e AS (
-              SELECT doc_id, pos, nd,
-                     MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-              FROM m),
-            s AS (
-              SELECT doc_id, pos, nd,
-                     CASE WHEN prev_end IS NULL OR pos > prev_end
-                          THEN 1 ELSE 0 END AS new_span
-              FROM e),
-            grp AS (
-              SELECT doc_id, pos, nd,
-                     SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS UNBOUNDED PRECEDING) AS gid
-              FROM s)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(MIN(pos) AS BIGINT) AS span_start,
-                   CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
-                   CAST(COUNT(*) AS BIGINT) AS n_grams,
-                   CAST(MAX(nd) AS BIGINT) AS nd_max
-            FROM grp GROUP BY doc_id, gid""",
+        "dedup_spans": _spans_sql(),
+        "dedup_spans_intradoc": _spans_sql(intra_doc=True),
         "dedup_spans_apply": _SPANS_APPLY_SQL,
         "corpus_pipeline_v4": f"""
             WITH scrub AS ({_SPANS_APPLY_SQL.strip()}),

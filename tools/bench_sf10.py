@@ -15,9 +15,12 @@ produce for the 100 TB scaling claim: any O(n^2) or O(n log^2 n)-gone-
 wrong term that a 3x step can hide behind noise shows up unmistakably
 at 10x.
 
-Exclusion (logged, not silent): `dedup_srp` — decomposed in BENCH_SF1.md
-as quadratic-by-construction at its fixed 16/4 calibration banding; its
-oracle-verified scale knob `dedup_srp_scaled` (96/8) stays in the tier.
+Round-8 status: the three r07-weak driver forms are de-weakened IN the
+driver queries — `dedup_srp` computes its banding from the corpus count
+(adaptive, so it runs here at full tier), and `dedup_semantic` /
+`dedup_embedding` carry max_cell_rows=2000. The formerly-quadratic
+parameterizations are measured alongside as explicit DEMONSTRATION rows
+(uncapped / fixed-banding), no longer anyone's driver form.
 
 Usage: python tools/bench_sf10.py         (writes BENCH_SF10.md)
 Env: SPARK_GRAFT_SF1_DIR / SPARK_GRAFT_SF10_DIR to pin/reuse the derived
@@ -39,14 +42,14 @@ from tools import bench_sf1  # noqa: E402
 SF10_REPLICAS = 100
 SUPERLINEAR_GATE = 1.3
 
-HEADLINE = [q for q in bench_sf1.HEADLINE if q != "dedup_srp"]
+HEADLINE = list(bench_sf1.HEADLINE)
 
-# Excluded from --full: each is already decomposed IN THIS FILE as
-# quadratic-by-construction at a corpus-size-dependent granularity
-# parameter, with its measured scale knob in the headline table. Re-timing
-# the saturated forms at 10x the pair count adds tens of minutes and no
+# Excluded from --full: dedup_srp_scaled's FIXED 96/8 banding is
+# decomposed below as saturated-by-construction at sf10's n (its
+# adaptive sibling dedup_srp runs at full tier since round 8); re-timing
+# the saturated form at 10x the pair count adds minutes and no
 # information.
-FULL_SKIP = ("dedup_srp", "dedup_srp_scaled", "dedup_semantic", "dedup_embedding")
+FULL_SKIP = ("dedup_srp_scaled",)
 
 
 def run_full_surface_sf10(spark, qs, sf1_dir: str, sf10_dir: str) -> list[str]:
@@ -136,46 +139,31 @@ def main() -> None:
         print(f"  {name}: sf1 {rows[-1]['t1']}s  sf10 {rows[-1]['t10']}s  "
               f"exp {rows[-1]['exponent']}", flush=True)
 
-    # `dedup_srp_scaled`'s 96/8 banding (12-bit bands = bands*2^12 ~ 32k
-    # vector capacity) saturates at n=500k — the EXPECTED flag per its own
-    # b ~ log2(n) rule. Measure the rule's third-decade setting (152/8 =
-    # 19-bit bands, 2^19 ~ n) alongside, as srp_third_decade_knob — a
-    # library-parameter measurement, not a driver query.
+    # The THREE de-weakened driver forms at tier (round 8): dedup_srp runs
+    # in HEADLINE above (adaptive banding); dedup_semantic/dedup_embedding
+    # (max_cell_rows=2000 driver forms) are measured here next to the
+    # formerly-driver DEMONSTRATION rows — the uncapped quantizer forms
+    # whose quadratic growth motivated the knobs (VERDICT r07 task 1).
     from flinkproject_spark.operators import dedup as _dedup
 
-    def _srp19(spark_, d):
-        return _dedup.srp_lsh_near_dups(
-            spark_.read.parquet(f"{d}/embeddings.parquet"), bits=152, bands=8
-        )
-
-    t1 = bench_sf1.time_query(_srp19, spark, sf1_dir)
-    t10 = bench_sf1.time_query(_srp19, spark, sf10_dir)
-    rows.append(dict(q="srp_third_decade_knob (152/8, non-driver)",
-                     t1=round(t1, 2), t10=round(t10, 2),
-                     exponent=round(math.log10(t10 / t1), 2)))
-    print(f"  srp_third_decade_knob: sf1 {rows[-1]['t1']}s  "
-          f"sf10 {rows[-1]['t10']}s  exp {rows[-1]['exponent']}", flush=True)
-
-    # Same story, second instance: `dedup_semantic`'s coarse quantizer is
-    # the testdata's FIXED 10-label assignment, so cell population grows
-    # linearly with the corpus and the per-cell O(m^2) cosine matrix is
-    # quadratic overall (sf10: 21.8k-row cells, ~3.8 GB matrices, 10-way
-    # parallelism). semdedup's max_cell_rows knob refines oversized cells
-    # by deterministic SRP sub-buckets — the paper's own k-grows-with-
-    # corpus practice. Measure driver form AND knob form.
     for label, fn in (
-        ("dedup_semantic (driver form, fixed 10-cell quantizer)",
+        ("dedup_semantic (driver form, max_cell_rows=2000)", qs["dedup_semantic"]),
+        ("semdedup_uncapped (no cell cap, DEMONSTRATION — expected ~2.0)",
          lambda s, d: _dedup.semdedup(s.read.parquet(f"{d}/embeddings.parquet"))),
-        ("semdedup_cell_cap_knob (max_cell_rows=2000, non-driver)",
-         lambda s, d: _dedup.semdedup(
-             s.read.parquet(f"{d}/embeddings.parquet"), max_cell_rows=2000)),
-        ("dedup_embedding (driver form, fixed 10-cell quantizer)",
+        ("dedup_embedding (driver form, max_cell_rows=2000)", qs["dedup_embedding"]),
+        ("embedding_near_dups_uncapped (no cell cap, DEMONSTRATION — expected ~2.1)",
          lambda s, d: _dedup.embedding_near_dups(
              s.read.parquet(f"{d}/embeddings.parquet"))),
-        ("embedding_near_dups_cell_cap_knob (max_cell_rows=2000, non-driver)",
-         lambda s, d: _dedup.embedding_near_dups(
-             s.read.parquet(f"{d}/embeddings.parquet"), max_cell_rows=2000)),
+        ("srp_fixed_16_4 (pre-r08 driver banding, DEMONSTRATION — expected >1.8 at sf1; sf1-only proxy)",
+         None),  # handled below: quadratic at sf10, measured sf0.1->sf1 only
     ):
+        if fn is None:
+            # the fixed 16/4 banding is ~100 s at sf1 and quadratic beyond;
+            # BENCH_SF1.md already carries its sf0.1->sf1 exponent (1.83).
+            # Re-measuring it at sf10 buys nothing for ~45 min of wall.
+            print("  srp_fixed_16_4: carried from BENCH_SF1.md (exp 1.83 "
+                  "at sf1), not re-run at sf10 by design", flush=True)
+            continue
         t1 = bench_sf1.time_query(fn, spark, sf1_dir)
         t10 = bench_sf1.time_query(fn, spark, sf10_dir)
         rows.append(dict(q=label, t1=round(t1, 2), t10=round(t10, 2),
@@ -198,39 +186,27 @@ def main() -> None:
         f"{SUPERLINEAR_GATE} flagged. A full clean decade above sf1 — "
         "the strongest single-box read on the 100 TB scaling posture.",
         "",
-        "`dedup_srp` (fixed 16/4 banding) is excluded BY DESIGN, not "
-        "silently: BENCH_SF1.md decomposes it as quadratic-by-construction "
-        "at this corpus shape; its oracle-verified scale knob "
-        "`dedup_srp_scaled` is measured below.",
+        "**Round-8 de-weakening (VERDICT r07 task 1)**: the three "
+        "formerly-flagged driver forms now carry their scale knobs. "
+        "`dedup_srp` computes its banding from the corpus count "
+        "(bits=None -> b = ceil(log2 n) via srp_recommended_banding, "
+        "oracle-regenerated from count(*)) and runs in the headline "
+        "tier above — at sf10's n it lands on the ~19-bit bands the "
+        "rule prescribes. `dedup_semantic` / `dedup_embedding` default "
+        "max_cell_rows=2000 (output-identical where the cap doesn't "
+        "bind — all test SFs; pinned by test). The UNCAPPED / "
+        "fixed-banding parameterizations are kept as DEMONSTRATION "
+        "rows so the quadratic failure mode stays measured next to its "
+        "repair.",
         "",
-        "**`dedup_srp_scaled` flags HERE by the same mechanism, on "
-        "schedule**: its 96/8 banding (12-bit bands) has capacity "
-        "bands*2^12 ~ 32k vectors — right for the sf1 corpus it was "
-        "tuned to, saturated at sf10's n=500k, where spurious candidates "
-        "grow as C(n,2)*bands/2^b. The operator's documented rule "
-        "(b ~ log2 n) prescribes ~19-bit bands at this n; the "
-        "`srp_third_decade_knob` row below re-runs the SAME "
-        "`srp_lsh_near_dups` with bits=152, bands=8 (2^19 ~ n) and "
-        "scaling is restored (the standard LSH recall re-tune applies — "
-        "per-band true-pair collision is (1-theta/pi)^19, so a recall "
-        "target needs more bands). The driver query keeps the sf1-tuned "
-        "setting because its DuckDB oracle regenerates exactly that "
-        "parameterization; LSH banding is corpus-size-dependent BY "
-        "DESIGN, not an engine defect.",
-        "",
-        "**`dedup_semantic` and `dedup_embedding` are the second "
-        "quantizer-granularity case**: the testdata's fixed 10-label "
-        "coarse quantizer means cell population grows linearly with the "
-        "corpus, making the per-cell O(m^2) cosine work quadratic "
-        "overall (21.8k-row cells at sf10). The shared "
-        "`max_cell_rows` knob (`_refine_oversized_cells`) splits "
-        "oversized cells by deterministic 20-bit SRP sub-buckets "
-        "(SemDeDup's k grows with the corpus in the paper itself — 50k "
-        "clusters for LAION); the knob rows restore linear work and "
-        "full parallelism, with output pinned identical when the cap "
-        "doesn't bind and pair-subset semantics when it does. The "
-        "driver queries keep the raw labels because their oracles "
-        "regenerate that exact cell assignment.",
+        "**`dedup_srp_scaled` flags on schedule**: its FIXED 96/8 "
+        "banding (12-bit bands, capacity bands*2^12 ~ 32k vectors) was "
+        "tuned for the sf1 corpus and saturates at sf10's n, where "
+        "spurious candidates grow as C(n,2)*bands/2^b. It remains in "
+        "the surface as the oracle-verified EXPLICIT-knob form — the "
+        "adaptive driver query is the production path; this row is the "
+        "measured reason adaptivity exists. Not a defect; a "
+        "parameterization boundary, demonstrated.",
         "",
         f"Totals: sf1 **{total1} s**, sf10 **{total10} s** "
         f"(x{round(total10 / total1, 2)} for 10x data). Flagged: "

@@ -172,7 +172,9 @@ def main() -> None:
                     n_batches + i,
                     emb1.filter(F.col("vec_id") == i).select(
                         (F.col("vec_id") + 777_000_000 + i).alias("vec_id"),
-                        "embedding",
+                        # bulk batches wrote array<double> (the sign-mask
+                        # product); keep the corpus schema consistent
+                        F.col("embedding").cast("array<double>").alias("embedding"),
                     ).localCheckpoint(eager=True),
                 )
                 for i in range(5)

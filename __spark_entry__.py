@@ -390,13 +390,21 @@ def q_dedup_srp(spark, sf):
 
 
 def q_dedup_srp_scaled(spark, sf):
-    """The SRP scale knob, oracle-VERIFIED: same pipeline at the band
-    width a larger corpus calls for (96 bits / 8 bands = 12-bit bands;
-    BENCH_SF1.md measured the 16/4 calibration going super-linear at 10x
-    data while this configuration stays linear). Same md5-derived
-    projection family, same verification threshold — only (bits, bands)
-    move, exactly as a production operator would retune them."""
-    return dedup.srp_lsh_near_dups(_t(spark, sf, "embeddings"), bits=96, bands=8)
+    """The EXPLICIT-knob form of the SRP pipeline (r08 repurposing): the
+    caller computes the banding by hand from the corpus count via
+    dedup.srp_recommended_banding at a NON-default recall/work budget
+    (pairs_per_vector_budget=2.0 — one band bit fewer than dedup_srp's
+    auto mode, trading more verification work for more candidate
+    recall). Scale-safe by construction (b still grows as log2 n) while
+    demonstrating the library's caller-supplied-banding API next to the
+    operator-internal auto mode. Its predecessor — the FIXED 96/8
+    banding that saturates at sf10 on schedule — lives on as a
+    non-driver DEMONSTRATION row in BENCH_SF10.md."""
+    emb = _t(spark, sf, "embeddings")
+    bits, bands = dedup.srp_recommended_banding(
+        emb.count(), bands=8, pairs_per_vector_budget=2.0
+    )
+    return dedup.srp_lsh_near_dups(emb, bits=bits, bands=bands)
 
 
 def q_dedup_simhash(spark, sf):
@@ -1357,17 +1365,16 @@ _NORM = ("sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
          "i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))")
 
 
-def _srp_sql_adaptive(bands: int = 8) -> str:
-    """Oracle twin of srp_lsh_near_dups' ADAPTIVE mode (bits=None): the
-    band width is not a constant but the same corpus-count formula the
-    operator evaluates — w = greatest(1, ceil(log2(count(*)))) — so the
-    scale-safe adaptivity itself is verified, not just one fixed
-    parameterization (VERDICT r07 task 1b). Mirrors
-    dedup.srp_recommended_banding with the default
-    pairs_per_vector_budget=1.0 (count(*)/1.0, kept explicit below)."""
+def _srp_sql_adaptive(bands: int = 8, budget: float = 1.0) -> str:
+    """Oracle twin of srp_lsh_near_dups' ADAPTIVE mode (bits=None) and of
+    explicit srp_recommended_banding call sites: the band width is not a
+    constant but the same corpus-count formula the operator evaluates —
+    w = greatest(1, ceil(log2(count(*)/budget))) — so the scale-safe
+    adaptivity itself is verified, not just one fixed parameterization
+    (VERDICT r07 task 1b)."""
     return f"""
             WITH params AS (
-              SELECT GREATEST(1, CAST(ceil(log2(COUNT(*) / 1.0)) AS BIGINT)) AS w
+              SELECT GREATEST(1, CAST(ceil(log2(COUNT(*) / {budget})) AS BIGINT)) AS w
               FROM embeddings),
             q AS (
               SELECT vec_id,
@@ -2149,7 +2156,7 @@ def oracle_sql() -> dict[str, str]:
                    t.n_total - o.n_chunks_kept AS n_chunks_dropped
             FROM o JOIN tot t ON o.doc_id = t.doc_id""",
         "dedup_srp": _srp_sql_adaptive(bands=8),
-        "dedup_srp_scaled": _srp_sql(96, 8),
+        "dedup_srp_scaled": _srp_sql_adaptive(bands=8, budget=2.0),
         "dedup_spans": _spans_sql(),
         "dedup_spans_intradoc": _spans_sql(intra_doc=True),
         "dedup_spans_apply": _SPANS_APPLY_SQL,

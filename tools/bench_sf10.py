@@ -44,12 +44,11 @@ SUPERLINEAR_GATE = 1.3
 
 HEADLINE = list(bench_sf1.HEADLINE)
 
-# Excluded from --full: dedup_srp_scaled's FIXED 96/8 banding is
-# decomposed below as saturated-by-construction at sf10's n (its
-# adaptive sibling dedup_srp runs at full tier since round 8); re-timing
-# the saturated form at 10x the pair count adds minutes and no
-# information.
-FULL_SKIP = ("dedup_srp_scaled",)
+# Nothing excluded since round 8: dedup_srp_scaled was repurposed to the
+# explicit srp_recommended_banding call (budget=2.0) — scale-safe — and
+# the FIXED 96/8 banding it replaced runs as a labeled non-driver
+# DEMONSTRATION row instead.
+FULL_SKIP: tuple = ()
 
 
 def run_full_surface_sf10(spark, qs, sf1_dir: str, sf10_dir: str) -> list[str]:
@@ -154,6 +153,9 @@ def main() -> None:
         ("embedding_near_dups_uncapped (no cell cap, DEMONSTRATION — expected ~2.1)",
          lambda s, d: _dedup.embedding_near_dups(
              s.read.parquet(f"{d}/embeddings.parquet"))),
+        ("srp_fixed_96_8 (pre-r08 dedup_srp_scaled banding, DEMONSTRATION — saturates at sf10's n on schedule)",
+         lambda s, d: _dedup.srp_lsh_near_dups(
+             s.read.parquet(f"{d}/embeddings.parquet"), bits=96, bands=8)),
         ("srp_fixed_16_4 (pre-r08 driver banding, DEMONSTRATION — expected >1.8 at sf1; sf1-only proxy)",
          None),  # handled below: quadratic at sf10, measured sf0.1->sf1 only
     ):
@@ -199,14 +201,14 @@ def main() -> None:
         "rows so the quadratic failure mode stays measured next to its "
         "repair.",
         "",
-        "**`dedup_srp_scaled` flags on schedule**: its FIXED 96/8 "
-        "banding (12-bit bands, capacity bands*2^12 ~ 32k vectors) was "
-        "tuned for the sf1 corpus and saturates at sf10's n, where "
-        "spurious candidates grow as C(n,2)*bands/2^b. It remains in "
-        "the surface as the oracle-verified EXPLICIT-knob form — the "
-        "adaptive driver query is the production path; this row is the "
-        "measured reason adaptivity exists. Not a defect; a "
-        "parameterization boundary, demonstrated.",
+        "**`dedup_srp_scaled` (r08 repurposing)**: now the EXPLICIT "
+        "srp_recommended_banding call at budget=2.0 — the "
+        "caller-supplied-banding API demonstrated at a scale-safe "
+        "setting. Its former FIXED 96/8 banding (12-bit bands, capacity "
+        "bands*2^12 ~ 32k vectors, saturating at sf10's n where "
+        "spurious candidates grow as C(n,2)*bands/2^b) runs as the "
+        "`srp_fixed_96_8` DEMONSTRATION row — the measured reason "
+        "adaptivity exists, no longer anyone's driver form.",
         "",
         f"Totals: sf1 **{total1} s**, sf10 **{total10} s** "
         f"(x{round(total10 / total1, 2)} for 10x data). Flagged: "

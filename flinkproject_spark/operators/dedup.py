@@ -825,6 +825,21 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
+def _any_cell_over(emb: DataFrame, max_cell_rows: int) -> bool:
+    """One tiny driver-side agg deciding whether the cell-cap refinement
+    pre-pass (:func:`_refine_oversized_cells` — an SRP signature pass +
+    two joins) has any work to do. When no cell exceeds the cap the
+    refined grouping is PROVABLY identical to plain `label` grouping
+    (every _sub would be 0), so skipping the pre-pass changes nothing
+    but cost — the capped DRIVER forms pay zero overhead at test SFs
+    while keeping the at-scale guarantee (r08 fast path; identity
+    already pinned by test)."""
+    mx = (
+        emb.groupBy("label").count().agg(F.max("count").alias("mx")).first()["mx"]
+    )
+    return mx is not None and mx > max_cell_rows
+
+
 def _refine_oversized_cells(emb: DataFrame, max_cell_rows: int) -> DataFrame:
     """Cell-size-cap pre-pass shared by the per-cell matmul operators
     (:func:`embedding_near_dups`, :func:`semdedup`): count each `label`
@@ -914,13 +929,13 @@ def embedding_near_dups(
 
     emb = embeddings.select("vec_id", "label", "embedding")
     pair_schema = "vec_a bigint, vec_b bigint, cosine double"
-    if max_cell_rows is None:
-        return emb.groupBy("label").applyInPandas(cell_pairs, pair_schema)
-    return (
-        _refine_oversized_cells(emb, max_cell_rows)
-        .groupBy("label", "_sub")
-        .applyInPandas(cell_pairs, pair_schema)
-    )
+    if max_cell_rows is not None and _any_cell_over(emb, max_cell_rows):
+        return (
+            _refine_oversized_cells(emb, max_cell_rows)
+            .groupBy("label", "_sub")
+            .applyInPandas(cell_pairs, pair_schema)
+        )
+    return emb.groupBy("label").applyInPandas(cell_pairs, pair_schema)
 
 
 SRP_SCALE = 1000  # embedding quantization: round(v*1000) -> int64
@@ -1197,13 +1212,13 @@ def semdedup(
         "vec_id bigint, label bigint, cent_cos double, "
         "n_near_dups bigint, keep boolean"
     )
-    if max_cell_rows is None:
-        return emb.groupBy("label").applyInPandas(cell_verdict, out_schema)
-    return (
-        _refine_oversized_cells(emb, max_cell_rows)
-        .groupBy("label", "_sub")
-        .applyInPandas(cell_verdict, out_schema)
-    )
+    if max_cell_rows is not None and _any_cell_over(emb, max_cell_rows):
+        return (
+            _refine_oversized_cells(emb, max_cell_rows)
+            .groupBy("label", "_sub")
+            .applyInPandas(cell_verdict, out_schema)
+        )
+    return emb.groupBy("label").applyInPandas(cell_verdict, out_schema)
 
 
 def contamination_check(

@@ -1332,6 +1332,19 @@ def test_span_incremental_bucketed_layout_parity(spark, sf_dir, tmp_path):
     assert buck_idx == flat_idx
     assert any(d.startswith("pb=") for d in os.listdir(str(tmp_path / "b_idx")))
 
+    # crash-replay under the BUCKETED layout: re-running the last batch
+    # under its batch_id must leave served spans unchanged (read_spans
+    # collapses the re-appended rows) and the gram index row set intact
+    # (anti-join hygiene against the PRUNED read)
+    buck(batches[-1], len(batches) - 1)
+    assert sorted(
+        tuple(r) for r in sinks.read_spans(spark, str(tmp_path / "b_spans")).collect()
+    ) == got_buck
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "b_idx")).drop("pb").collect()
+    } == flat_idx
+
 
 def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):
     """Documents streamed in doc_id order through the incremental-dedup

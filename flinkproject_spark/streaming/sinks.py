@@ -752,6 +752,15 @@ class BucketedParquetIndex:
             idx = spark.read.parquet(self.path)
         except AnalysisException:
             return None
+        if "pb" not in idx.columns:
+            # a flat-layout store at this path: refusing loudly beats a
+            # silent full-scan read joined under bucketed assumptions
+            # (and the reverse mix would corrupt the layout on append)
+            raise ValueError(
+                f"BucketedParquetIndex at {self.path}: existing data has "
+                "no pb= partition column — this path was written with "
+                "the FLAT layout; pick one layout per store"
+            )
         touched = [
             r.pb for r in self._with_pb(probe).select("pb").distinct().collect()
         ]
@@ -769,7 +778,12 @@ class BucketedParquetIndex:
     def maybe_compact(self, spark, batch_id: int) -> None:
         if not self.compact_every or (batch_id + 1) % self.compact_every:
             return
-        full = spark.read.parquet(self.path).localCheckpoint(eager=True)
+        from pyspark.errors import AnalysisException
+
+        try:
+            full = spark.read.parquet(self.path).localCheckpoint(eager=True)
+        except AnalysisException:
+            return  # nothing ever appended (all batches empty): no-op
         (
             full.repartition("pb")
             .write.mode("overwrite")

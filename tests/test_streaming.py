@@ -1346,6 +1346,25 @@ def test_span_incremental_bucketed_layout_parity(spark, sf_dir, tmp_path):
     } == flat_idx
 
 
+def test_bucketed_index_refuses_flat_store_and_skips_empty_compaction(
+    spark, tmp_path
+):
+    """Layout guards: read_pruned on a FLAT-layout path raises a clear
+    error (a silent full-scan read would corrupt the layout on the next
+    append); compaction on a never-written path is a no-op."""
+    import pytest as _pytest
+
+    flat = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    flat.write.mode("overwrite").parquet(str(tmp_path / "flatstore"))
+    store = sinks.BucketedParquetIndex(str(tmp_path / "flatstore"), ["k"], 8)
+    with _pytest.raises(ValueError, match="FLAT layout"):
+        store.read_pruned(spark, flat)
+
+    empty = sinks.BucketedParquetIndex(str(tmp_path / "neverwritten"), ["k"], 8)
+    empty.maybe_compact(spark, batch_id=7)  # (7+1) % 8 == 0 -> would fire
+    assert not os.path.exists(str(tmp_path / "neverwritten"))
+
+
 def test_incremental_dedup_sink_admits_exactly_the_keepers(spark, sf_dir, tmp_path):
     """Documents streamed in doc_id order through the incremental-dedup
     sink: the admitted corpus must equal the batch exact-dedup keeper set

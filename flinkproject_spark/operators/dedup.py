@@ -825,50 +825,57 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-def _any_cell_over(emb: DataFrame, max_cell_rows: int) -> bool:
-    """One tiny driver-side agg deciding whether the cell-cap refinement
-    pre-pass (:func:`_refine_oversized_cells` — an SRP signature pass +
-    two joins) has any work to do. When no cell exceeds the cap the
-    refined grouping is PROVABLY identical to plain `label` grouping
-    (every _sub would be 0), so skipping the pre-pass changes nothing
-    but cost — the capped DRIVER forms pay zero overhead at test SFs
-    while keeping the at-scale guarantee (r08 fast path; identity
-    already pinned by test)."""
-    mx = (
-        emb.groupBy("label").count().agg(F.max("count").alias("mx")).first()["mx"]
-    )
-    return mx is not None and mx > max_cell_rows
+def _oversized_cell_splits(
+    emb: DataFrame, max_cell_rows: int
+) -> list[tuple[int, int]]:
+    """ONE per-label aggregation deciding both whether the cell-cap
+    refinement has any work to do and, when it does, each oversized
+    cell's split width: returns (label, _xb = ceil(log2(count/cap)))
+    rows for cells OVER the cap only (empty list = cap doesn't bind and
+    the caller takes the plain-grouping fast path — provably identical
+    output, zero pre-pass cost at test SFs). Driver-side collect bounded
+    by the coarse quantizer's cell count (SemDeDup-paper scale: ~50k
+    clusters — kilobytes). Replaces the r08 first cut that ran the same
+    aggregation twice (once for the fast-path check, once for the split
+    widths — review finding)."""
+    import math as _math
 
-
-def _refine_oversized_cells(emb: DataFrame, max_cell_rows: int) -> DataFrame:
-    """Cell-size-cap pre-pass shared by the per-cell matmul operators
-    (:func:`embedding_near_dups`, :func:`semdedup`): count each `label`
-    cell and add a `_sub` column splitting cells over `max_cell_rows`
-    into 2^ceil(log2(count/cap)) subcells keyed by the TOP bits of a
-    20-bit single-band SRP signature (:func:`srp_signatures` — the same
-    deterministic integer machinery as the LSH tier, reproducible
-    cross-engine). Group by (label, _sub) instead of label and per-cell
-    O(m^2) work returns to O(n * max_cell_rows) with parallelism at the
-    refined cell count. Cells under the cap get _sub = 0 — when no cell
-    exceeds the cap the grouping is equivalent to plain `label` and
-    output is IDENTICAL (pinned by test)."""
-    SUB_BITS = 20  # signature width; top ceil(log2(count/cap)) bits used
-    splits = (
+    rows = (
         emb.groupBy("label")
         .agg(F.count("*").alias("_n"))
-        .select(
-            "label",
-            F.greatest(
-                F.lit(0),
-                F.ceil(F.log2(F.col("_n") / F.lit(float(max_cell_rows)))),
-            ).cast("int").alias("_xb"),
-        )
+        .filter(F.col("_n") > max_cell_rows)
+        .collect()
     )
+    return [
+        (int(r["label"]), int(_math.ceil(_math.log2(r["_n"] / float(max_cell_rows)))))
+        for r in rows
+    ]
+
+
+def _refine_oversized_cells(
+    emb: DataFrame, splits: list[tuple[int, int]]
+) -> DataFrame:
+    """Cell-size-cap pre-pass shared by the per-cell matmul operators
+    (:func:`embedding_near_dups`, :func:`semdedup`): add a `_sub` column
+    splitting the cells listed in `splits` (from
+    :func:`_oversized_cell_splits`) into 2^_xb subcells keyed by the TOP
+    bits of a 20-bit single-band SRP signature (:func:`srp_signatures` —
+    the same deterministic integer machinery as the LSH tier,
+    reproducible cross-engine). Group by (label, _sub) instead of label
+    and per-cell O(m^2) work returns to O(n * max_cell_rows) with
+    parallelism at the refined cell count. Cells not listed get _sub = 0
+    (left join + coalesce), so with an empty/never-binding split list
+    the grouping is equivalent to plain `label` and output is IDENTICAL
+    (pinned by test)."""
+    SUB_BITS = 20  # signature width; top ceil(log2(count/cap)) bits used
+    spark = emb.sparkSession
+    splits_df = spark.createDataFrame(splits, "label bigint, _xb int")
     sig = srp_signatures(emb, bits=SUB_BITS, bands=1).select(
         "vec_id", F.col("bucket").alias("_sig")
     )
     return (
-        emb.join(F.broadcast(splits), "label")
+        emb.join(F.broadcast(splits_df), "label", "left")
+        .withColumn("_xb", F.coalesce(F.col("_xb"), F.lit(0)))
         .join(sig, "vec_id")
         # top _xb bits of the signature; exact in doubles (values < 2^20)
         .withColumn(
@@ -929,9 +936,14 @@ def embedding_near_dups(
 
     emb = embeddings.select("vec_id", "label", "embedding")
     pair_schema = "vec_a bigint, vec_b bigint, cosine double"
-    if max_cell_rows is not None and _any_cell_over(emb, max_cell_rows):
+    splits = (
+        _oversized_cell_splits(emb, max_cell_rows)
+        if max_cell_rows is not None
+        else []
+    )
+    if splits:
         return (
-            _refine_oversized_cells(emb, max_cell_rows)
+            _refine_oversized_cells(emb, splits)
             .groupBy("label", "_sub")
             .applyInPandas(cell_pairs, pair_schema)
         )
@@ -1212,9 +1224,14 @@ def semdedup(
         "vec_id bigint, label bigint, cent_cos double, "
         "n_near_dups bigint, keep boolean"
     )
-    if max_cell_rows is not None and _any_cell_over(emb, max_cell_rows):
+    splits = (
+        _oversized_cell_splits(emb, max_cell_rows)
+        if max_cell_rows is not None
+        else []
+    )
+    if splits:
         return (
-            _refine_oversized_cells(emb, max_cell_rows)
+            _refine_oversized_cells(emb, splits)
             .groupBy("label", "_sub")
             .applyInPandas(cell_verdict, out_schema)
         )

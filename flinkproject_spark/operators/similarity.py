@@ -592,7 +592,13 @@ def pq_adc_topk(
     """
     from functools import reduce
 
-    if rerank == "auto":
+    if isinstance(rerank, str):
+        if rerank != "auto":
+            raise ValueError(
+                f"pq_adc_topk: rerank={rerank!r} — the only string mode "
+                "is 'auto' (corpus-sized R via pq_auto_rerank); pass an "
+                "int for an explicit shortlist"
+            )
         rerank = pq_auto_rerank(embeddings.count())
     shortlist_k = rerank if rerank is not None else k
     # The encoded frame feeds three branches of the ONE returned plan

@@ -734,6 +734,44 @@ class BucketedParquetIndex:
         self.n_buckets = n_buckets
         self.compact_every = compact_every
 
+    # layout marker: hashing config persisted next to the data, so a
+    # writer restarted with a DIFFERENT n_buckets/key set fails loudly
+    # instead of silently pruning against the wrong hash (a drifted
+    # config would re-admit duplicates with zero errors). Driver-side
+    # file I/O — local/posix paths, this repo's reality; an object-store
+    # deployment writes the same marker through its FS client.
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_BUCKETED_LAYOUT.json")
+
+    def _check_or_write_marker(self) -> None:
+        import json as _json
+
+        want = {"key_cols": self.key_cols, "n_buckets": self.n_buckets}
+        mp = self._marker_path()
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                have = _json.load(fh)
+            if have != want:
+                raise ValueError(
+                    f"BucketedParquetIndex at {self.path}: layout marker "
+                    f"{have} != configured {want} — a bucketed store's "
+                    "hashing config is immutable (re-bucket by rewriting "
+                    "the store, never by changing the writer config)"
+                )
+            return
+        if os.path.isdir(self.path) and any(
+            not e.startswith(("_", ".")) and not e.startswith("pb=")
+            for e in os.listdir(self.path)
+        ):
+            raise ValueError(
+                f"BucketedParquetIndex at {self.path}: path holds "
+                "non-bucketed data (no pb= directories) — this store was "
+                "written with the FLAT layout; pick one layout per store"
+            )
+        os.makedirs(self.path, exist_ok=True)
+        with open(mp, "w") as fh:
+            _json.dump(want, fh)
+
     def _with_pb(self, df: DataFrame) -> DataFrame:
         from flinkproject_spark import functions as K
 
@@ -751,6 +789,18 @@ class BucketedParquetIndex:
         try:
             idx = spark.read.parquet(self.path)
         except AnalysisException:
+            if os.path.isdir(self.path) and any(
+                not e.startswith(("_", ".")) for e in os.listdir(self.path)
+            ):
+                # data exists but cannot be analyzed (corruption, schema
+                # drift, conflicting partition dirs): propagating beats
+                # silently running with the dedup gate off — the same
+                # contract the flat read path documents
+                raise
+            logging.getLogger(__name__).info(
+                "BucketedParquetIndex %s: no data yet; treating as empty",
+                self.path,
+            )
             return None
         if "pb" not in idx.columns:
             # a flat-layout store at this path: refusing loudly beats a
@@ -761,12 +811,21 @@ class BucketedParquetIndex:
                 "no pb= partition column — this path was written with "
                 "the FLAT layout; pick one layout per store"
             )
+        self._check_or_write_marker()
         touched = [
             r.pb for r in self._with_pb(probe).select("pb").distinct().collect()
         ]
         return idx.filter(F.col("pb").isin(touched)).drop("pb")
 
+    def read_all(self, spark) -> DataFrame:
+        """Full store contents WITHOUT the internal pb routing column —
+        the reader external consumers should use (the on-disk layout
+        carries pb as a partition column; it is an implementation
+        detail, not part of the stored rows' schema)."""
+        return spark.read.parquet(self.path).drop("pb")
+
     def append(self, df: DataFrame) -> None:
+        self._check_or_write_marker()
         (
             self._with_pb(df)
             .repartition("pb")
@@ -790,6 +849,9 @@ class BucketedParquetIndex:
             .partitionBy("pb")
             .parquet(self.path)
         )
+        # the overwrite deleted the whole directory, marker included —
+        # restore it so a restart with a drifted config still fails loudly
+        self._check_or_write_marker()
 
 
 def srp_incremental_writer(
@@ -832,9 +894,14 @@ def srp_incremental_writer(
     touch, plus compaction every `compact_every` batches: trigger cost
     becomes O(batch), not O(corpus) (VERDICT r07 task 4; the flat
     default re-scans both stores per trigger, fine for short runs and
-    pinned by the existing tests). Admitted output is IDENTICAL across
-    layouts (parity-pinned by test): pruning only removes index rows
-    that cannot join the batch.
+    pinned by the existing tests). Admitted ROWS are IDENTICAL across
+    layouts (full-row parity pinned by test): pruning only removes index
+    rows that cannot join the batch. One schema caveat: the bucketed
+    corpus carries the internal `pb` routing column as an on-disk
+    partition column — consumers read it through
+    ``BucketedParquetIndex(corpus_path, ["vec_id"], N).read_all(spark)``
+    (or drop("pb")), never raw, exactly as they would consult a table
+    format's metadata rather than its directory layout.
 
     `bits`/`bands` size the SRP banding — STATIC per writer because the
     persisted signature index must be built with one consistent family

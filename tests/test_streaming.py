@@ -1260,12 +1260,20 @@ def test_srp_incremental_bucketed_layout_parity(spark, sf_dir, tmp_path):
     for i, b in enumerate(batches):
         flat(b, i)
         buck(b, i)
-    got_flat = {
-        r.vec_id for r in spark.read.parquet(str(tmp_path / "flat_corpus")).collect()
-    }
-    got_buck = {
-        r.vec_id for r in spark.read.parquet(str(tmp_path / "b_corpus")).collect()
-    }
+    flat_corpus = spark.read.parquet(str(tmp_path / "flat_corpus"))
+    buck_corpus = sinks.BucketedParquetIndex(
+        str(tmp_path / "b_corpus"), ["vec_id"], 8
+    ).read_all(spark)
+    # FULL-ROW parity through the documented reader (read_all drops the
+    # internal pb routing column): same columns, same rows
+    assert sorted(buck_corpus.columns) == sorted(flat_corpus.columns)
+    cols = sorted(flat_corpus.columns)
+    key = lambda df: sorted(
+        tuple(map(repr, r)) for r in df.select(*cols).collect()
+    )
+    assert key(buck_corpus) == key(flat_corpus)
+    got_flat = {r.vec_id for r in flat_corpus.collect()}
+    got_buck = {r.vec_id for r in buck_corpus.collect()}
     assert got_buck == got_flat
     # layout really is bucketed: pb= partition dirs on disk, and the
     # sig index contents (modulo the pb column) match the flat index

@@ -67,12 +67,15 @@ HEADLINE = [
     "a8_interval_join_outer",
     "dedup_containment",
     "order_prorate",
-    # the oracle-verified scale knob (96 bits / 8 bands) next to the
-    # fixed 16/4 calibration it remedies
+    # r08 semantics: dedup_srp above is the ADAPTIVE form (bits=None ->
+    # b=ceil(log2 n)); dedup_srp_scaled is the explicit
+    # srp_recommended_banding call at budget=2.0 — both scale-safe. The
+    # fixed 16/4 and 96/8 parameterizations they replaced survive only
+    # as DEMONSTRATION rows in BENCH_SF10.md.
     "dedup_srp_scaled",
     # round-7 additions: rolling-gram span dedup (df-sensitive posting
     # stage), its token-level scrub apply, the PQ/ADC+rerank ANN tier
-    # (fixed-R refine stage), and the CMS heavy-hitter report
+    # (auto-R refine stage since r08), and the CMS heavy-hitter report
     "dedup_spans",
     "dedup_spans_apply",
     "sim_topk_pq",

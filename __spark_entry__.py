@@ -550,6 +550,25 @@ def q_contamination(spark, sf):
     )
 
 
+def q_contamination_bloom(spark, sf):
+    """Bloom-filter decontamination (production tier of `contamination`):
+    the eval set collapses to a 2^20-bit filter — 128 KB broadcast,
+    constant in benchmark size — and every training shingle tests k=3
+    md5-derived double-hash positions with pure JVM bit math (no join on
+    the probe path). dedup.bloom_contamination_check, bitset mode; the
+    declarative positions mode is pinned output-identical by test, and
+    the oracle reproduces the deterministic filter bit-for-bit. No false
+    negatives vs the exact tier (property-tested); deliberately run at a
+    load factor where a few false positives EXIST, so the pct columns
+    demonstrate the bloom trade honestly rather than degenerating to the
+    exact answer."""
+    docs = _t(spark, sf, "documents")
+    return dedup.bloom_contamination_check(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+    )
+
+
 def q_a19_udtf_lateral(spark, sf):
     """A19/D — keyword counts through the registered Python UDTF + LATERAL
     (the reference's exact query shape, KeywordStatsApp.java:55-75); the
@@ -1019,8 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_srp_scaled": q_dedup_srp_scaled,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
-        # -- new this round (ADVICE r07: occurrence-rule span detection)
+        # -- new this round (ADVICE r07: occurrence-rule span detection;
+        #    bloom decontamination tier)
         "dedup_spans_intradoc": q_dedup_spans_intradoc,
+        "contamination_bloom": q_contamination_bloom,
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
         "product_stats_approx": q_product_stats_approx,
@@ -1323,6 +1344,37 @@ SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM labeled
 """
+
+
+def _bloom_sql() -> str:
+    """DuckDB twin of q_contamination_bloom: the identical deterministic
+    filter (hash64 shingle ids -> Kirsch-Mitzenmacher probe positions ->
+    membership = all k positions present) via the position-set relational
+    encoding — bit-for-bit the bitset the Spark production form probes."""
+    m, k = K.BLOOM_M_DEFAULT, K.BLOOM_K_DEFAULT
+    pos = f"((shid % {m}) + i * (1 + ((shid >> 30) % {m - 1}))) % {m}"
+    sh3 = (
+        "unnest(list_transform(range(1, len(x)-1), "
+        "i -> x[i] || ' ' || x[i+1] || ' ' || x[i+2]))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS x
+           FROM documents WHERE doc_id % 37 <> 0),
+tsh AS (SELECT DISTINCT doc_id, {K.duck_hash64('sh')} AS shid
+        FROM (SELECT doc_id, {sh3} AS sh FROM t WHERE len(x) >= 3)),
+b AS (SELECT string_split(text, ' ') AS x
+      FROM documents WHERE doc_id % 37 = 0),
+bsh AS (SELECT DISTINCT {K.duck_hash64('sh')} AS shid
+        FROM (SELECT {sh3} AS sh FROM b WHERE len(x) >= 3)),
+bpos AS (SELECT DISTINCT {pos} AS pos FROM bsh, range({k}) r(i)),
+tpr AS (SELECT doc_id, shid, {pos} AS pos FROM tsh, range({k}) r(i)),
+per AS (SELECT doc_id, shid,
+               CASE WHEN COUNT(bp.pos) = {k} THEN 1 ELSE 0 END AS flagged
+        FROM tpr tp LEFT JOIN bpos bp ON tp.pos = bp.pos GROUP BY 1, 2)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       round(CAST(SUM(flagged) AS DOUBLE) / COUNT(*), 4) AS flagged_pct
+FROM per GROUP BY 1"""
 
 
 def _simhash_sql() -> str:
@@ -2105,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
                          / COUNT(*), 4) AS contamination_pct
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
+        "contamination_bloom": _bloom_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_chunks": """
             WITH d AS (

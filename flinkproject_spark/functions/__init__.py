@@ -122,6 +122,33 @@ def duck_hash64(expr: str, nhex: int = 15) -> str:
     return f"(('0x' || substr(md5({expr}), 1, {nhex}))::BIGINT)"
 
 
+# Bloom-filter probe positions via Kirsch-Mitzenmacher double hashing:
+# pos_i = (h1 + i*h2) mod m from ONE 60-bit hash64 per element — h1 draws
+# the low bits (shid mod m), h2 the high bits (shid >> 30), so k probe
+# positions cost one md5, not k. Pure integer math both engines reproduce
+# bit-identically (the same discipline as the MinHash affine family).
+BLOOM_M_DEFAULT = 1 << 20
+BLOOM_K_DEFAULT = 3
+
+
+def bloom_pos(shid: Column, i: int, m_bits: int = BLOOM_M_DEFAULT) -> Column:
+    """i-th bloom probe position for a non-negative 60-bit element hash."""
+    h1 = shid % m_bits
+    h2 = F.lit(1) + (F.shiftright(shid, 30) % (m_bits - 1))
+    return (h1 + F.lit(i) * h2) % m_bits
+
+
+def duck_bloom_pos(expr: str, i: int, m_bits: int = BLOOM_M_DEFAULT) -> str:
+    """DuckDB SQL text computing the same value as :func:`bloom_pos`.
+
+    `expr` must be the non-negative BIGINT element hash (duck_hash64 text).
+    """
+    return (
+        f"((({expr}) % {m_bits}) + {i} * "
+        f"(1 + ((({expr}) >> 30) % {m_bits - 1}))) % {m_bits}"
+    )
+
+
 # MinHash universal-hash family: ONE md5 per input, then cheap affine
 # transforms h_i = (a_i * (h mod P) + b_i) mod P. P = 2^31 - 1 keeps
 # a_i * h below 2^62 (no signed-64 overflow) in both engines.

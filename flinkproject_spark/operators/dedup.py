@@ -1299,6 +1299,162 @@ def score_against_shingles(documents: DataFrame, bench_sh: DataFrame, n: int = 3
     )
 
 
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination (the constant-size-probe tier)
+# ---------------------------------------------------------------------------
+def bloom_positions(
+    bench_sh: DataFrame,
+    m_bits: int = K.BLOOM_M_DEFAULT,
+    k: int = K.BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """Distinct bloom bit positions (`pos` bigint) for a shingle set
+    (`sh` column): one hash64 per distinct shingle, then the k
+    Kirsch-Mitzenmacher probe positions (functions.bloom_pos).
+
+    Output cardinality <= |distinct shingles| * k, but the VALUES live in
+    [0, m_bits) — the position set is the relational encoding of the
+    filter's bit array, which :func:`bloom_bitset` densifies.
+    """
+    shid = bench_sh.select(K.hash64("sh").alias("shid")).distinct()
+    return (
+        shid.select(
+            F.explode(
+                F.array(*[K.bloom_pos(F.col("shid"), i, m_bits) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_bitset(spark, positions: DataFrame, m_bits: int = K.BLOOM_M_DEFAULT) -> list:
+    """Dense bitset words (ceil(m_bits/64) signed longs) from a position set.
+
+    BOUNDED collect: the groupBy(word) aggregate returns at most
+    m_bits/64 rows (16 K longs = 128 KB at the 2^20 default) no matter how
+    large the benchmark is — that bound is the bloom tier's whole point.
+    """
+    rows = (
+        positions.select(
+            F.shiftright("pos", 6).alias("w"),
+            # SQL text: PySpark's shiftleft wrapper only takes a literal count
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_contamination_check(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = K.BLOOM_M_DEFAULT,
+    k: int = K.BLOOM_K_DEFAULT,
+    mode: str = "bitset",
+) -> DataFrame:
+    """Benchmark decontamination against a BLOOM FILTER of the eval set —
+    the constant-size-probe form of :func:`contamination_check`.
+
+    100 TB story: contamination_check joins training shingles against the
+    benchmark's distinct shingle STRINGS — fine while AQE broadcasts them,
+    but the probe structure grows with the eval corpus. This tier collapses
+    the benchmark to m_bits BITS (128 KB at the 2^20 default, constant in
+    benchmark size after build):
+
+    - ``mode="bitset"`` (production, the default): the filter ships as ONE
+      broadcast row holding a 16 K-long array; each training shingle tests
+      its k positions with pure JVM shift/and math — no join, no explode.
+      The doc side's only wide ops are the fixed-width (doc_id, shid)
+      distinct and the per-doc aggregation. The build's collect is bounded
+      by m_bits/64 rows (see :func:`bloom_bitset`).
+    - ``mode="positions"`` (fully declarative twin): the position SET
+      (<= |bench shingles| * k bigints) left-joins the exploded probe rows;
+      no driver-side materialization. This is the form the DuckDB oracle
+      mirrors 1:1, and the two modes are pinned output-identical by test.
+
+    Bloom semantics: NO false negatives — every shingle
+    contamination_check counts is flagged here too; false positives at the
+    classic (1 - e^{-k|bench|/m})^k rate can only push `n_flagged` ABOVE
+    the exact tier's n_contaminated (property-tested). The filter is fully
+    deterministic (md5-derived double hashing, functions.bloom_pos), so a
+    cross-engine oracle reproduces it bit-identically. Shingles are
+    counted per 60-bit hash64 id — collision-merged (~n^2/2^61 expected
+    merges, nil at any real corpus), which also makes every shuffled key
+    fixed-width instead of a shingle string.
+
+    Returns (doc_id, n_shingles, n_flagged, flagged_pct); docs shorter
+    than n tokens have no shingles and are absent, matching
+    contamination_check.
+    """
+    from flinkproject_spark.operators.text import with_tokens
+
+    if mode not in ("bitset", "positions"):
+        raise ValueError(f"bloom_contamination_check: unknown mode {mode!r}")
+
+    bench_sh = _shingle_rows(with_tokens(benchmark), n).select("sh")
+    bpos = bloom_positions(bench_sh, m_bits, k)
+    doc_ids = (
+        _shingle_rows(with_tokens(documents), n)
+        .select("doc_id", K.hash64("sh").alias("shid"))
+        .distinct()
+    )
+
+    if mode == "bitset":
+        spark = documents.sparkSession
+        words = bloom_bitset(spark, bpos, m_bits)
+        bits = spark.createDataFrame([(words,)], "bits array<bigint>")
+        # k static probe expressions — SQL text because the word's shift
+        # count is per-row (PySpark's shiftright wrapper only takes a
+        # literal); element_at is 1-based.
+        def probe_sql(i: int) -> str:
+            p = (
+                f"((shid % {m_bits}) + {i} * "
+                f"(1 + (shiftright(shid, 30) % {m_bits - 1}))) % {m_bits}"
+            )
+            return (
+                f"((shiftright(element_at(bits, CAST(shiftright({p}, 6) AS INT) + 1), "
+                f"CAST(({p}) % 64 AS INT)) & 1) = 1)"
+            )
+
+        flagged_sql = " AND ".join(probe_sql(i) for i in range(k))
+        per_sh = doc_ids.join(F.broadcast(bits)).select(
+            "doc_id", F.expr(flagged_sql).cast("int").alias("flagged")
+        )
+    else:
+        probes = doc_ids.select(
+            "doc_id",
+            "shid",
+            F.explode(
+                F.array(*[K.bloom_pos(F.col("shid"), i, m_bits) for i in range(k)])
+            ).alias("pos"),
+        )
+        marked = probes.join(bpos.withColumn("hit", F.lit(1)), "pos", "left")
+        per_sh = marked.groupBy("doc_id", "shid").agg(
+            (F.count("hit") == k).cast("int").alias("flagged")
+        )
+
+    return (
+        per_sh.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged").cast("double") / F.col("n_shingles"), 4
+            ).alias("flagged_pct"),
+        )
+    )
+
+
 def dedup_survivors(documents: DataFrame) -> DataFrame:
     """Apply exact dedup: keep only each content group's canonical doc —
     the LEFT ANTI join that turns dedup *detection* into an actual

@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     # composes cosine_topk_bruteforce (the allowed tiny-query-set BNL)
     # as its exact ground-truth side
     "ann_recall_report", "pq_recall_report",
+    # the SINGLE-ROW 128 KB bloom bitset broadcast to every task (r08)
+    "contamination_bloom",
 }
 
 
@@ -259,6 +261,20 @@ def test_contamination_benchmark_side_broadcasts(plans):
     join must be map-side (AQE broadcast), not a full shuffle of the
     training corpus' shingles against it."""
     assert "BroadcastHashJoin" in plans["contamination"]
+
+
+def test_contamination_bloom_probe_path_is_joinless_jvm(plans):
+    """The bloom tier's probe path must be the single-row bitset BNL plus
+    pure codegen bit math — no hash join against benchmark shingles (that
+    is the exact tier's shape), no Python islands."""
+    p = plans["contamination_bloom"]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastHashJoin" not in p
+    # the one-row bitset arrives via createDataFrame (an ExistingRDD scan
+    # mentioning applySchemaToPythonRDD) — what must NOT appear is any
+    # per-row Python evaluation on the probe path
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
 
 
 def test_ngram_novelty_is_join_free(plans):

@@ -924,6 +924,106 @@ def test_contamination_check_bounds_and_exact_dup(spark):
     assert all(r.n_contaminated <= r.n_shingles for r in out.values())
 
 
+def test_bloom_contamination_modes_identical_and_sound(tables):
+    """The production bitset form and the declarative positions form are
+    the SAME filter (output-identical frames), and the filter has no
+    false negatives: per doc, bloom n_flagged >= exact n_contaminated,
+    and a verbatim eval leak is still 100% flagged."""
+    docs = tables["documents"]
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    a = (
+        dedup.bloom_contamination_check(train, bench, mode="bitset")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    b = (
+        dedup.bloom_contamination_check(train, bench, mode="positions")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    exact = dedup.contamination_check(train, bench).toPandas()
+    m = a.merge(exact, on="doc_id")
+    assert len(m) == len(a) == len(exact)
+    assert (m.n_flagged >= m.n_contaminated).all()
+    assert (m.n_shingles_x == m.n_shingles_y).all()  # hash64 collision-free here
+    # verbatim leaks (training docs whose every shingle is contaminated)
+    leaks = m[m.contamination_pct == 1.0]
+    assert (leaks.flagged_pct == 1.0).all()
+
+
+def test_bloom_contamination_small_filter_has_false_positives(spark):
+    """At a deliberately tiny m the filter saturates: clean docs get
+    flagged (false positives exist — the bloom trade is real), while the
+    no-false-negative guarantee still holds."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(f"b{i}" for i in range(200)))], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.bloom_contamination_check(
+            train, bench, m_bits=64, k=2
+        ).collect()
+    }
+    # 198 bench shingles x 2 probes into 64 bits: effectively all-ones,
+    # so the zero-overlap training docs false-positive their way to flags
+    assert out[1].n_flagged > 0 and out[2].n_flagged > 0
+
+
+def test_bloom_pos_kernel_cross_engine(spark, duck):
+    """functions.bloom_pos (Spark), duck_bloom_pos (DuckDB SQL), and a
+    pure-Python md5 recompute agree bit-for-bit — the determinism that
+    lets the driver oracle rebuild the identical filter."""
+    import hashlib
+
+    m, k = K.BLOOM_M_DEFAULT, K.BLOOM_K_DEFAULT
+    vals = ["alpha beta gamma", "zeta eta theta", "x y z"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "sh string")
+    got = (
+        sdf.select(
+            "sh", *[K.bloom_pos(K.hash64("sh"), i, m).alias(f"p{i}") for i in range(k)]
+        )
+        .orderBy("sh")
+        .collect()
+    )
+    for row in got:
+        shid = int(hashlib.md5(row.sh.encode()).hexdigest()[:15], 16)
+        h1, h2 = shid % m, 1 + ((shid >> 30) % (m - 1))
+        for i in range(k):
+            assert row[f"p{i}"] == (h1 + i * h2) % m, (row.sh, i)
+        dq = duck.execute(
+            "SELECT "
+            + ", ".join(
+                K.duck_bloom_pos(K.duck_hash64("?::VARCHAR").replace("?", f"'{row.sh}'"), i, m)
+                for i in range(k)
+            )
+        ).fetchone()
+        assert list(dq) == [row[f"p{i}"] for i in range(k)]
+
+
+def test_bloom_bitset_is_bounded_and_faithful(tables, spark):
+    """The bitset build collects <= m/64 words, and membership through
+    the dense words equals membership through the position set for every
+    benchmark position (the bit array IS the position set)."""
+    docs = tables["documents"]
+    bench_sh = dedup._shingle_rows(
+        docs.filter(F.col("doc_id") % 37 == 0).withColumn(
+            "x", F.split("text", r"\s+")
+        )
+    ).select("sh")
+    m = K.BLOOM_M_DEFAULT
+    pos = dedup.bloom_positions(bench_sh, m)
+    words = dedup.bloom_bitset(spark, pos, m)
+    assert len(words) == m // 64
+    for p in [r.pos for r in pos.limit(100).collect()]:
+        assert (words[p >> 6] >> (p & 63)) & 1 == 1
+
+
 # --- chunk-level (sub-document) dedup ----------------------------------------
 
 def test_chunk_level_dedup_catches_shared_boilerplate(spark):

@@ -1398,46 +1398,78 @@ def bloom_contamination_check(
 
     bench_sh = _shingle_rows(with_tokens(benchmark), n).select("sh")
     bpos = bloom_positions(bench_sh, m_bits, k)
-    doc_ids = (
+
+    if mode == "bitset":
+        words = bloom_bitset(documents.sparkSession, bpos, m_bits)
+        return score_against_bloom(documents, words, n=n, m_bits=m_bits, k=k)
+
+    probes = _bloom_doc_shids(documents, n).select(
+        "doc_id",
+        "shid",
+        F.explode(
+            F.array(*[K.bloom_pos(F.col("shid"), i, m_bits) for i in range(k)])
+        ).alias("pos"),
+    )
+    marked = probes.join(bpos.withColumn("hit", F.lit(1)), "pos", "left")
+    per_sh = marked.groupBy("doc_id", "shid").agg(
+        (F.count("hit") == k).cast("int").alias("flagged")
+    )
+    return _bloom_doc_agg(per_sh)
+
+
+def score_against_bloom(
+    documents: DataFrame,
+    words: list,
+    n: int = 3,
+    m_bits: int = K.BLOOM_M_DEFAULT,
+    k: int = K.BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """bloom_contamination_check's probe core against an ALREADY-DENSIFIED
+    bitset (`words` from :func:`bloom_bitset`) — the form the streaming
+    decontamination sink reuses per micro-batch (densify the eval filter
+    once, probe every trigger with the same 128 KB broadcast row).
+
+    The filter ships as ONE broadcast row holding the word array; each
+    shingle tests its k positions with pure JVM shift/and math — no join,
+    no explode on the probe path.
+    """
+    spark = documents.sparkSession
+    bits = spark.createDataFrame([(words,)], "bits array<bigint>")
+
+    # k static probe expressions — SQL text because the word's shift
+    # count is per-row (PySpark's shiftright wrapper only takes a
+    # literal); element_at is 1-based.
+    def probe_sql(i: int) -> str:
+        p = (
+            f"((shid % {m_bits}) + {i} * "
+            f"(1 + (shiftright(shid, 30) % {m_bits - 1}))) % {m_bits}"
+        )
+        return (
+            f"((shiftright(element_at(bits, CAST(shiftright({p}, 6) AS INT) + 1), "
+            f"CAST(({p}) % 64 AS INT)) & 1) = 1)"
+        )
+
+    flagged_sql = " AND ".join(probe_sql(i) for i in range(k))
+    per_sh = _bloom_doc_shids(documents, n).join(F.broadcast(bits)).select(
+        "doc_id", F.expr(flagged_sql).cast("int").alias("flagged")
+    )
+    return _bloom_doc_agg(per_sh)
+
+
+def _bloom_doc_shids(documents: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, shid) rows: shingles hashed to fixed-width 60-bit
+    ids BEFORE the dedup shuffle, so no shingle string is ever shuffled."""
+    from flinkproject_spark.operators.text import with_tokens
+
+    return (
         _shingle_rows(with_tokens(documents), n)
         .select("doc_id", K.hash64("sh").alias("shid"))
         .distinct()
     )
 
-    if mode == "bitset":
-        spark = documents.sparkSession
-        words = bloom_bitset(spark, bpos, m_bits)
-        bits = spark.createDataFrame([(words,)], "bits array<bigint>")
-        # k static probe expressions — SQL text because the word's shift
-        # count is per-row (PySpark's shiftright wrapper only takes a
-        # literal); element_at is 1-based.
-        def probe_sql(i: int) -> str:
-            p = (
-                f"((shid % {m_bits}) + {i} * "
-                f"(1 + (shiftright(shid, 30) % {m_bits - 1}))) % {m_bits}"
-            )
-            return (
-                f"((shiftright(element_at(bits, CAST(shiftright({p}, 6) AS INT) + 1), "
-                f"CAST(({p}) % 64 AS INT)) & 1) = 1)"
-            )
 
-        flagged_sql = " AND ".join(probe_sql(i) for i in range(k))
-        per_sh = doc_ids.join(F.broadcast(bits)).select(
-            "doc_id", F.expr(flagged_sql).cast("int").alias("flagged")
-        )
-    else:
-        probes = doc_ids.select(
-            "doc_id",
-            "shid",
-            F.explode(
-                F.array(*[K.bloom_pos(F.col("shid"), i, m_bits) for i in range(k)])
-            ).alias("pos"),
-        )
-        marked = probes.join(bpos.withColumn("hit", F.lit(1)), "pos", "left")
-        per_sh = marked.groupBy("doc_id", "shid").agg(
-            (F.count("hit") == k).cast("int").alias("flagged")
-        )
-
+def _bloom_doc_agg(per_sh: DataFrame) -> DataFrame:
+    """(doc_id, flagged) shingle rows -> the per-doc contamination report."""
     return (
         per_sh.groupBy("doc_id")
         .agg(

@@ -1257,6 +1257,56 @@ def decontaminating_writer(
     )
 
 
+def bloom_decontaminating_writer(
+    corpus_path: str,
+    bench_positions_path: str,
+    max_flagged: float = 0.2,
+    n: int = 3,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Scrub-on-ingest decontamination through the BLOOM tier
+    (operators.dedup.score_against_bloom): the persisted benchmark
+    POSITION SET is densified to the m_bits-bit filter ONCE, on the first
+    trigger, then every micro-batch probes the same 128 KB broadcast row —
+    no per-trigger re-read of reference state, no join on the probe path,
+    O(batch) per trigger with a constant-size probe structure no matter
+    how large the eval corpus is (the constant-memory twin of
+    :func:`decontaminating_writer`).
+
+    Routing mirrors the exact tier: docs at or under `max_flagged` append
+    to the corpus, the rest — scores attached — to `<corpus>_quarantine`.
+    Bloom false positives can only quarantine MORE than the exact tier
+    (never admit a contaminated doc the exact tier would catch); docs too
+    short to shingle have zero shingles, score 0.0, and are admitted.
+    """
+    from flinkproject_spark import functions as K
+    from flinkproject_spark.operators.dedup import bloom_bitset, score_against_bloom
+
+    m = K.BLOOM_M_DEFAULT if m_bits is None else m_bits
+    kk = K.BLOOM_K_DEFAULT if k is None else k
+    cache: dict = {}
+
+    def score(batch: DataFrame) -> DataFrame:
+        spark = batch.sparkSession
+        if "words" not in cache:  # densify once, reuse across triggers
+            cache["words"] = bloom_bitset(
+                spark, spark.read.parquet(bench_positions_path), m
+            )
+        scores = score_against_bloom(batch, cache["words"], n=n, m_bits=m, k=kk)
+        return batch.join(scores, "doc_id", "left").fillna(
+            {"n_shingles": 0, "n_flagged": 0, "flagged_pct": 0.0}
+        )
+
+    return _scoring_split_writer(
+        corpus_path,
+        "_quarantine",
+        score,
+        F.col("flagged_pct") <= max_flagged,
+        clean_drop=("n_shingles", "n_flagged", "flagged_pct"),
+    )
+
+
 def dsir_selecting_writer(
     corpus_path: str, vocab_path: str, min_importance: float = 0.0
 ) -> Callable[[DataFrame, int], None]:

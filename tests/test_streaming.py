@@ -1172,6 +1172,60 @@ def test_decontaminating_sink_matches_batch_scores(spark, sf_dir, tmp_path):
     assert admitted | set(quarantined) == {r.doc_id for r in train.select("doc_id").collect()}
 
 
+def test_bloom_decontaminating_sink_matches_batch_scores(spark, sf_dir, tmp_path):
+    """Documents streamed through the BLOOM decontaminating sink against a
+    persisted position set: corpus + quarantine must partition the input
+    exactly as the batch bloom_contamination_check would (same filter,
+    same per-doc scores), nothing silently dropped — streaming-vs-batch
+    parity for the constant-size-probe tier."""
+    from flinkproject_spark.operators import dedup as dedup_ops
+    from flinkproject_spark.operators.text import with_tokens
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    pos_path = str(tmp_path / "bench_pos")
+    dedup_ops.bloom_positions(
+        dedup_ops._shingle_rows(with_tokens(bench), 3).select("sh")
+    ).write.parquet(pos_path)
+    src = str(tmp_path / "src")
+    train.coalesce(2).write.parquet(src)
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.bloom_decontaminating_writer(corpus, pos_path, max_flagged=0.2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    want = {
+        r.doc_id: r.flagged_pct
+        for r in dedup_ops.bloom_contamination_check(train, bench).collect()
+    }
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    quarantined = {
+        r.doc_id: r.flagged_pct
+        for r in spark.read.parquet(f"{corpus}_quarantine").collect()
+    }
+    assert admitted == {d for d, p in want.items() if p <= 0.2}
+    assert quarantined == {d: p for d, p in want.items() if p > 0.2}  # scores carried
+    assert admitted | set(quarantined) == {r.doc_id for r in train.select("doc_id").collect()}
+    # bloom-vs-exact: the bloom sink never ADMITS a doc the exact tier quarantines
+    exact = {
+        r.doc_id: r.contamination_pct
+        for r in dedup_ops.contamination_check(train, bench).collect()
+    }
+    assert not {d for d, p in exact.items() if p > 0.2} & admitted
+
+
 def test_srp_incremental_sink_admits_near_dup_free_corpus(spark, sf_dir, tmp_path):
     """Embeddings streamed in vec_id order with exact twins injected
     across AND within chunks: every later twin must be rejected, and the

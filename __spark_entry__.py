@@ -552,10 +552,11 @@ def q_contamination(spark, sf):
 
 def q_contamination_bloom(spark, sf):
     """Bloom-filter decontamination (production tier of `contamination`):
-    the eval set collapses to a 2^20-bit filter — 128 KB broadcast,
-    constant in benchmark size — and every training shingle tests k=3
-    md5-derived double-hash positions with pure JVM bit math (no join on
-    the probe path). dedup.bloom_contamination_check, bitset mode; the
+    the eval set collapses to an AUTO-SIZED bit filter (max(2^20, 13x
+    bench shingles) — ~<=1% FP at any eval-set scale; 128 KB at the
+    floor) and every training shingle tests k=3 md5-derived double-hash
+    positions with pure JVM bit math (no join on the probe path).
+    dedup.bloom_contamination_check, bitset mode; the
     declarative positions mode is pinned output-identical by test, and
     the oracle reproduces the deterministic filter bit-for-bit. No false
     negatives vs the exact tier (property-tested); deliberately run at a
@@ -1350,9 +1351,12 @@ def _bloom_sql() -> str:
     """DuckDB twin of q_contamination_bloom: the identical deterministic
     filter (hash64 shingle ids -> Kirsch-Mitzenmacher probe positions ->
     membership = all k positions present) via the position-set relational
-    encoding — bit-for-bit the bitset the Spark production form probes."""
-    m, k = K.BLOOM_M_DEFAULT, K.BLOOM_K_DEFAULT
-    pos = f"((shid % {m}) + i * (1 + ((shid >> 30) % {m - 1}))) % {m}"
+    encoding — bit-for-bit the bitset the Spark production form probes.
+    The AUTO filter size regenerates from the same integer rule the
+    operator uses (functions.bloom_auto_m): GREATEST(floor, 13 * |bsh|)
+    as a scalar CTE threaded through the position math."""
+    k = K.BLOOM_K_DEFAULT
+    pos = "((shid % mb.m) + i * (1 + ((shid >> 30) % (mb.m - 1)))) % mb.m"
     sh3 = (
         "unnest(list_transform(range(1, len(x)-1), "
         "i -> x[i] || ' ' || x[i+1] || ' ' || x[i+2]))"
@@ -1366,8 +1370,10 @@ b AS (SELECT string_split(text, ' ') AS x
       FROM documents WHERE doc_id % 37 = 0),
 bsh AS (SELECT DISTINCT {K.duck_hash64('sh')} AS shid
         FROM (SELECT {sh3} AS sh FROM b WHERE len(x) >= 3)),
-bpos AS (SELECT DISTINCT {pos} AS pos FROM bsh, range({k}) r(i)),
-tpr AS (SELECT doc_id, shid, {pos} AS pos FROM tsh, range({k}) r(i)),
+mb AS (SELECT GREATEST({K.BLOOM_M_DEFAULT},
+                       {K.BLOOM_AUTO_FACTOR} * COUNT(*))::BIGINT AS m FROM bsh),
+bpos AS (SELECT DISTINCT {pos} AS pos FROM bsh, mb, range({k}) r(i)),
+tpr AS (SELECT doc_id, shid, {pos} AS pos FROM tsh, mb, range({k}) r(i)),
 per AS (SELECT doc_id, shid,
                CASE WHEN COUNT(bp.pos) = {k} THEN 1 ELSE 0 END AS flagged
         FROM tpr tp LEFT JOIN bpos bp ON tp.pos = bp.pos GROUP BY 1, 2)

@@ -129,6 +129,16 @@ def duck_hash64(expr: str, nhex: int = 15) -> str:
 # bit-identically (the same discipline as the MinHash affine family).
 BLOOM_M_DEFAULT = 1 << 20
 BLOOM_K_DEFAULT = 3
+# auto-sizing: m = max(default, 13n) at k=3 gives kn/m <= 3/13, FP rate
+# (1-e^{-3/13})^3 ~ 0.9% — INTEGER-ONLY math so the oracle reproduces the
+# size exactly (GREATEST(1048576, 13 * COUNT(*)) in SQL); no power-of-two
+# rounding needed (60-bit hash mod m bias is ~m/2^60)
+BLOOM_AUTO_FACTOR = 13
+
+
+def bloom_auto_m(n_items: int) -> int:
+    """Filter size for ~<=1% false positives at k=3: max(default, 13n)."""
+    return max(BLOOM_M_DEFAULT, BLOOM_AUTO_FACTOR * n_items)
 
 
 def bloom_pos(shid: Column, i: int, m_bits: int = BLOOM_M_DEFAULT) -> Column:

@@ -1315,9 +1315,13 @@ def bloom_positions(
     [0, m_bits) — the position set is the relational encoding of the
     filter's bit array, which :func:`bloom_bitset` densifies.
     """
-    shid = bench_sh.select(K.hash64("sh").alias("shid")).distinct()
+    shids = bench_sh.select(K.hash64("sh").alias("shid")).distinct()
+    return _bloom_positions_from_shids(shids, m_bits, k)
+
+
+def _bloom_positions_from_shids(shids: DataFrame, m_bits: int, k: int) -> DataFrame:
     return (
-        shid.select(
+        shids.select(
             F.explode(
                 F.array(*[K.bloom_pos(F.col("shid"), i, m_bits) for i in range(k)])
             ).alias("pos")
@@ -1353,7 +1357,7 @@ def bloom_contamination_check(
     documents: DataFrame,
     benchmark: DataFrame,
     n: int = 3,
-    m_bits: int = K.BLOOM_M_DEFAULT,
+    m_bits: "int | str" = "auto",
     k: int = K.BLOOM_K_DEFAULT,
     mode: str = "bitset",
 ) -> DataFrame:
@@ -1363,8 +1367,14 @@ def bloom_contamination_check(
     100 TB story: contamination_check joins training shingles against the
     benchmark's distinct shingle STRINGS — fine while AQE broadcasts them,
     but the probe structure grows with the eval corpus. This tier collapses
-    the benchmark to m_bits BITS (128 KB at the 2^20 default, constant in
-    benchmark size after build):
+    the benchmark to m_bits BITS (128 KB at the 2^20 floor), sized ONCE at
+    build time:
+
+    - ``m_bits="auto"`` (default): m = max(2^20, 13 * |bench shingle ids|)
+      — integer-only (functions.bloom_auto_m), ~<=1% false positives at
+      k=3 no matter how large the eval set grows. A FIXED m saturates as
+      k*|bench| approaches m (FP rate -> 1), the same failure family as a
+      fixed LSH banding; pass an int to pin m for a known eval size.
 
     - ``mode="bitset"`` (production, the default): the filter ships as ONE
       broadcast row holding a 16 K-long array; each training shingle tests
@@ -1395,9 +1405,21 @@ def bloom_contamination_check(
 
     if mode not in ("bitset", "positions"):
         raise ValueError(f"bloom_contamination_check: unknown mode {mode!r}")
+    if isinstance(m_bits, str) and m_bits != "auto":
+        raise ValueError(f"bloom_contamination_check: m_bits must be int or 'auto', got {m_bits!r}")
 
     bench_sh = _shingle_rows(with_tokens(benchmark), n).select("sh")
-    bpos = bloom_positions(bench_sh, m_bits, k)
+    bench_shids = bench_sh.select(K.hash64("sh").alias("shid")).distinct()
+    if m_bits == "auto":
+        # size the filter to the EVAL SET (one count on the tiny side —
+        # the same adaptivity discipline as srp_recommended_banding): a
+        # fixed m saturates once k*|bench| approaches m, degrading FP
+        # rate, exactly like a fixed LSH banding saturating in n. The
+        # default never binds below ~80 K benchmark shingles, so test-SF
+        # outputs are unchanged; the oracle regenerates the identical
+        # size from GREATEST(default, 13 * COUNT(bsh)).
+        m_bits = K.bloom_auto_m(bench_shids.count())
+    bpos = _bloom_positions_from_shids(bench_shids, m_bits, k)
 
     if mode == "bitset":
         words = bloom_bitset(documents.sparkSession, bpos, m_bits)

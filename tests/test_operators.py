@@ -975,6 +975,40 @@ def test_bloom_contamination_small_filter_has_false_positives(spark):
     assert out[1].n_flagged > 0 and out[2].n_flagged > 0
 
 
+def test_bloom_auto_m_scales_with_benchmark_and_holds_fp_rate(spark):
+    """A benchmark big enough to saturate the 2^20 floor (13n > 2^20)
+    must auto-grow the filter: zero-overlap training docs stay under ~2%
+    false-positive flags instead of the near-total flagging a fixed floor
+    gives, and 'auto' equals the explicitly-sized filter."""
+    n_bench, n_train, w = 2000, 120, 60
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"b{i}_{j}" for j in range(w))) for i in range(n_bench)],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(w))) for i in range(n_train)],
+        "doc_id bigint, text string",
+    )
+    n_sh = (n_bench * (w - 2))  # all shingles distinct by construction
+    m_auto = K.bloom_auto_m(n_sh)
+    assert m_auto == K.BLOOM_AUTO_FACTOR * n_sh > K.BLOOM_M_DEFAULT  # floor exceeded
+    auto = dedup.bloom_contamination_check(train, bench).toPandas()
+    fp_rate = auto.n_flagged.sum() / auto.n_shingles.sum()
+    assert fp_rate <= 0.02, f"auto-m FP rate {fp_rate:.4f}"
+    explicit = dedup.bloom_contamination_check(train, bench, m_bits=m_auto).toPandas()
+    pd.testing.assert_frame_equal(
+        auto.sort_values("doc_id").reset_index(drop=True),
+        explicit.sort_values("doc_id").reset_index(drop=True),
+    )
+    # the failure mode auto-sizing removes: same data through a PINNED
+    # undersized filter (m = 2^17, load ~2.7 bits set per slot) ->
+    # saturation, most clean shingles false-positive
+    pinned = dedup.bloom_contamination_check(
+        train, bench, m_bits=1 << 17
+    ).toPandas()
+    assert pinned.n_flagged.sum() / pinned.n_shingles.sum() > 0.5
+
+
 def test_bloom_pos_kernel_cross_engine(spark, duck):
     """functions.bloom_pos (Spark), duck_bloom_pos (DuckDB SQL), and a
     pure-Python md5 recompute agree bit-for-bit — the determinism that

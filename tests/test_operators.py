@@ -2175,6 +2175,14 @@ def test_pq_encode_deterministic_complete_in_range(tables):
     assert (a["qsub"].map(len) == 4).all()
 
 
+def test_pq_encode_rejects_indivisible_subspace_count(tables):
+    """ADVICE r07: d % m != 0 must raise loudly (trailing dimensions
+    would silently drop from codes and diverge from the oracle), not
+    truncate."""
+    with pytest.raises(Exception, match="divisible"):
+        similarity.pq_encode(tables["embeddings"], m=7).collect()
+
+
 def test_pq_codebook_sums_are_exact_totals(tables):
     """Codebook invariant: per block, the member counts sum to the
     collection size and the per-dim sums total the whole collection's

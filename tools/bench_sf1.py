@@ -80,6 +80,11 @@ HEADLINE = [
     "dedup_spans_apply",
     "sim_topk_pq",
     "event_freq_cms",
+    # round-8 additions: the exact decontamination join (bench side grows
+    # with the synthetic %37 split) next to its constant-probe bloom tier
+    # (auto-m sized to the eval set; probe cost per shingle is O(k))
+    "contamination",
+    "contamination_bloom",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

@@ -681,3 +681,147 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained coarse quantizer (Lloyd's k-means in exact int64 arithmetic)
+# ---------------------------------------------------------------------------
+KM_SCALE = 1000  # same round(v*1000) -> int64 contract as the SRP/PQ tiers
+KM_TARGET_CELL_ROWS = 100  # auto-k: k = max(2, ceil(n / target)) at test SFs
+
+
+def _km_quantize(vec_col: str = "embedding") -> Column:
+    """round(v*1000) -> int64, half-away-from-zero (matches SQL round())."""
+    return F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * KM_SCALE, 0).cast("bigint")
+    )
+
+
+def kmeans_auto_k(n_vectors: int, target_cell_rows: int = KM_TARGET_CELL_ROWS) -> int:
+    """k sized from the corpus count, same discipline as
+    srp_recommended_banding: the quantizer's JOB is bounding per-cell work
+    (SemDeDup / IVF / embedding_near_dups all do O(cell^2) or O(cell)
+    inside cells), so k must GROW with n — a fixed k is the measured
+    quadratic failure mode (BENCH_SF10.md, fixed 10-label quantizer).
+    k = max(2, ceil(n / target_cell_rows)) keeps E[cell] at the target
+    independent of scale; production trains on a sample with the same
+    formula applied to the FULL corpus count."""
+    import math
+
+    return max(2, math.ceil(n_vectors / target_cell_rows))
+
+
+def _km_assign(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest centroid by EXACT int64 squared
+    L2, ties broken on cid — deterministic across engines and executor
+    counts. The centroid table is k rows — always broadcast; per vector
+    the k distances are one zip_with/aggregate fold (JVM codegen), so the
+    step is a single narrow pass over the collection, no shuffle."""
+    d2 = F.aggregate(
+        F.zip_with("qv", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"), F.first("qv").alias("qv"))
+        .select("vec_id", "qv", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid recompute: per-dimension FLOOR(sum/count) in exact integer
+    space (sums bounded by n * KM_SCALE * |v|max — double division exact at
+    any realistic corpus since the true quotient is >= 1/count away from
+    the nearest other integer). Clusters that lose every member drop out,
+    identically in the SQL twin. One shuffle on (cid, pos) with map-side
+    partial aggregation; output is k rows."""
+    dims = assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+    cm = dims.groupBy("cid", "pos").agg(
+        F.floor(F.sum("v") / F.count("*")).cast("bigint").alias("m")
+    )
+    return cm.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cent")
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int | None = None,
+    n_iter: int = 3,
+    target_cell_rows: int = KM_TARGET_CELL_ROWS,
+) -> DataFrame:
+    """Train the coarse quantizer the IVF/SemDeDup docstrings reference —
+    Lloyd's k-means as pure DataFrame ops in EXACT int64 arithmetic, so
+    the fit itself (not just its use) is bit-reproducible by the DuckDB
+    oracle: vectors quantized round(v*1000), distances integer squared L2
+    with cid tie-breaks, centroid updates floor(sum/count).
+
+    Init is deterministic hash-rank seeding: the k vectors with smallest
+    (md5-hash64('km:' || vec_id), vec_id) — orderBy+limit compiles to
+    TakeOrdered (per-partition top-k, no global sort), then cids 0..k-1
+    are assigned by a window over those k rows only. `k=None` derives k
+    from the corpus count via :func:`kmeans_auto_k` (the oracle
+    regenerates the same formula from COUNT(*)), so the DEFAULT form is
+    the scale-safe one — expected cell size pinned at `target_cell_rows`
+    regardless of corpus scale.
+
+    Each iteration is one broadcast crossJoin (k rows against the
+    collection, fold per pair) + one (cid, pos)-keyed shuffle bounded by
+    n*dim rows with partial aggregation — Lloyd's canonical distributed
+    shape. At 100 TB: train on a SAMPLE (the statistics of cell
+    boundaries converge long before the full corpus) with k computed from
+    the FULL count, then :func:`kmeans_assign` the corpus in one pass;
+    per-iteration localCheckpoint would cut lineage if n_iter grew, but
+    at n_iter<=3 recomputation is cheaper than the checkpoint write.
+
+    Returns (cid, cent array<bigint>, n) where n is the member count of
+    the assignment step that PRODUCED these centroids.
+
+    Reference parity: the reference has no trainer (its IVF analog uses
+    precomputed labels, as did this module before round 8); public
+    formulation per Lloyd 1982 / Jegou et al. 2011 (coarse quantizer of
+    IVFADC).
+    """
+    from flinkproject_spark import functions as K
+
+    if k is None:
+        k = kmeans_auto_k(embeddings.count(), target_cell_rows)
+    q = embeddings.select("vec_id", _km_quantize().alias("qv"))
+    h = K.hash64(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+    seeds = q.withColumn("h", h).orderBy("h", "vec_id").limit(k)
+    cent = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("h", "vec_id")).cast("bigint") - 1
+        ).alias("cid"),
+        F.col("qv").alias("cent"),
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assigned = _km_assign(q, cent)
+        # k-row table, but WITHOUT this each iteration's broadcast build
+        # re-runs every previous iteration (lineage cascade — job count
+        # quadratic in n_iter); checkpointing k rows per iteration is the
+        # same lineage cut pq_adc_topk uses, measured 14 s -> ~4 s at
+        # sf0.1 for the fit query
+        cent = _km_update(assigned).localCheckpoint(eager=True)
+    pops = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+    return cent.join(pops, "cid")
+
+
+def kmeans_assign(
+    embeddings: DataFrame, centroids: DataFrame | None = None, **fit_kwargs
+) -> DataFrame:
+    """Assign every vector to its trained cell: the one-pass serving step
+    (broadcast crossJoin + integer argmin, no shuffle at all). `centroids`
+    is the persisted (cid, cent) table from :func:`kmeans_fit`; None
+    trains in-line (testdata path). Returns (vec_id, cid, d2)."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, **fit_kwargs)
+    q = embeddings.select("vec_id", _km_quantize().alias("qv"))
+    return _km_assign(q, centroids.select("cid", "cent")).select(
+        "vec_id", "cid", "d2"
+    )

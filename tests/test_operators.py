@@ -2718,3 +2718,54 @@ def test_daily_anomalies_dense_judges_against_calendar_not_observed_rows(spark):
     # (mean 100, std 10 -> threshold 130 > 120: silently unflagged)
     o17 = obs[obs.day == "2024-01-18"].iloc[0]
     assert o17.trailing_mean == 100.0 and not bool(o17.is_anomaly)
+
+
+# --- trained coarse quantizer (k-means, round 8) -----------------------------
+
+def test_kmeans_auto_k_scales_with_corpus():
+    assert similarity.kmeans_auto_k(1) == 2
+    assert similarity.kmeans_auto_k(500) == 5
+    assert similarity.kmeans_auto_k(2000) == 20
+    assert similarity.kmeans_auto_k(10**9) == 10**7  # cells stay ~100 rows
+
+
+def test_kmeans_fit_partitions_the_corpus(tables):
+    emb = tables["embeddings"]
+    n = emb.count()
+    fit = similarity.kmeans_fit(emb).collect()
+    assert len(fit) == similarity.kmeans_auto_k(n)
+    assert sum(r.n for r in fit) == n  # populations partition the corpus
+    assert all(len(r.cent) == 64 for r in fit)
+    asg = similarity.kmeans_assign(emb)
+    assert asg.count() == n
+    assert asg.select("vec_id").distinct().count() == n  # exactly one cell each
+
+
+def test_kmeans_is_invariant_to_partitioning(tables):
+    emb = tables["embeddings"]
+    a = similarity.kmeans_assign(emb).orderBy("vec_id").collect()
+    b = similarity.kmeans_assign(emb.repartition(17)).orderBy("vec_id").collect()
+    assert a == b  # int64 math + cid tie-break: no summation-order drift
+
+
+def test_kmeans_assign_reuses_persisted_centroids(tables, tmp_path):
+    """The production split: fit once, persist the tiny centroid table,
+    assign from the stored copy — identical to the in-line path."""
+    emb = tables["embeddings"]
+    fit = similarity.kmeans_fit(emb)
+    path = str(tmp_path / "centroids")
+    fit.write.parquet(path)
+    stored = emb.sparkSession.read.parquet(path)
+    inline = similarity.kmeans_assign(emb).orderBy("vec_id").collect()
+    served = similarity.kmeans_assign(emb, centroids=stored).orderBy("vec_id").collect()
+    assert inline == served
+
+
+def test_kmeans_trained_cells_bound_near_dup_work(tables):
+    """The scale property the fixed 10-label quantizer lacked: with auto-k,
+    max cell population stays near the target independent of corpus size,
+    so embedding_near_dups' per-cell O(m^2) term is bounded by training."""
+    emb = tables["embeddings"]
+    asg = similarity.kmeans_assign(emb)
+    top = asg.groupBy("cid").count().agg(F.max("count")).first()[0]
+    assert top <= 4 * similarity.KM_TARGET_CELL_ROWS

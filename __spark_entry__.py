@@ -1017,6 +1017,17 @@ def q_text_tfidf(spark, sf):
     return text.tfidf_terms(_t(spark, sf, "documents"))
 
 
+def q_events_distinct_hll(spark, sf):
+    """HyperLogLog daily unique visitors (the UV sketch: 64 registers per
+    day instead of per-key state) plus a lifetime '__all__' row whose
+    registers are the max-merge of the per-day sketches
+    (merge-equals-direct by construction — the distributed/streaming
+    property). md5-kernel registers, integer-scaled harmonic sum: the
+    ESTIMATE is value-verified by the oracle, not tolerance-certified
+    (relational.hll_distinct_report)."""
+    return relational.hll_distinct_report(_t(spark, sf, "events"))
+
+
 def q_cluster_kmeans(spark, sf):
     """Trained coarse quantizer: Lloyd's k-means in EXACT int64 arithmetic
     (round(v*1000) vectors, integer squared-L2 argmin with cid tie-break,
@@ -1091,7 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_intradoc": q_dedup_spans_intradoc,
         "contamination_bloom": q_contamination_bloom,
         # -- new this round (trained coarse quantizer: kills the fixed-k
-        #    quantizer assumption the r07 verdict flagged at its root)
+        #    quantizer assumption the r07 verdict flagged at its root;
+        #    HLL completes the sketch family beside CMS)
+        "events_distinct_hll": q_events_distinct_hll,
         "cluster_kmeans": q_cluster_kmeans,
         "cluster_kmeans_assign": q_cluster_kmeans_assign,
         "dedup_embedding_trained": q_dedup_embedding_trained,
@@ -1473,6 +1486,63 @@ _DOT = ("list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)), (x, y) -> x + y)")
 _NORM = ("sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
          "i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))")
+
+def _hll_sql() -> str:
+    """Oracle twin of relational.hll_distinct_report: same md5 registers,
+    same integer-scaled harmonic sum (every term a whole number, so
+    summation order is irrelevant in BOTH engines), same raw-HLL
+    estimator constant injected as the identical double literal."""
+    from flinkproject_spark.operators.relational import (
+        HLL_LC_GATE, HLL_LC_TABLE, HLL_M, HLL_NUM, HLL_W,
+    )
+
+    wp1 = HLL_W + 1
+    lc_list = "[" + ", ".join(repr(x) for x in HLL_LC_TABLE) + "]"
+    return f"""
+            WITH keys AS (
+              SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS scope,
+                     CAST(user_id AS VARCHAR) AS key
+              FROM events),
+            h AS (
+              SELECT scope, key,
+                     ('0x' || substr(md5('hll:' || key), 1, 15))::BIGINT AS x
+              FROM keys),
+            r AS (
+              SELECT scope, key, x % {HLL_M} AS reg,
+                     CASE WHEN (x // {HLL_M}) = 0 THEN {wp1}
+                          ELSE {wp1} - length(bin(x // {HLL_M})) END AS rho
+              FROM h),
+            pt AS (SELECT scope, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+            mg AS (SELECT '__all__' AS scope, reg, MAX(rho) AS rho
+                   FROM pt GROUP BY 2),
+            regs AS (SELECT * FROM pt UNION ALL SELECT * FROM mg),
+            sums AS (
+              SELECT scope,
+                     SUM(CAST(power(2, {wp1} - rho) AS BIGINT)) AS s_hit,
+                     COUNT(*) AS n_regs
+              FROM regs GROUP BY 1),
+            sk AS (
+              SELECT scope, v_empty,
+                     round(CASE WHEN v_empty > 0 AND raw <= {HLL_LC_GATE!r}
+                                THEN {float(HLL_M)!r} * ({lc_list})[v_empty]
+                                ELSE raw END, 4) AS hll_est
+              FROM (
+                SELECT scope, ({HLL_M} - n_regs) AS v_empty,
+                       {HLL_NUM!r} /
+                       (s_hit + ({HLL_M} - n_regs)
+                                * CAST(power(2, {wp1}) AS BIGINT))::DOUBLE AS raw
+                FROM sums) t),
+            ex AS (
+              SELECT scope, COUNT(DISTINCT key) AS exact_u FROM keys GROUP BY 1
+              UNION ALL
+              SELECT '__all__', COUNT(DISTINCT key) FROM keys)
+            SELECT s.scope,
+                   CAST(e.exact_u AS BIGINT) AS exact_u,
+                   CAST(s.v_empty AS BIGINT) AS v_empty,
+                   s.hll_est,
+                   round(abs(s.hll_est - e.exact_u) / e.exact_u, 4) AS rel_err
+            FROM sk s JOIN ex e USING (scope)"""
+
 
 _KM_N_ITER = 3  # similarity.kmeans_fit default, unrolled in the oracle
 
@@ -2292,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
         "contamination_bloom": _bloom_sql(),
+        "events_distinct_hll": _hll_sql(),
         "cluster_kmeans": _kmeans_fit_sql(),
         "cluster_kmeans_assign": _kmeans_assign_sql(),
         "dedup_embedding_trained": _dedup_trained_sql(),

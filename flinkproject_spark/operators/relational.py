@@ -379,6 +379,143 @@ def cms_frequency_report(
     )
 
 
+# HyperLogLog geometry: 60-bit md5 hash -> low HLL_P bits pick the register,
+# the remaining HLL_W bits feed the leading-zero rank rho in [1, HLL_W+1].
+# The register harmonic sum is kept as an INTEGER (each 2^-rho term scaled
+# by 2^(HLL_W+1) stays a whole number, and 2^m * 2^(HLL_W+1) < 2^62), so
+# summation order can't perturb a single bit — the same exactness trick as
+# the CMS/MinHash tiers. alpha_64 per Flajolet et al. 2007.
+HLL_P = 6  # m = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P
+HLL_ALPHA = 0.709  # alpha_m for m = 64
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))  # est numerator
+HLL_LC_GATE = 2.5 * HLL_M  # raw_est below this + empty registers -> LC
+# Linear-counting needs ln(m/V) — libm's last bit is engine-dependent, but
+# V ranges over 1..m-1 only, so the 63 possible values are embedded as
+# decimal literals BOTH engines parse to the identical double: no libm in
+# the estimate path at all.
+import math as _math
+
+HLL_LC_TABLE = [_math.log(HLL_M / v) for v in range(1, HLL_M)]
+
+
+def _hll_rho(y: Column) -> Column:
+    """rho = leading zeros of the HLL_W-bit suffix + 1, via the minimal
+    binary string (F.bin / DuckDB bin agree: no leading zeros)."""
+    return F.when(y == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(y))
+    )
+
+
+def _hll_keys(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("scope"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """Per-(day, register) max-rho table — the sketch's whole state: at
+    most days*HLL_M rows whatever the input volume, built with one
+    map-side-partial MAX groupBy. This is the unit that MERGES: max over
+    any partition of the input (executor, micro-batch, day) equals the
+    max over the whole, so the streaming writer appends batch-local
+    registers and the reader folds them with the same MAX."""
+    keys = _hll_keys(events)
+    x = K.hash64(F.concat(F.lit("hll:"), F.col("key")))
+    hashed = keys.withColumn("reg", F.pmod(x, F.lit(HLL_M))).withColumn(
+        "rho", _hll_rho(F.floor(x / HLL_M).cast("bigint"))
+    )
+    return hashed.groupBy("scope", "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimates(registers: DataFrame) -> DataFrame:
+    """Raw-HLL estimates from a (scope, reg, rho) register table, plus the
+    '__all__' max-merge row. The harmonic sum is kept INTEGER (each
+    2^-rho term scaled by 2^(HLL_W+1) is whole, and the total fits
+    bigint), so summation order can't perturb a bit in either engine;
+    empty registers contribute the full-scale term via the n_regs
+    complement rather than a generate-join."""
+    merged = (
+        registers.groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__all__").alias("scope"), "reg", "rho")
+    )
+    regs = registers.unionByName(merged)
+    term = F.pow(F.lit(2.0), F.lit(HLL_W + 1) - F.col("rho")).cast("bigint")
+    sums = regs.groupBy("scope").agg(
+        F.sum(term).alias("s_hit"),
+        F.count("*").alias("n_regs"),
+    )
+    s_all = F.col("s_hit") + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(
+        1 << (HLL_W + 1)
+    )
+    raw = F.lit(HLL_NUM) / s_all.cast("double")
+    v = F.lit(HLL_M) - F.col("n_regs")
+    # small-range correction (Flajolet et al. 2007): raw HLL overestimates
+    # badly while most registers are empty; below the 2.5m gate switch to
+    # linear counting m*ln(m/V) — via the literal table, so the branch AND
+    # the corrected value are bit-identical across engines
+    lc = F.lit(float(HLL_M)) * F.element_at(
+        F.array(*[F.lit(x) for x in HLL_LC_TABLE]), v.cast("int")
+    )
+    est = F.when((v > 0) & (raw <= F.lit(HLL_LC_GATE)), lc).otherwise(raw)
+    return sums.select(
+        "scope",
+        v.alias("v_empty"),
+        F.round(est, 4).alias("hll_est"),
+    )
+
+
+def hll_distinct_report(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-count report — the CARDINALITY member of the
+    sketch family (CMS bounds frequencies, HLL estimates distincts in
+    m registers of 6 bits each; Flajolet-Fuchs-Gandouet-Meunier 2007).
+    One row per DAY (the unique-visitor sketch — same UV semantics as
+    the reference's UniqueVisitApp, in 64 registers instead of per-key
+    state) plus a '__all__' row whose registers are the MAX-MERGE of the
+    per-day registers — merge-equals-direct holds by construction (max
+    is associative over the shared hash), which is the property that
+    makes HLL the streaming/distributed distinct structure: partial
+    registers merge across partitions, micro-batches, or days with no
+    loss, so lifetime UV costs 64 integers per day retained.
+
+    Built on the md5 kernel ('hll:' namespace) rather than Spark's opaque
+    approx_count_distinct binary, so registers, harmonic sum AND estimate
+    are reproduced bit-for-bit by the DuckDB oracle — the estimate itself
+    is value-verified, not certified through a tolerance flag. The raw
+    estimator is reported without the small-range linear-counting branch
+    (it needs ln(), whose last-bit rounding is libm-dependent); v_empty
+    is emitted so a reader can see when that correction would apply, and
+    rel_err against the exact count measures the sketch honestly.
+
+    Scale posture: register build = one narrow projection + ONE groupBy
+    over (scope, reg) with map-side partial MAX — at most types*64 rows
+    ever shuffle regardless of input volume. The exact distincts exist to
+    CALIBRATE the sketch (cf. cms_frequency_report, minhash_pr_report);
+    production reads estimates alone and skips those aggregations.
+    """
+    keys = _hll_keys(events)
+    sketch = hll_estimates(hll_registers(events))
+    exact_type = keys.groupBy("scope").agg(
+        F.countDistinct("key").alias("exact_u")
+    )
+    exact_all = keys.agg(F.countDistinct("key").alias("exact_u")).select(
+        F.lit("__all__").alias("scope"), "exact_u"
+    )
+    exact = exact_type.unionByName(exact_all)
+    return sketch.join(exact, "scope").select(
+        "scope",
+        "exact_u",
+        "v_empty",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("exact_u")) / F.col("exact_u"), 4
+        ).alias("rel_err"),
+    )
+
+
 def daily_event_type_pivot(events: DataFrame) -> DataFrame:
     """Per-day crosstab: one column per event type with summed values — the
     dashboard pivot the reference's serving layer reshapes driver-side

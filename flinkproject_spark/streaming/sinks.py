@@ -1197,6 +1197,40 @@ def read_cms_counters(spark, counters_path: str) -> DataFrame:
     return per_batch.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
 
 
+def hll_incremental_writer(registers_path: str) -> Callable[[DataFrame, int], None]:
+    """Streaming HyperLogLog unique-visitor sketch: per micro-batch compute
+    the batch-local (day, register) max-rho rows
+    (operators.relational.hll_registers — at most days*64 rows per
+    trigger) and append them. Unlike the CMS sink, NO batch-id tag or
+    dedup-on-read is needed for idempotency: registers merge by MAX,
+    which is idempotent as well as associative, so a crash-replayed
+    batch's identical rows (or a twice-counted key) cannot move the
+    merged sketch — the structural reason HLL is the distributed
+    distinct-count structure while counters need the staged-commit
+    discipline.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.relational import hll_registers
+
+        hll_registers(batch).write.mode("append").parquet(registers_path)
+
+    return fn
+
+
+def read_hll_registers(spark, registers_path: str) -> DataFrame:
+    """Merged (scope, reg, rho) registers from the append log: one MAX
+    groupBy over rows bounded by batches*days*64, ready for
+    operators.relational.hll_estimates. A serving deployment snapshots
+    the merged table periodically (same compaction discipline as the CMS
+    delta log)."""
+    return (
+        spark.read.parquet(registers_path)
+        .groupBy("scope", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def _scoring_split_writer(
     corpus_path: str,
     side_suffix: str,

@@ -2769,3 +2769,31 @@ def test_kmeans_trained_cells_bound_near_dup_work(tables):
     asg = similarity.kmeans_assign(emb)
     top = asg.groupBy("cid").count().agg(F.max("count")).first()[0]
     assert top <= 4 * similarity.KM_TARGET_CELL_ROWS
+
+
+# --- HyperLogLog distinct sketch (round 8) -----------------------------------
+
+def test_hll_report_merge_row_and_error_bound(tables):
+    rows = relational.hll_distinct_report(tables["events"]).collect()
+    by_scope = {r.scope: r for r in rows}
+    assert "__all__" in by_scope
+    days = [r for r in rows if r.scope != "__all__"]
+    assert len(days) >= 2
+    # lifetime exact >= any single day's exact; registers merged, so the
+    # lifetime estimate prices the union, not the sum
+    assert by_scope["__all__"].exact_u >= max(r.exact_u for r in days)
+    total_est = sum(r.hll_est for r in days)
+    assert by_scope["__all__"].hll_est < total_est  # union < sum of days
+    # raw HLL at m=64: sigma ~ 1.04/8 = 13%; allow 4 sigma on every row
+    for r in rows:
+        assert r.rel_err <= 0.52, (r.scope, r.rel_err)
+
+
+def test_hll_registers_bounded_and_partition_invariant(tables):
+    events = tables["events"]
+    regs = relational.hll_registers(events)
+    n_days = events.select(F.to_date("ts")).distinct().count()
+    assert regs.count() <= n_days * relational.HLL_M  # sketch state bound
+    a = sorted(map(tuple, regs.collect()))
+    b = sorted(map(tuple, relational.hll_registers(events.repartition(13)).collect()))
+    assert a == b  # MAX merge: executor layout can't move a register

@@ -2138,3 +2138,41 @@ def test_cep_stream_state_ttl_wiring_preserves_results(spark, events, staged):
     cols = want.columns
     assert got.count() > 0
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_hll_incremental_registers_merge_and_survive_replay(spark, sf_dir, tmp_path):
+    """Streaming HLL == batch HLL under crash replay: events streamed in
+    three chunks with the first batch re-invoked (retry before checkpoint
+    commit). MAX-merge is idempotent, so no batch-id/dedup machinery is
+    needed — the merged registers, and therefore the estimates, must
+    equal the one-shot batch sketch exactly."""
+    from flinkproject_spark.operators import relational
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    chunks = [
+        events.filter(F.pmod("event_id", F.lit(3)) == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    path = str(tmp_path / "hll")
+    fn = sinks.hll_incremental_writer(path)
+    fn(chunks[0], 0)
+    fn(chunks[0], 0)  # replayed batch: identical register rows, MAX absorbs
+    fn(chunks[1], 1)
+    fn(chunks[2], 2)
+
+    merged = sinks.read_hll_registers(spark, path)
+    want_regs = {
+        (r.scope, r.reg): r.rho for r in relational.hll_registers(events).collect()
+    }
+    got_regs = {(r.scope, r.reg): r.rho for r in merged.collect()}
+    assert got_regs == want_regs
+    # estimates from the streamed registers == the batch report's sketch side
+    got_est = {
+        r.scope: (r.v_empty, r.hll_est)
+        for r in relational.hll_estimates(merged).collect()
+    }
+    want_est = {
+        r.scope: (r.v_empty, r.hll_est)
+        for r in relational.hll_distinct_report(events).collect()
+    }
+    assert got_est == want_est

@@ -29,6 +29,7 @@ from flinkproject_spark.operators import (
     analytics,
     dedup,
     joins,
+    layout,
     multimodal,
     relational,
     routing,
@@ -1017,6 +1018,28 @@ def q_text_tfidf(spark, sf):
     return text.tfidf_terms(_t(spark, sf, "documents"))
 
 
+def q_urgent_revenue(spark, sf):
+    """Selective-dim -> fact join with runtime bloom-filter scan pruning:
+    revenue of URGENT orders' line items by order day. Declared as the
+    plain filter-join-agg so Catalyst's InjectRuntimeFilter owns the
+    rewrite (might_contain on the fact scan — pinned under
+    at-scale thresholds in tests); results are threshold-invariant
+    (joins.urgent_revenue_by_day)."""
+    return joins.urgent_revenue_by_day(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def q_events_zorder(spark, sf):
+    """Z-order layout audit: the 256 coarsest Morton cells over
+    (user_id mod 256, dayofyear mod 256) with per-cell population and
+    per-dimension min/max — tight spans in BOTH dimensions are the
+    multi-dimensional pruning property, value-verified via identical
+    shift/mask bit math in the oracle (layout.zorder_cell_stats; the
+    write side is layout.zorder_layout, footer-stat-proven in tests)."""
+    return layout.zorder_cell_stats(_t(spark, sf, "events"))
+
+
 def q_events_distinct_hll(spark, sf):
     """HyperLogLog daily unique visitors (the UV sketch: 64 registers per
     day instead of per-key state) plus a lifetime '__all__' row whose
@@ -1104,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (trained coarse quantizer: kills the fixed-k
         #    quantizer assumption the r07 verdict flagged at its root;
         #    HLL completes the sketch family beside CMS)
+        "urgent_revenue": q_urgent_revenue,
+        "events_zorder": q_events_zorder,
         "events_distinct_hll": q_events_distinct_hll,
         "cluster_kmeans": q_cluster_kmeans,
         "cluster_kmeans_assign": q_cluster_kmeans_assign,
@@ -1486,6 +1511,26 @@ _DOT = ("list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)), (x, y) -> x + y)")
 _NORM = ("sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
          "i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))")
+
+def _zorder_sql(bits: int = 8) -> str:
+    """Oracle twin of layout.zorder_cell_stats: the Morton interleave as
+    the same shift/mask/shift sum, generated from the same bit loop."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((x >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((y >> {b}) & 1) << {2 * b + 1})")
+    zkey = " + ".join(terms)
+    return f"""
+            WITH dims AS (
+              SELECT user_id % 256 AS x,
+                     dayofyear(CAST(ts AS DATE)) % 256 AS y
+              FROM events),
+            z AS (SELECT x, y, ({zkey}) >> {2 * bits - 8} AS zcell FROM dims)
+            SELECT zcell::BIGINT AS zcell, COUNT(*)::BIGINT AS n,
+                   MIN(x)::BIGINT AS x_min, MAX(x)::BIGINT AS x_max,
+                   MIN(y)::BIGINT AS y_min, MAX(y)::BIGINT AS y_max
+            FROM z GROUP BY zcell"""
+
 
 def _hll_sql() -> str:
     """Oracle twin of relational.hll_distinct_report: same md5 registers,
@@ -2362,6 +2407,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
         "contamination_bloom": _bloom_sql(),
+        "urgent_revenue": """
+            SELECT strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_day,
+                   COUNT(*)::BIGINT AS n_lines,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(1.0 - l.l_discount AS DECIMAL(18,2))),
+                              2) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY 1""",
+        "events_zorder": _zorder_sql(),
         "events_distinct_hll": _hll_sql(),
         "cluster_kmeans": _kmeans_fit_sql(),
         "cluster_kmeans_assign": _kmeans_assign_sql(),

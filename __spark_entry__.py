@@ -1087,15 +1087,17 @@ def q_dedup_embedding_trained(spark, sf):
     pipeline (train -> assign -> cell-bounded pairwise cosine) instead of
     the testdata's fixed 10-label quantizer whose linear cell growth was
     the measured quadratic failure mode (BENCH_SF10.md): auto-k keeps
-    E[cell] ~ 100 at any corpus size, so the per-cell matmul term is
-    bounded BY CONSTRUCTION (similarity.kmeans_assign +
-    dedup.embedding_near_dups)."""
+    E[cell] ~ 100 until K_MAX bounds the assignment cost, after which the
+    max_cell_rows=2000 sub-split owns cell bounding — the two knobs
+    compose so BOTH the router and the per-cell matmul stay linear; the
+    cap never binds at test SFs (output-identical, pinned by test)
+    (similarity.kmeans_assign + dedup.embedding_near_dups)."""
     emb = _t(spark, sf, "embeddings")
     asg = similarity.kmeans_assign(emb).select(
         "vec_id", F.col("cid").alias("label")
     )
     relabeled = emb.drop("label").join(asg, "vec_id")
-    return dedup.embedding_near_dups(relabeled, threshold=0.35)
+    return dedup.embedding_near_dups(relabeled, threshold=0.35, max_cell_rows=2000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1603,8 +1605,8 @@ def _kmeans_ctes(n_iter: int = _KM_N_ITER, target: int = 100) -> str:
     parts = [
         ("q AS (SELECT vec_id, list_transform(embedding, "
          "v -> CAST(round(v::DOUBLE * 1000) AS BIGINT)) AS qv FROM embeddings)"),
-        (f"kk AS (SELECT GREATEST(2, CAST(ceil(COUNT(*) / {target}.0) AS BIGINT))"
-         " AS k FROM q)"),
+        (f"kk AS (SELECT LEAST(256, GREATEST(2, CAST(ceil(COUNT(*) / {target}.0)"
+         " AS BIGINT))) AS k FROM q)"),
         ("seeds AS (SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) - 1"
          " AS cid FROM (SELECT vec_id, qv, "
          "('0x'||substr(md5('km:'||vec_id),1,15))::BIGINT AS h FROM q) "

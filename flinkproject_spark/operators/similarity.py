@@ -687,7 +687,8 @@ def pq_adc_topk(
 # trained coarse quantizer (Lloyd's k-means in exact int64 arithmetic)
 # ---------------------------------------------------------------------------
 KM_SCALE = 1000  # same round(v*1000) -> int64 contract as the SRP/PQ tiers
-KM_TARGET_CELL_ROWS = 100  # auto-k: k = max(2, ceil(n / target)) at test SFs
+KM_TARGET_CELL_ROWS = 100  # auto-k targets ~100-row cells until K_MAX binds
+KM_K_MAX = 256  # exact-assignment cost cap: n*k*d stays O(n) past the cap
 
 
 def _km_quantize(vec_col: str = "embedding") -> Column:
@@ -697,18 +698,31 @@ def _km_quantize(vec_col: str = "embedding") -> Column:
     )
 
 
-def kmeans_auto_k(n_vectors: int, target_cell_rows: int = KM_TARGET_CELL_ROWS) -> int:
+def kmeans_auto_k(
+    n_vectors: int,
+    target_cell_rows: int = KM_TARGET_CELL_ROWS,
+    k_max: int = KM_K_MAX,
+) -> int:
     """k sized from the corpus count, same discipline as
     srp_recommended_banding: the quantizer's JOB is bounding per-cell work
     (SemDeDup / IVF / embedding_near_dups all do O(cell^2) or O(cell)
     inside cells), so k must GROW with n — a fixed k is the measured
     quadratic failure mode (BENCH_SF10.md, fixed 10-label quantizer).
-    k = max(2, ceil(n / target_cell_rows)) keeps E[cell] at the target
-    independent of scale; production trains on a sample with the same
-    formula applied to the FULL corpus count."""
+    k = clamp(ceil(n / target_cell_rows), 2, k_max).
+
+    The k_max clamp is the OTHER half of the scale contract: exact
+    assignment costs n*k*d, so uncapped k = n/target is itself quadratic
+    (the same third-decade trap, one level up). Capping k makes
+    assignment O(n * k_max * d) — linear with a bounded constant — and
+    hands cell-size control past the cap to the consumers'
+    max_cell_rows sub-split (dedup._refine_oversized_cells, measured
+    linear-restoring in BENCH_SF10.md): the quantizer routes, the
+    sub-split bounds. Raising k_max buys finer cells at linear-in-k cost
+    — the FAISS-style k ~ sqrt(n) regime needs ANN-assisted assignment,
+    which would break this tier's exact cross-engine verification."""
     import math
 
-    return max(2, math.ceil(n_vectors / target_cell_rows))
+    return min(k_max, max(2, math.ceil(n_vectors / target_cell_rows)))
 
 
 def _km_assign(q: DataFrame, cent: DataFrame) -> DataFrame:

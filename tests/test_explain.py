@@ -42,6 +42,11 @@ BNLJ_ALLOWED = {
     "ann_recall_report", "pq_recall_report",
     # the SINGLE-ROW 128 KB bloom bitset broadcast to every task (r08)
     "contamination_bloom",
+    # the trained-quantizer tier (r08): Lloyd assignment IS a broadcast
+    # crossJoin of the <=KM_K_MAX-row centroid table against the corpus
+    # (k distances folded per row) — tiny x data by construction, the
+    # canonical distributed k-means shape
+    "cluster_kmeans", "cluster_kmeans_assign", "dedup_embedding_trained",
 }
 
 

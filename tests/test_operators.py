@@ -2726,7 +2726,8 @@ def test_kmeans_auto_k_scales_with_corpus():
     assert similarity.kmeans_auto_k(1) == 2
     assert similarity.kmeans_auto_k(500) == 5
     assert similarity.kmeans_auto_k(2000) == 20
-    assert similarity.kmeans_auto_k(10**9) == 10**7  # cells stay ~100 rows
+    assert similarity.kmeans_auto_k(30000) == 256  # K_MAX clamp: assignment
+    assert similarity.kmeans_auto_k(10**9) == 256   # stays O(n * K_MAX * d)
 
 
 def test_kmeans_fit_partitions_the_corpus(tables):
@@ -2899,3 +2900,19 @@ def test_urgent_revenue_bloom_filter_injects_when_thresholds_allow(spark, tables
         for k, v in keep.items():
             spark.conf.set(k, v)
     assert sorted(map(tuple, filtered)) == sorted(map(tuple, baseline))
+
+
+def test_dedup_embedding_trained_cap_does_not_bind_at_test_sf(tables):
+    """The driver form passes max_cell_rows=2000; trained cells at test
+    SFs are ~100 rows, so the sub-split must be a no-op — pinned here the
+    same way dedup_embedding's capped driver form is."""
+    emb = tables["embeddings"]
+    asg = similarity.kmeans_assign(emb).select(
+        "vec_id", F.col("cid").alias("label")
+    )
+    relabeled = emb.drop("label").join(asg, "vec_id")
+    capped = dedup.embedding_near_dups(relabeled, 0.35, max_cell_rows=2000)
+    uncapped = dedup.embedding_near_dups(relabeled, 0.35)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )

@@ -85,6 +85,18 @@ HEADLINE = [
     # (auto-m sized to the eval set; probe cost per shingle is O(k))
     "contamination",
     "contamination_bloom",
+    # round-8 additions: the trained coarse quantizer (fit + serving
+    # assign + the train->assign->cell-bounded near-dup pipeline; k
+    # clamped at KM_K_MAX so exact assignment is O(n*k_max*d)), the HLL
+    # distinct sketch (state bounded at days*64 registers), the Z-order
+    # cell audit (pure bit-math projection + one groupBy), and the
+    # runtime-bloom-filter join shape
+    "cluster_kmeans",
+    "cluster_kmeans_assign",
+    "dedup_embedding_trained",
+    "events_distinct_hll",
+    "events_zorder",
+    "urgent_revenue",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

@@ -1018,6 +1018,30 @@ def q_text_tfidf(spark, sf):
     return text.tfidf_terms(_t(spark, sf, "documents"))
 
 
+def q_copurchase(spark, sf):
+    """Market-basket association pairs: co-purchased parts at support>=2
+    with lift vs the independent baseline; baskets gated at 64 items so
+    pair volume is O(rows * max_basket) (analytics.copurchase_pairs)."""
+    return analytics.copurchase_pairs(_t(spark, sf, "lineitem"))
+
+
+def q_sim_topk_ivf_trained(spark, sf):
+    """IVF ANN over TRAINED cells: the serving-side composition of the
+    round-8 quantizer — kmeans_assign relabels the collection, then the
+    existing cell-pruned top-k probes the query's trained cell (~100
+    rows at any scale by the auto-k contract, vs the fixed labels'
+    linearly-growing cells). Same ranking contract as every ANN tier;
+    the oracle replays the full fit + assignment + probe in SQL
+    (similarity.kmeans_assign + cosine_topk_ivf)."""
+    emb = _t(spark, sf, "embeddings")
+    asg = similarity.kmeans_assign(emb).select(
+        "vec_id", F.col("cid").alias("label")
+    )
+    relabeled = emb.drop("label").join(asg, "vec_id")
+    out = similarity.cosine_topk_ivf(relabeled, QUERY_IDS)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def q_urgent_revenue(spark, sf):
     """Selective-dim -> fact join with runtime bloom-filter scan pruning:
     revenue of URGENT orders' line items by order day. Declared as the
@@ -1129,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (trained coarse quantizer: kills the fixed-k
         #    quantizer assumption the r07 verdict flagged at its root;
         #    HLL completes the sketch family beside CMS)
+        "copurchase": q_copurchase,
+        "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
         "urgent_revenue": q_urgent_revenue,
         "events_zorder": q_events_zorder,
         "events_distinct_hll": q_events_distinct_hll,
@@ -1666,6 +1692,33 @@ def _dedup_trained_sql(threshold: float = 0.35) -> str:
             JOIN asg sb ON sa.cid = sb.cid AND a.vec_id < sb.vec_id
             JOIN embeddings b ON b.vec_id = sb.vec_id
             WHERE round(({dot}) / (({na}) * ({nb})), 6) >= {threshold}"""
+
+
+def _topk_trained_sql(k: int = 10) -> str:
+    """Oracle twin of the trained-cell IVF probe: the unrolled k-means
+    CTE chain supplies the assignment, then the same scored/rank shape
+    as _topk_sql with both sides joined through it."""
+    qids = ", ".join(str(i) for i in QUERY_IDS)
+    dot = _DOT.format(a="q.embedding", b="c.embedding")
+    qn = _NORM.format(a="q.embedding")
+    cn = _NORM.format(a="c.embedding")
+    return f"""
+            WITH {_kmeans_ctes()},
+            asg AS (SELECT vec_id, cid FROM a{_KM_N_ITER + 1}),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(({dot}) / (({qn}) * ({cn})), 6) AS cosine
+              FROM embeddings q
+              JOIN asg qa ON q.vec_id = qa.vec_id
+              JOIN asg ca ON qa.cid = ca.cid
+              JOIN embeddings c ON c.vec_id = ca.vec_id
+              WHERE q.vec_id IN ({qids}) AND q.vec_id <> c.vec_id)
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank,
+                   neighbor_id, cosine
+            FROM scored
+            QUALIFY rank <= {k}"""
 
 
 def _srp_sql_adaptive(bands: int = 8, budget: float = 1.0) -> str:
@@ -2409,6 +2462,30 @@ def oracle_sql() -> dict[str, str]:
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
         "contamination_bloom": _bloom_sql(),
+        "copurchase": """
+            WITH items AS (
+              SELECT l_orderkey, l_partkey FROM (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+              QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 64),
+            part_ct AS (
+              SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1),
+            n_ord AS (
+              SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     COUNT(*) AS n_pair
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT p.part_a, p.part_b, p.n_pair::BIGINT AS n_pair,
+                   ca.n_part::BIGINT AS n_a, cb.n_part::BIGINT AS n_b,
+                   round(p.n_pair::DOUBLE * o.n_orders
+                         / (ca.n_part::DOUBLE * cb.n_part), 6) AS lift
+            FROM pairs p
+            JOIN part_ct ca ON ca.l_partkey = p.part_a
+            JOIN part_ct cb ON cb.l_partkey = p.part_b
+            CROSS JOIN n_ord o""",
+        "sim_topk_ivf_trained": _topk_trained_sql(),
         "urgent_revenue": """
             SELECT strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_day,
                    COUNT(*)::BIGINT AS n_lines,

@@ -230,3 +230,79 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             "active_users",
         )
     )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame, min_support: int = 2, max_basket: int = 64
+) -> DataFrame:
+    """Frequent co-purchased part pairs with lift — the market-basket
+    surface an e-commerce analytics engine serves next to GMV rollups
+    (the reference's serving tier exposes only per-brand sums;
+    association mining is the natural extension of the same fact table).
+
+    Shape: distinct (order, part) items -> per-order self-join with
+    part_a < part_b -> pair counts -> support gate -> lift against the
+    independent-purchase baseline, lift = n_pair * n_orders / (n_a*n_b).
+
+    Scale posture: the self-join is keyed on l_orderkey, so pair volume
+    is sum(basket^2) — bounded by the `max_basket` gate (baskets above it
+    are dropped OUTRIGHT, the standard mining practice: a 10^4-item
+    pathological basket would contribute 10^8 pairs and no signal). With
+    baskets capped, pairs are O(rows * max_basket): linear, one shuffle
+    each for items/pairs/counts. The support gate cuts the long tail
+    before the count joins; part counts are computed on the SAME gated
+    item set so support and lift are mutually consistent. Ties and
+    floats: counts are exact ints, lift rounds to 6 per module contract.
+    """
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "basket", F.count("*").over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("basket") <= max_basket)
+        .drop("basket")
+    )
+    part_ct = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_ct.select(F.col("l_partkey").alias("part_a"),
+                                       F.col("n_part").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_ct.select(F.col("l_partkey").alias("part_b"),
+                                       F.col("n_part").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1391,3 +1391,37 @@ def kafka_value_frame(df: DataFrame, topic_col: str | None = None, topic: str | 
         F.to_json(F.struct(*[c for c in df.columns if c != topic_col])).alias("value"),
     )
     return payload
+
+
+def kmeans_assigning_writer(
+    centroids_path: str, assignments_path: str
+) -> Callable[[DataFrame, int], None]:
+    """Streaming serving side of the trained coarse quantizer: each
+    micro-batch of (vec_id, embedding) rows is assigned to its nearest
+    persisted centroid (operators.similarity.kmeans_assign — broadcast
+    crossJoin + exact int64 argmin, stateless per trigger) and appended
+    tagged with batch_id. Train once (kmeans_fit -> write centroids),
+    assign forever — the split the fit docstring promises, as a sink.
+
+    Idempotency: assignment is deterministic, so a crash-replayed batch
+    appends byte-identical rows under the SAME batch_id; read with
+    :func:`read_assignments` (full-row distinct, then drop the tag) —
+    the span-log discipline. Re-training writes NEW centroids under a
+    new path/version; assignments are per-version by construction.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.similarity import kmeans_assign
+
+        centroids = batch.sparkSession.read.parquet(centroids_path)
+        kmeans_assign(batch, centroids=centroids).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(assignments_path)
+
+    return fn
+
+
+def read_assignments(spark, assignments_path: str) -> DataFrame:
+    """Merged (vec_id, cid, d2) assignments from the batch-tagged log,
+    crash-replay duplicates collapsed by full-row distinct."""
+    return spark.read.parquet(assignments_path).distinct().drop("batch_id")

@@ -2916,3 +2916,28 @@ def test_dedup_embedding_trained_cap_does_not_bind_at_test_sf(tables):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+# --- co-purchase mining (round 8) ----------------------------------------------
+
+def test_copurchase_hand_case_and_basket_gate(spark):
+    from flinkproject_spark.operators import analytics
+
+    rows = []
+    # orders 1,2: both buy parts (10, 20) -> support 2; order 3 buys 10 only;
+    # order 99 is a 70-item pathological basket that must be dropped outright
+    for o, p in [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)]:
+        rows.append((o, p))
+    rows += [(99, i) for i in range(1000, 1070)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {
+        (r.part_a, r.part_b): r
+        for r in analytics.copurchase_pairs(li, min_support=2).collect()
+    }
+    assert set(got) == {(10, 20)}
+    r = got[(10, 20)]
+    # gated item set: orders 1,2,3 only -> n_orders=3, n_10=3, n_20=2
+    assert (r.n_pair, r.n_a, r.n_b) == (2, 3, 2)
+    assert r.lift == 1.0  # 2*3/(3*2)
+    # no pair from the dropped basket survives
+    assert not any(a >= 1000 for a, _ in got)

@@ -2176,3 +2176,34 @@ def test_hll_incremental_registers_merge_and_survive_replay(spark, sf_dir, tmp_p
         for r in relational.hll_distinct_report(events).collect()
     }
     assert got_est == want_est
+
+
+def test_kmeans_assigning_writer_matches_batch_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Train once -> persist centroids -> assign three streamed chunks
+    (first batch replayed): the merged assignment log must equal the
+    one-shot batch assignment over the full table, byte for byte."""
+    from flinkproject_spark.operators import similarity
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    cent_path = str(tmp_path / "centroids")
+    similarity.kmeans_fit(emb).write.parquet(cent_path)
+
+    asg_path = str(tmp_path / "assignments")
+    fn = sinks.kmeans_assigning_writer(cent_path, asg_path)
+    chunks = [
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    fn(chunks[0], 0)
+    fn(chunks[0], 0)  # crash replay: identical rows, same batch_id
+    fn(chunks[1], 1)
+    fn(chunks[2], 2)
+
+    got = sorted(map(tuple, sinks.read_assignments(spark, asg_path).collect()))
+    stored = spark.read.parquet(cent_path)
+    want = sorted(
+        map(tuple, similarity.kmeans_assign(emb, centroids=stored).collect())
+    )
+    assert got == want

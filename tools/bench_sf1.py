@@ -94,6 +94,8 @@ HEADLINE = [
     "cluster_kmeans",
     "cluster_kmeans_assign",
     "dedup_embedding_trained",
+    "sim_topk_ivf_trained",
+    "copurchase",
     "events_distinct_hll",
     "events_zorder",
     "urgent_revenue",

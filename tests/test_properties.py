@@ -819,3 +819,61 @@ def test_duplicated_spans_equals_bruteforce_on_random_corpora(spark, word_lists,
         for s, e, n, nd in spans:
             expect.add((i, s, e - s, n, nd))
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    users=st.lists(st.integers(0, 500), min_size=1, max_size=120),
+    split=st.integers(2, 4),
+)
+def test_hll_merge_equals_direct_on_random_splits(spark, users, split):
+    """The merge property the streaming sink rests on: registers built
+    from ANY partition of the input and folded with MAX must equal the
+    registers of the whole — for arbitrary multisets and split counts."""
+    from flinkproject_spark.operators import relational
+
+    rows = [(i, "2024-01-0%d" % ((i % split) + 1), u) for i, u in enumerate(users)]
+    df = spark.createDataFrame(rows, ["event_id", "d", "user_id"]).select(
+        "event_id", F.to_timestamp("d").alias("ts"), "user_id"
+    )
+    whole = {
+        (r.scope, r.reg): r.rho for r in relational.hll_registers(df).collect()
+    }
+    merged: dict = {}
+    for s in range(split):
+        part = relational.hll_registers(
+            df.filter(F.pmod("event_id", F.lit(split)) == s)
+        ).collect()
+        for r in part:
+            k = (r.scope, r.reg)
+            merged[k] = max(merged.get(k, 0), r.rho)
+    assert merged == whole
+
+
+def test_kmeans_assignment_is_argmin_with_cid_tiebreak(spark, sf_dir):
+    """Every assigned (cid, d2) must be the true integer-L2 argmin over
+    the trained centroid table, ties resolved to the smallest cid —
+    recomputed independently in numpy from the collected centroids."""
+    import numpy as np
+
+    from flinkproject_spark import catalog
+    from flinkproject_spark.operators import similarity
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    fit = similarity.kmeans_fit(emb).collect()
+    cids = np.array([r.cid for r in fit])
+    C = np.array([r.cent for r in fit], dtype=np.int64)
+    order = np.argsort(cids)
+    cids, C = cids[order], C[order]
+    got = similarity.kmeans_assign(emb).collect()
+    X = {
+        r.vec_id: np.array(r.qv, dtype=np.int64)
+        for r in emb.select(
+            "vec_id", similarity._km_quantize().alias("qv")
+        ).collect()
+    }
+    for r in got:
+        d = ((C - X[r.vec_id]) ** 2).sum(axis=1)
+        best = int(d.min())
+        assert r.d2 == best
+        assert r.cid == int(cids[d == best].min())  # smallest-cid tie-break

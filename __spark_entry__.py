@@ -1018,6 +1018,16 @@ def q_text_tfidf(spark, sf):
     return text.tfidf_terms(_t(spark, sf, "documents"))
 
 
+def q_embedding_covariance(spark, sf):
+    """Exact distributed second moments of the embedding collection: the
+    d x d Gram/covariance upper triangle from one mapInPandas partial
+    per Arrow batch + a d^2-row reduce — every ingredient (sxy, sx, sy,
+    n) an exact int64 the oracle reproduces, cov derived and rounded.
+    The d x d output feeds whitening/PCA driver-side
+    (similarity.embedding_gram / whitening_transform)."""
+    return similarity.embedding_gram(_t(spark, sf, "embeddings"))
+
+
 def q_copurchase(spark, sf):
     """Market-basket association pairs: co-purchased parts at support>=2
     with lift vs the independent baseline; baskets gated at 64 items so
@@ -1153,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (trained coarse quantizer: kills the fixed-k
         #    quantizer assumption the r07 verdict flagged at its root;
         #    HLL completes the sketch family beside CMS)
+        "embedding_covariance": q_embedding_covariance,
         "copurchase": q_copurchase,
         "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
         "urgent_revenue": q_urgent_revenue,
@@ -2462,6 +2473,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tsh t LEFT JOIN bsh b ON t.sh = b.sh
             GROUP BY 1""",
         "contamination_bloom": _bloom_sql(),
+        "embedding_covariance": """
+            WITH q AS (
+              SELECT list_transform(embedding,
+                       v -> CAST(round(v::DOUBLE * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            pairs AS (
+              SELECT ti.i - 1 AS i, tj.j - 1 AS j,
+                     SUM(qv[ti.i] * qv[tj.j]) AS sxy,
+                     SUM(qv[ti.i]) AS sx, SUM(qv[tj.j]) AS sy,
+                     COUNT(*) AS n
+              FROM q,
+                   unnest(generate_series(1, len(qv))) AS ti(i),
+                   unnest(generate_series(1, len(qv))) AS tj(j)
+              WHERE tj.j >= ti.i
+              GROUP BY 1, 2)
+            SELECT i::BIGINT AS i, j::BIGINT AS j,
+                   CAST(sxy AS BIGINT) AS sxy, CAST(sx AS BIGINT) AS sx,
+                   CAST(sy AS BIGINT) AS sy, n::BIGINT AS n,
+                   round((sxy::DOUBLE - sx::DOUBLE * sy / n) / n
+                         / 1000000.0, 6) AS cov
+            FROM pairs""",
         "copurchase": """
             WITH items AS (
               SELECT l_orderkey, l_partkey FROM (

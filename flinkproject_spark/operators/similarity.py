@@ -884,3 +884,133 @@ def kmeans_assign(
     return _km_assign(q, centroids.select("cid", "cent")).select(
         "vec_id", "cid", "d2"
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed second moments (Gram / covariance) + whitening
+# ---------------------------------------------------------------------------
+def embedding_gram(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact distributed second moments of the (quantized) collection —
+    the d x d Gram accumulation every classical preprocessing step
+    (covariance, PCA, whitening, OOD scoring) starts from, as one
+    mapInPandas partial per Arrow batch + one d^2-row reduce.
+
+    Arithmetic contract: vectors quantized round(v*1000) -> int64 (the
+    module-wide contract), per-batch partials computed as float64 numpy
+    matmuls whose every intermediate is an integer (products bounded by
+    KM_SCALE^2 |v|max^2, batch sums by arrow-batch rows x that — far
+    under 2^53), then summed EXACTLY as Spark bigints across batches. At
+    extreme n the bigint sums are the honest overflow gate: 2^63 /
+    (10^6 scale^2) ~ 9e12 rows before sxy can wrap — beyond it, switch
+    the final reduce to decimal (documented valve, same discipline as
+    money_sum).
+
+    Returns the upper triangle incl. diagonal: (i, j, sxy, sx, sy, n,
+    cov) where sxy = sum(q_i q_j), sx = sum(q_i) — all exact integers —
+    and cov = (sxy - sx*sy/n)/n in the ORIGINAL float units (divided by
+    KM_SCALE^2), rounded to 6. Rows out = d(d+1)/2, independent of n.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = _km_parallelize(embeddings.select(_km_quantize(vec_col).alias("qv")))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            G = X.T @ X  # exact: integer-valued entries < 2^53
+            s = X.sum(axis=0)
+            d = X.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "sxy": G[iu, ju].astype(np.int64),
+                    "sx": s[iu].astype(np.int64),
+                    "sy": s[ju].astype(np.int64),
+                    "n": np.full(len(iu), len(pdf), dtype=np.int64),
+                }
+            )
+
+    acc = (
+        q.mapInPandas(
+            partials, "i bigint, j bigint, sxy bigint, sx bigint, sy bigint, n bigint"
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("n").alias("n"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    cov = (
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nn)
+        / nn
+        / F.lit(float(KM_SCALE * KM_SCALE))
+    )
+    return acc.select("i", "j", "sxy", "sx", "sy", "n", F.round(cov, 6).alias("cov"))
+
+
+def whitening_transform(embeddings: DataFrame, eps: float = 1e-6):
+    """ZCA whitening matrix W = C^(-1/2) from the exact distributed
+    covariance: the d x d problem collapses to the driver (d=64 here —
+    4 KB), where one eigh gives W; the COLLECTION never moves. Returns
+    (W, mean) as numpy arrays, in original float units.
+
+    The eigendecomposition is driver-side LAPACK — deterministic on a
+    given machine but not bit-portable, so whitening is a LIBRARY tier
+    (unit-tested: whitened covariance == I within fp tolerance), not an
+    oracle-checked driver query; the exact-integer covariance it
+    consumes IS oracle-checked (embedding_covariance)."""
+    import numpy as np
+
+    rows = embedding_gram(embeddings).collect()
+    d = max(r.j for r in rows) + 1
+    C = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rows:
+        c = (r.sxy - r.sx * r.sy / r.n) / r.n / (KM_SCALE * KM_SCALE)
+        C[r.i, r.j] = C[r.j, r.i] = c
+        if r.i == r.j:
+            mean[r.i] = r.sx / r.n / KM_SCALE
+    vals, vecs = np.linalg.eigh(C)
+    W = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, eps))) @ vecs.T
+    return W, mean
+
+
+def whiten_embeddings(
+    embeddings: DataFrame, W=None, mean=None, vec_col: str = "embedding"
+) -> DataFrame:
+    """Apply the whitening rotation: one numpy matmul per Arrow batch,
+    no shuffle — (x - mean) @ W^T as array<double>. Train-once/apply-
+    forever like the quantizer: pass a persisted (W, mean) in
+    production; None fits in-line (testdata path)."""
+    import numpy as np
+    import pandas as pd
+
+    if W is None:
+        W, mean = whitening_transform(embeddings)
+    Wb, mb = W.copy(), mean.copy()
+    other = [c for c in embeddings.columns if c != vec_col]
+
+    def apply(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Y = (X - mb[None, :]) @ Wb.T
+            out = pdf[other].copy()
+            out[vec_col] = list(Y)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in embeddings.schema.fields
+        if f.name != vec_col
+    ) + f", {vec_col} array<double>"
+    return embeddings.mapInPandas(apply, schema)

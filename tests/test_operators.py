@@ -2941,3 +2941,41 @@ def test_copurchase_hand_case_and_basket_gate(spark):
     assert r.lift == 1.0  # 2*3/(3*2)
     # no pair from the dropped basket survives
     assert not any(a >= 1000 for a, _ in got)
+
+
+# --- Gram / covariance / whitening (round 8) -----------------------------------
+
+def test_embedding_gram_matches_numpy_and_is_partition_invariant(tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    rows = similarity.embedding_gram(emb).collect()
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    Q = np.round(X * 1000)  # the module quantization, half away from zero
+    Q = np.sign(Q) * np.abs(Q)
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    assert len(rows) == 64 * 65 // 2
+    for r in rows[:200]:
+        assert r.sxy == int(G[r.i, r.j])
+        assert r.sx == int(s[r.i]) and r.sy == int(s[r.j])
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, similarity.embedding_gram(emb.repartition(11)).collect()))
+    assert a == b  # exact integer sums: layout can't move a bit
+
+
+def test_whitening_makes_covariance_identity(tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    W, mean = similarity.whitening_transform(emb)
+    white = similarity.whiten_embeddings(emb, W, mean)
+    Y = np.array(
+        [r.embedding for r in white.select("embedding").collect()], dtype=np.float64
+    )
+    C = np.cov(Y, rowvar=False, bias=True)
+    # whitened covariance ~ I (quantization + eps floor leave small residue)
+    assert np.abs(C - np.eye(64)).max() < 0.05
+    assert set(white.columns) == set(emb.columns)  # schema preserved (order: vec last)

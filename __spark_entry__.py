@@ -1018,6 +1018,22 @@ def q_text_tfidf(spark, sf):
     return text.tfidf_terms(_t(spark, sf, "documents"))
 
 
+def q_dedup_semantic_trained(spark, sf):
+    """SemDeDup over TRAINED cells — the third consumer of the round-8
+    quantizer (near-dup and IVF being the others), completing the
+    train -> assign -> semantic-prune pipeline: same furthest-from-
+    centroid dominance logic, cells sized by training instead of the
+    fixed labels; the oracle reuses the identical SemDeDup SQL body over
+    the unrolled-fit assignment (dedup.semdedup on kmeans_assign
+    labels, max_cell_rows=2000 no-bind cap)."""
+    emb = _t(spark, sf, "embeddings")
+    asg = similarity.kmeans_assign(emb).select(
+        "vec_id", F.col("cid").alias("label")
+    )
+    relabeled = emb.drop("label").join(asg, "vec_id")
+    return dedup.semdedup(relabeled, max_cell_rows=2000)
+
+
 def q_embedding_covariance(spark, sf):
     """Exact distributed second moments of the embedding collection: the
     d x d Gram/covariance upper triangle from one mapInPandas partial
@@ -1163,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (trained coarse quantizer: kills the fixed-k
         #    quantizer assumption the r07 verdict flagged at its root;
         #    HLL completes the sketch family beside CMS)
+        "dedup_semantic_trained": q_dedup_semantic_trained,
         "embedding_covariance": q_embedding_covariance,
         "copurchase": q_copurchase,
         "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
@@ -1730,6 +1747,63 @@ def _topk_trained_sql(k: int = 10) -> str:
                    neighbor_id, cosine
             FROM scored
             QUALIFY rank <= {k}"""
+
+
+def _semdedup_sql(src: str = "embeddings", extra: str = "") -> str:
+    """SemDeDup oracle body, parameterized on the labeled source relation
+    so the TRAINED-quantizer variant reuses the identical dominance
+    logic over kmeans-assigned cells (src='emb2' + the unrolled fit
+    CTEs) — one body, two verified parameterizations."""
+    return f"""
+            WITH {extra}dims AS (
+              SELECT label, t.i AS dim, (embedding[t.i])::DOUBLE AS v
+              FROM {src}, unnest(generate_series(1, len(embedding))) AS t(i)
+            ), cent AS (
+              SELECT label, array_agg(m ORDER BY dim) AS cent FROM (
+                SELECT label, dim, SUM(v) / COUNT(*) AS m FROM dims GROUP BY 1, 2)
+              GROUP BY label
+            ), cc AS (
+              SELECT e.vec_id, e.label::BIGINT AS label,
+                     round(({_DOT.format(a='e.embedding', b='c.cent')})
+                           / (({_NORM.format(a='e.embedding')})
+                              * ({_NORM.format(a='c.cent')})), 6) AS cent_cos
+              FROM {src} e JOIN cent c ON e.label = c.label
+            ), pairs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM {src} a JOIN {src} b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
+                          / (({_NORM.format(a='a.embedding')})
+                             * ({_NORM.format(a='b.embedding')})), 6) >= 0.35
+            ), edges AS (
+              SELECT va AS me, vb AS nb FROM pairs
+              UNION ALL SELECT vb AS me, va AS nb FROM pairs
+            ), verdict AS (
+              SELECT e.me, COUNT(*)::BIGINT AS n_near_dups,
+                     MAX(CASE WHEN n.cent_cos < m.cent_cos
+                              OR (n.cent_cos = m.cent_cos AND e.nb < e.me)
+                         THEN 1 ELSE 0 END) AS dominated
+              FROM edges e JOIN cc m ON e.me = m.vec_id
+                           JOIN cc n ON e.nb = n.vec_id
+              GROUP BY e.me
+            )
+            SELECT cc.vec_id, cc.label, cc.cent_cos,
+                   COALESCE(v.n_near_dups, 0)::BIGINT AS n_near_dups,
+                   COALESCE(v.dominated, 0) = 0 AS keep
+            FROM cc LEFT JOIN verdict v ON cc.vec_id = v.me"""
+
+
+def _semdedup_trained_sql() -> str:
+    extra = (
+        _kmeans_ctes()
+        + f""",
+            emb2 AS (
+              SELECT e.vec_id, e.embedding, a.cid AS label
+              FROM embeddings e JOIN a{_KM_N_ITER + 1} a ON e.vec_id = a.vec_id
+            ),
+            """
+    )
+    return _semdedup_sql(src="emb2", extra=extra)
 
 
 def _srp_sql_adaptive(bands: int = 8, budget: float = 1.0) -> str:
@@ -2661,43 +2735,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
                         / (({_NORM.format(a='a.embedding')})
                            * ({_NORM.format(a='b.embedding')})), 6) >= 0.35""",
-        "dedup_semantic": f"""
-            WITH dims AS (
-              SELECT label, t.i AS dim, (embedding[t.i])::DOUBLE AS v
-              FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-            ), cent AS (
-              SELECT label, array_agg(m ORDER BY dim) AS cent FROM (
-                SELECT label, dim, SUM(v) / COUNT(*) AS m FROM dims GROUP BY 1, 2)
-              GROUP BY label
-            ), cc AS (
-              SELECT e.vec_id, e.label::BIGINT AS label,
-                     round(({_DOT.format(a='e.embedding', b='c.cent')})
-                           / (({_NORM.format(a='e.embedding')})
-                              * ({_NORM.format(a='c.cent')})), 6) AS cent_cos
-              FROM embeddings e JOIN cent c ON e.label = c.label
-            ), pairs AS (
-              SELECT a.vec_id AS va, b.vec_id AS vb
-              FROM embeddings a JOIN embeddings b
-                ON a.label = b.label AND a.vec_id < b.vec_id
-              WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
-                          / (({_NORM.format(a='a.embedding')})
-                             * ({_NORM.format(a='b.embedding')})), 6) >= 0.35
-            ), edges AS (
-              SELECT va AS me, vb AS nb FROM pairs
-              UNION ALL SELECT vb AS me, va AS nb FROM pairs
-            ), verdict AS (
-              SELECT e.me, COUNT(*)::BIGINT AS n_near_dups,
-                     MAX(CASE WHEN n.cent_cos < m.cent_cos
-                              OR (n.cent_cos = m.cent_cos AND e.nb < e.me)
-                         THEN 1 ELSE 0 END) AS dominated
-              FROM edges e JOIN cc m ON e.me = m.vec_id
-                           JOIN cc n ON e.nb = n.vec_id
-              GROUP BY e.me
-            )
-            SELECT cc.vec_id, cc.label, cc.cent_cos,
-                   COALESCE(v.n_near_dups, 0)::BIGINT AS n_near_dups,
-                   COALESCE(v.dominated, 0) = 0 AS keep
-            FROM cc LEFT JOIN verdict v ON cc.vec_id = v.me""",
+        "dedup_semantic": _semdedup_sql(),
+        "dedup_semantic_trained": _semdedup_trained_sql(),
         "text_dsir": """
             WITH tok AS (
               SELECT doc_id, is_t, t

@@ -47,7 +47,7 @@ BNLJ_ALLOWED = {
     # (k distances folded per row) — tiny x data by construction, the
     # canonical distributed k-means shape
     "cluster_kmeans", "cluster_kmeans_assign", "dedup_embedding_trained",
-    "sim_topk_ivf_trained",
+    "sim_topk_ivf_trained", "dedup_semantic_trained",
     # single-row total-order-count broadcast onto the pair table (the
     # lift denominator) — scalar x data, same shape as corpus_mix
     "copurchase",

@@ -95,7 +95,9 @@ HEADLINE = [
     "cluster_kmeans_assign",
     "dedup_embedding_trained",
     "sim_topk_ivf_trained",
+    "dedup_semantic_trained",
     "copurchase",
+    "embedding_covariance",
     "events_distinct_hll",
     "events_zorder",
     "urgent_revenue",

@@ -1164,6 +1164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # untouched evidence (r05). Everything r07-verified and untouched
     # holds the tail. Per-query recency is auto-audited in VERIFIED.md
     # (tools/verified_rounds.py).
+    #
+    # Round-8 second sitting added twelve never-verified queries to the
+    # window: the trained-quantizer tier (cluster_kmeans / _assign,
+    # dedup_embedding_trained, sim_topk_ivf_trained,
+    # dedup_semantic_trained), the HLL sketch, the Z-order audit, the
+    # runtime-bloom join, co-purchase mining, the exact covariance, plus
+    # the early-round span/bloom pair — all inside positions 1-50.
     return {
         # -- code changed this round (rotation rule: must re-verify)
         "dedup_embedding": q_dedup_embedding,

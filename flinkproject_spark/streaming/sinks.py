@@ -1425,3 +1425,63 @@ def read_assignments(spark, assignments_path: str) -> DataFrame:
     """Merged (vec_id, cid, d2) assignments from the batch-tagged log,
     crash-replay duplicates collapsed by full-row distinct."""
     return spark.read.parquet(assignments_path).distinct().drop("batch_id")
+
+
+def zorder_compacting_writer(
+    base_path: str,
+    cols: list[str],
+    bits: int = 8,
+    window_batches: int = 4,
+    n_files: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the Z-order layout tier: micro-batches land as
+    fast appends under ``incoming/batch_id=N`` (overwrite per batch-id
+    directory — a crash-replayed batch rewrites its own directory, so
+    the sink is idempotent the same way scoring_split_writer is), and
+    every `window_batches` trigger the accumulated window is REWRITTEN
+    once into ``zorder/window=K`` via operators.layout.zorder_layout.
+
+    This is the lakehouse OPTIMIZE-ZORDER discipline as a foreachBatch
+    sink: compaction cost is O(window), never O(store) — each window is
+    clustered once and never touched again — so total write amplification
+    is a constant 2x (one append + one clustered rewrite), while readers
+    get footer-prunable files in BOTH interleaved dimensions for every
+    closed window plus raw recency in ``incoming/``. The window id is
+    derived from batch_id (deterministic), so a replay of the compacting
+    batch rewrites the SAME window directory with identical content —
+    overwrite-idempotent, no manifest needed.
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators import layout
+
+        batch.write.mode("overwrite").parquet(
+            f"{base_path}/incoming/batch_id={batch_id}"
+        )
+        if (batch_id + 1) % window_batches:
+            return
+        window = batch_id // window_batches
+        lo = window * window_batches
+        spark = batch.sparkSession
+        acc = spark.read.parquet(
+            *[f"{base_path}/incoming/batch_id={b}" for b in range(lo, batch_id + 1)]
+        )
+        layout.zorder_layout(
+            acc, cols, f"{base_path}/zorder/window={window}", n_files, bits
+        )
+
+    return fn
+
+
+def read_zordered(spark, base_path: str, upto_batch: int, window_batches: int = 4):
+    """Read the compacted store: all closed z-ordered windows plus the
+    raw incoming directories of the still-open window. Returns a
+    DataFrame over exactly the rows of batches 0..upto_batch (replayed
+    duplicates impossible: both layers are overwrite-per-directory)."""
+    closed = (upto_batch + 1) // window_batches
+    paths = [f"{base_path}/zorder/window={w}" for w in range(closed)]
+    paths += [
+        f"{base_path}/incoming/batch_id={b}"
+        for b in range(closed * window_batches, upto_batch + 1)
+    ]
+    return spark.read.parquet(*paths)

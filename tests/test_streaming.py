@@ -2207,3 +2207,36 @@ def test_kmeans_assigning_writer_matches_batch_and_survives_replay(
         map(tuple, similarity.kmeans_assign(emb, centroids=stored).collect())
     )
     assert got == want
+
+
+def test_zorder_compacting_writer_windows_replay_and_prune(spark, tmp_path):
+    """Streaming OPTIMIZE-ZORDER: 8 batches over a 64x64 grid -> 2 closed
+    windows; (1) content equals the union of all batches exactly, with
+    the compacting batch replayed (overwrite-idempotent both layers);
+    (2) every closed window's files carry tight footer ranges in BOTH
+    interleaved dimensions — the pruning property survives the stream."""
+    from flinkproject_spark.operators import layout
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+    base = str(tmp_path / "zstore")
+    fn = sinks.zorder_compacting_writer(base, ["x", "y"], bits=6,
+                                        window_batches=4, n_files=4)
+    for b in range(8):
+        chunk = grid.filter(F.pmod(F.col("x") + F.col("y") * 7, F.lit(8)) == b)
+        fn(chunk.localCheckpoint(eager=True), b)
+        if b == 3:
+            fn(chunk.localCheckpoint(eager=True), b)  # replay the compactor
+    got = sinks.read_zordered(spark, base, upto_batch=7, window_batches=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, grid.collect()))
+    for w in (0, 1):
+        rs = layout.file_ranges(f"{base}/zorder/window={w}", ["x", "y"])
+        assert len(rs) >= 2
+        # pruning property per window: a corner point query touches at
+        # most half the files (range boundaries on half-full windows
+        # don't land exactly on quadrant edges, so span-width assertions
+        # are brittle; files_touched is the property that matters)
+        assert layout.files_touched(rs, {"x": 5, "y": 5}) <= 2
+        assert layout.files_touched(rs, {"x": 60, "y": 60}) <= 2

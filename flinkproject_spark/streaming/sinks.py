@@ -1485,3 +1485,43 @@ def read_zordered(spark, base_path: str, upto_batch: int, window_batches: int = 
         for b in range(closed * window_batches, upto_batch + 1)
     ]
     return spark.read.parquet(*paths)
+
+
+def gram_incremental_writer(gram_path: str) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the exact covariance tier: per micro-batch
+    compute the batch's d x d Gram partials
+    (operators.similarity.embedding_gram — d(d+1)/2 exact-integer rows
+    per trigger, independent of batch size) and append them tagged with
+    batch_id. Gram partials merge by ADDITION (sxy/sx/sy/n are sums), so
+    the serving covariance is a sum over deltas — read with
+    :func:`read_gram`, which collapses replayed (batch_id, i, j)
+    duplicates first (deterministic recomputation -> MAX of dupes is the
+    one true delta), the CMS delta-log discipline. Downstream, the
+    merged table feeds whitening_transform unchanged: the whitening
+    matrix can be refreshed per trigger at O(d^2) cost while the
+    collection streams in."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.similarity import embedding_gram
+
+        embedding_gram(batch).drop("cov").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(gram_path)
+
+    return fn
+
+
+def read_gram(spark, gram_path: str) -> DataFrame:
+    """Merged exact Gram ingredients from the delta log: per-batch dedup
+    (MAX over identical replayed rows), then sum across batches.
+    Returns (i, j, sxy, sx, sy, n) — the same exact-integer shape
+    embedding_gram emits, minus the derived cov column."""
+    raw = spark.read.parquet(gram_path)
+    per_batch = raw.groupBy("batch_id", "i", "j").agg(
+        F.max("sxy").alias("sxy"), F.max("sx").alias("sx"),
+        F.max("sy").alias("sy"), F.max("n").alias("n"),
+    )
+    return per_batch.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("n").alias("n"),
+    )

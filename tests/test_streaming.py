@@ -2240,3 +2240,32 @@ def test_zorder_compacting_writer_windows_replay_and_prune(spark, tmp_path):
         # are brittle; files_touched is the property that matters)
         assert layout.files_touched(rs, {"x": 5, "y": 5}) <= 2
         assert layout.files_touched(rs, {"x": 60, "y": 60}) <= 2
+
+
+def test_gram_incremental_deltas_merge_and_survive_replay(spark, sf_dir, tmp_path):
+    """Streaming Gram == batch Gram under crash replay: embeddings in
+    three chunks, first batch re-invoked; merged integer ingredients
+    must equal the one-shot embedding_gram exactly (addition-mergeable
+    partials + dedup-on-read, the CMS delta-log discipline)."""
+    from flinkproject_spark.operators import similarity
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "gram")
+    fn = sinks.gram_incremental_writer(path)
+    chunks = [
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    fn(chunks[0], 0)
+    fn(chunks[0], 0)  # replayed batch: identical deltas, dedup-on-read
+    fn(chunks[1], 1)
+    fn(chunks[2], 2)
+    got = {
+        (r.i, r.j): (r.sxy, r.sx, r.sy, r.n)
+        for r in sinks.read_gram(spark, path).collect()
+    }
+    want = {
+        (r.i, r.j): (r.sxy, r.sx, r.sy, r.n)
+        for r in similarity.embedding_gram(emb).collect()
+    }
+    assert got == want

@@ -1018,6 +1018,19 @@ def q_text_tfidf(spark, sf):
     return text.tfidf_terms(_t(spark, sf, "documents"))
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid retrieval: tf-idf lexical candidates ('spark scan window')
+    -> cosine rerank against vec 0's embedding -> Reciprocal Rank Fusion
+    (rank-based, so no cross-modality score calibration; fusion is a sum
+    of exact rationals). The RAG serving shape, on the aligned
+    doc_id = vec_id key space (similarity.hybrid_rrf_topk)."""
+    return similarity.hybrid_rrf_topk(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        terms=["spark", "scan", "window"],
+    )
+
+
 def q_dedup_semantic_trained(spark, sf):
     """SemDeDup over TRAINED cells — the third consumer of the round-8
     quantizer (near-dup and IVF being the others), completing the
@@ -1186,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (trained coarse quantizer: kills the fixed-k
         #    quantizer assumption the r07 verdict flagged at its root;
         #    HLL completes the sketch family beside CMS)
+        "hybrid_search": q_hybrid_search,
         "dedup_semantic_trained": q_dedup_semantic_trained,
         "embedding_covariance": q_embedding_covariance,
         "copurchase": q_copurchase,
@@ -2742,6 +2756,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
                         / (({_NORM.format(a='a.embedding')})
                            * ({_NORM.format(a='b.embedding')})), 6) >= 0.35""",
+        "hybrid_search": """
+            WITH toks AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+                FROM documents)
+              WHERE t IN ('spark', 'scan', 'window')),
+            nd AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+            tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            idf AS (
+              SELECT t, CAST(round(ln((SELECT n FROM nd)
+                                      / COUNT(DISTINCT doc_id)), 6)
+                             AS DECIMAL(18,6)) AS idf
+              FROM toks GROUP BY t),
+            lex AS (
+              SELECT doc_id, SUM(tf * idf) AS lex_score
+              FROM tf JOIN idf USING (t) GROUP BY 1),
+            cands AS (
+              SELECT doc_id, lex_score,
+                     row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                       AS lex_rank
+              FROM lex
+              QUALIFY row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                      <= 50),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT c.doc_id, c.lex_rank,
+                     round((list_reduce(list_transform(range(1, len(e.embedding) + 1), i -> (e.embedding[i]::DOUBLE) * (q.qe[i]::DOUBLE)), (x, y) -> x + y)) / ((sqrt(list_reduce(list_transform(range(1, len(q.qe) + 1), i -> (q.qe[i]::DOUBLE) * (q.qe[i]::DOUBLE)), (x, y) -> x + y))) * (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1), i -> (e.embedding[i]::DOUBLE) * (e.embedding[i]::DOUBLE)), (x, y) -> x + y)))), 6) AS cosine
+              FROM cands c JOIN embeddings e ON c.doc_id = e.vec_id, q),
+            fused AS (
+              SELECT doc_id, lex_rank, cosine,
+                     row_number() OVER (ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM scored),
+            rr AS (
+              SELECT doc_id, lex_rank, vec_rank, cosine,
+                     round(1.0 / (60 + lex_rank) + 1.0 / (60 + vec_rank), 6)
+                       AS rrf
+              FROM fused)
+            SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+                   doc_id,
+                   lex_rank::BIGINT AS lex_rank,
+                   vec_rank::BIGINT AS vec_rank, cosine, rrf
+            FROM rr
+            QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 10""",
         "dedup_semantic": _semdedup_sql(),
         "dedup_semantic_trained": _semdedup_trained_sql(),
         "text_dsir": """

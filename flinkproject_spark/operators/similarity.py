@@ -1014,3 +1014,94 @@ def whiten_embeddings(
         if f.name != vec_col
     ) + f", {vec_col} array<double>"
     return embeddings.mapInPandas(apply, schema)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: lexical candidate generation + vector rerank, RRF-fused
+# ---------------------------------------------------------------------------
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    r: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid search — the retrieval shape every RAG/serving stack runs:
+    a LEXICAL candidate stage (tf-idf over the query terms) prunes the
+    corpus to r docs, a VECTOR stage reranks those candidates by cosine
+    against the query embedding, and the two rankings fuse by Reciprocal
+    Rank Fusion (Cormack et al. 2009): rrf = 1/(rrf_k + lex_rank) +
+    1/(rrf_k + vec_rank). RRF works on RANKS, not scores, so the two
+    modalities need no scale calibration, and the fusion arithmetic is a
+    sum of two exact rationals — deterministic across engines with the
+    usual round-6 contract.
+
+    Numeric discipline: tf is an exact count; idf = round(ln(N/df), 6)
+    cast DECIMAL(18,6) (the text_dsir ln-round-6 convention) so the
+    per-doc lexical score is an EXACT decimal sum; ranks are row_number
+    with doc_id tie-breaks; cosine is the module's round-6 double.
+
+    Scale posture: the token explode filters to the |terms| query words
+    map-side (everything else dies before the shuffle), the per-doc
+    groupBy is one partial-agg shuffle, candidate generation is
+    orderBy+limit (TakeOrdered — per-partition top-r, no global sort),
+    and both rerank joins touch r rows. At 100 TB the lexical stage
+    reads a posting-list index (the dedup tier's inverted-index layout)
+    instead of re-tokenizing — the plan from the candidates down is
+    unchanged. Joins documents to embeddings on doc_id = vec_id (the
+    testdata's aligned key space).
+    """
+    t = F.col("t")
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("t")
+    ).filter(t.isin(terms))
+    n_docs = documents.count()
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    idf = (
+        toks.groupBy("t")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "t",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+            .cast("decimal(18,6)")
+            .alias("idf"),
+        )
+    )
+    lex = (
+        tf.join(F.broadcast(idf), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("lex_score"))
+    )
+    cands = lex.orderBy(F.desc("lex_score"), F.asc("doc_id")).limit(r)
+    w_lex = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    cands = cands.withColumn("lex_rank", F.row_number().over(w_lex))
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    e = with_norm(embeddings)
+    scored = (
+        cands.join(e, cands.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(with_norm(qrow, "q_emb").select(
+            F.col("emb").alias("qe"), F.col("norm").alias("q_norm"))))
+        .withColumn("cosine", F.round(cosine_expr("qe", "emb", "q_norm", "norm"), 6))
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    fused = scored.withColumn("vec_rank", F.row_number().over(w_vec)).select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        "cosine",
+        F.round(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank"))
+            + F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")),
+            6,
+        ).alias("rrf"),
+    )
+    w_out = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_out).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "lex_rank", "vec_rank", "cosine", "rrf")
+    )

@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     # canonical distributed k-means shape
     "cluster_kmeans", "cluster_kmeans_assign", "dedup_embedding_trained",
     "sim_topk_ivf_trained", "dedup_semantic_trained",
+    # single-row query-embedding broadcast onto the r-candidate rerank
+    "hybrid_search",
     # single-row total-order-count broadcast onto the pair table (the
     # lift denominator) — scalar x data, same shape as corpus_mix
     "copurchase",

@@ -2979,3 +2979,34 @@ def test_whitening_makes_covariance_identity(tables):
     # whitened covariance ~ I (quantization + eps floor leave small residue)
     assert np.abs(C - np.eye(64)).max() < 0.05
     assert set(white.columns) == set(emb.columns)  # schema preserved (order: vec last)
+
+
+# --- hybrid retrieval (round 8) -------------------------------------------------
+
+def test_hybrid_rrf_fuses_ranks_and_bounds(tables):
+    out = similarity.hybrid_rrf_topk(
+        tables["documents"], tables["embeddings"],
+        terms=["spark", "scan", "window"], r=20, k=10,
+    ).collect()
+    assert len(out) == 10
+    assert [r.rank for r in out] == list(range(1, 11))
+    for row in out:
+        assert 1 <= row.lex_rank <= 20 and 1 <= row.vec_rank <= 20
+        want = round(1.0 / (60 + row.lex_rank) + 1.0 / (60 + row.vec_rank), 6)
+        assert row.rrf == want
+    # fusion is monotone: output is sorted by rrf desc (doc_id tiebreak)
+    rrfs = [r.rrf for r in out]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_hybrid_rrf_term_miss_and_both_lists_respected(tables):
+    """Terms absent from the corpus contribute nothing (no crash, no
+    phantom idf); a doc that leads BOTH rankings must lead the fusion."""
+    out = similarity.hybrid_rrf_topk(
+        tables["documents"], tables["embeddings"],
+        terms=["spark", "zzz_not_a_token"], r=15, k=15,
+    ).collect()
+    assert len(out) == 15
+    leader = [r for r in out if r.lex_rank == 1 and r.vec_rank == 1]
+    if leader:
+        assert leader[0].rank == 1

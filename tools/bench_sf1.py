@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_semantic_trained",
     "copurchase",
     "embedding_covariance",
+    "hybrid_search",
     "events_distinct_hll",
     "events_zorder",
     "urgent_revenue",

@@ -2587,7 +2587,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sxy AS BIGINT) AS sxy, CAST(sx AS BIGINT) AS sx,
                    CAST(sy AS BIGINT) AS sy, n::BIGINT AS n,
                    round((sxy::DOUBLE - sx::DOUBLE * sy / n) / n
-                         / 1000000.0, 6) AS cov
+                         / 1000000.0, 6) + 0.0 AS cov
             FROM pairs""",
         "copurchase": """
             WITH items AS (

@@ -424,8 +424,11 @@ def hll_registers(events: DataFrame) -> DataFrame:
     registers and the reader folds them with the same MAX."""
     keys = _hll_keys(events)
     x = K.hash64(F.concat(F.lit("hll:"), F.col("key")))
+    # shiftright is exact integer x // 2^HLL_P; floor(x / HLL_M) would
+    # round the 60-bit hash through float64 first (lossy above 2^53),
+    # breaking the module's bit-exact contract with the oracle's x // 64.
     hashed = keys.withColumn("reg", F.pmod(x, F.lit(HLL_M))).withColumn(
-        "rho", _hll_rho(F.floor(x / HLL_M).cast("bigint"))
+        "rho", _hll_rho(F.shiftright(x, HLL_P).cast("bigint"))
     )
     return hashed.groupBy("scope", "reg").agg(F.max("rho").alias("rho"))
 
@@ -484,10 +487,11 @@ def hll_distinct_report(events: DataFrame) -> DataFrame:
     Built on the md5 kernel ('hll:' namespace) rather than Spark's opaque
     approx_count_distinct binary, so registers, harmonic sum AND estimate
     are reproduced bit-for-bit by the DuckDB oracle — the estimate itself
-    is value-verified, not certified through a tolerance flag. The raw
-    estimator is reported without the small-range linear-counting branch
-    (it needs ln(), whose last-bit rounding is libm-dependent); v_empty
-    is emitted so a reader can see when that correction would apply, and
+    is value-verified, not certified through a tolerance flag. The
+    small-range linear-counting correction (m*ln(m/V) below the 2.5m
+    gate) IS applied — ln() is libm-dependent, so the 64 possible values
+    are embedded as the HLL_LC_TABLE literal both engines index by
+    V; v_empty is emitted so a reader can see when the branch fired, and
     rel_err against the exact count measures the sketch honestly.
 
     Scale posture: register build = one narrow projection + ONE groupBy

@@ -953,7 +953,13 @@ def embedding_gram(embeddings: DataFrame, vec_col: str = "embedding") -> DataFra
         / nn
         / F.lit(float(KM_SCALE * KM_SCALE))
     )
-    return acc.select("i", "j", "sxy", "sx", "sy", "n", F.round(cov, 6).alias("cov"))
+    # `+ 0.0` normalizes the sign of zero: IEEE -0.0 + 0.0 = +0.0, so a
+    # covariance that rounds to zero from below hashes identically across
+    # engines (DuckDB's round() preserves -0.0; Spark's does not).
+    return acc.select(
+        "i", "j", "sxy", "sx", "sy", "n",
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+    )
 
 
 def whitening_transform(embeddings: DataFrame, eps: float = 1e-6):
@@ -993,6 +999,11 @@ def whiten_embeddings(
     import numpy as np
     import pandas as pd
 
+    if (W is None) != (mean is None):
+        raise ValueError(
+            "whiten_embeddings: pass BOTH W and mean (a persisted fit) "
+            "or NEITHER (fit in-line); got exactly one of the pair"
+        )
     if W is None:
         W, mean = whitening_transform(embeddings)
     Wb, mb = W.copy(), mean.copy()

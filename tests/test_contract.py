@@ -24,6 +24,23 @@ def test_compare_rejects_int_float_family_mismatch():
     assert compare("dtype_probe", a, c) is None
 
 
+def test_compare_is_bit_exact_on_floats():
+    """Regression for round-8 embedding_covariance: DuckDB's round()
+    preserves -0.0 while Spark's emits +0.0; pandas equality treats them
+    as equal but the driver's value hash is bit-level. The local gate
+    must distinguish sign-of-zero (and any NaN-payload divergence) while
+    still treating identical NaNs as equal."""
+    import numpy as np
+
+    a = pd.DataFrame({"cov": [0.0, 1.5]})
+    b = pd.DataFrame({"cov": [-0.0, 1.5]})
+    err = compare("zero_sign_probe", a, b)
+    assert err is not None and "values" in err
+    assert compare("zero_sign_probe", a.copy(), a.copy()) is None
+    c = pd.DataFrame({"x": [np.nan, 2.0]})
+    assert compare("nan_probe", c.copy(), c.copy()) is None
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -2953,8 +2953,9 @@ def test_embedding_gram_matches_numpy_and_is_partition_invariant(tables):
     X = np.array(
         [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
     )
-    Q = np.round(X * 1000)  # the module quantization, half away from zero
-    Q = np.sign(Q) * np.abs(Q)
+    # the module quantization: round half AWAY FROM ZERO (Spark F.round),
+    # not numpy's banker's rounding — sign*floor(abs+0.5) implements it
+    Q = np.sign(X * 1000) * np.floor(np.abs(X * 1000) + 0.5)
     G = Q.T @ Q
     s = Q.sum(axis=0)
     assert len(rows) == 64 * 65 // 2
@@ -2979,6 +2980,20 @@ def test_whitening_makes_covariance_identity(tables):
     # whitened covariance ~ I (quantization + eps floor leave small residue)
     assert np.abs(C - np.eye(64)).max() < 0.05
     assert set(white.columns) == set(emb.columns)  # schema preserved (order: vec last)
+
+
+def test_whiten_embeddings_rejects_half_a_fit(tables):
+    """Passing a persisted W but forgetting mean (or vice versa) must be a
+    clear ValueError, not an AttributeError deep in the apply path."""
+    import numpy as np
+    import pytest as _pytest
+
+    emb = tables["embeddings"]
+    W = np.eye(64)
+    with _pytest.raises(ValueError, match="BOTH W and mean"):
+        similarity.whiten_embeddings(emb, W=W)
+    with _pytest.raises(ValueError, match="BOTH W and mean"):
+        similarity.whiten_embeddings(emb, mean=np.zeros(64))
 
 
 # --- hybrid retrieval (round 8) -------------------------------------------------

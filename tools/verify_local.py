@@ -46,7 +46,15 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.map(lambda v: repr(v) if not isinstance(v, str) else v)
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
+            # Driver-strict: compare floats by BIT PATTERN, not value
+            # equality. pandas equality treats -0.0 == 0.0 (and is blind
+            # to NaN payloads); the driver's value hash is bit-level, so
+            # the round-8 `embedding_covariance` -0.0 row passed locally
+            # but failed the driver. Viewing the float64 as int64 makes
+            # both sorting and comparison bit-exact on both frames.
+            import numpy as np
+
+            df[c] = s.astype("float64").to_numpy().view(np.int64)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)

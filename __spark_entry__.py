@@ -1064,6 +1064,16 @@ def q_copurchase(spark, sf):
     return analytics.copurchase_pairs(_t(spark, sf, "lineitem"))
 
 
+def q_pagerank(spark, sf):
+    """PageRank over the co-purchase part graph — iterative link analysis
+    in int64 fixed-point (rank mass 10^6/node, damping 85/100, 5 Jacobi
+    steps, ALL divisions exact integer `div`), so the fixed-point itself
+    is bit-reproduced by the oracle's unrolled CTEs: the web-corpus
+    quality prior (Page et al. 1999) computed Pregel-style — one rank
+    join + one dst-keyed aggregate per step (analytics.pagerank)."""
+    return analytics.pagerank(_t(spark, sf, "lineitem"))
+
+
 def q_sim_topk_ivf_trained(spark, sf):
     """IVF ANN over TRAINED cells: the serving-side composition of the
     round-8 quantizer — kmeans_assign relabels the collection, then the
@@ -1114,6 +1124,18 @@ def q_events_distinct_hll(spark, sf):
     return relational.hll_distinct_report(_t(spark, sf, "events"))
 
 
+def q_value_quantiles_hist(spark, sf):
+    """Mergeable fixed-bin histogram quantiles — the QUANTILE sketch
+    beside CMS (frequency) and HLL (cardinality): int64-quantized values
+    binned on global edges with pure integer `div`, per-type counters
+    SUM-MERGED into the '__all__' row (merge-equals-direct by
+    construction, the streaming/distributed property), quantile edges
+    selected by integer rank comparison — the ESTIMATE is value-verified
+    by the oracle, not tolerance-certified
+    (relational.histogram_quantile_report)."""
+    return relational.histogram_quantile_report(_t(spark, sf, "events"))
+
+
 def q_cluster_kmeans(spark, sf):
     """Trained coarse quantizer: Lloyd's k-means in EXACT int64 arithmetic
     (round(v*1000) vectors, integer squared-L2 argmin with cid tie-break,
@@ -1145,6 +1167,33 @@ def q_cluster_kmeans_assign(spark, sf):
     return similarity.kmeans_assign(_t(spark, sf, "embeddings"))
 
 
+def q_cluster_kmeans_sampled(spark, sf):
+    """The documented 100 TB trained-tier shape, end-to-end: Lloyd's fit
+    on a deterministic hash-membership SAMPLE (md5 'kms:' namespace, mod
+    4) with k derived from the FULL corpus count, then one serving pass
+    assigning the whole collection to the sampled centroids. Output is
+    the per-cell audit of that full assignment — member count and exact
+    integer d2 mass — joined to the sampled centroids' integer digests,
+    so the sampled FIT and the full ASSIGN are both value-verified
+    (similarity.kmeans_fit_sampled + kmeans_assign)."""
+    emb = _t(spark, sf, "embeddings")
+    fit = similarity.kmeans_fit_sampled(emb, sample_mod=4)
+    asg = similarity.kmeans_assign(emb, centroids=fit)
+    cells = asg.groupBy("cid").agg(
+        F.count("*").alias("n"), F.sum("d2").alias("d2_sum")
+    )
+    digest = fit.select(
+        "cid",
+        F.aggregate(
+            F.transform("cent", lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("cent_l1"),
+        F.col("cent")[0].alias("cent_d0"),
+    )
+    return cells.join(digest, "cid")
+
+
 def q_dedup_embedding_trained(spark, sf):
     """Embedding near-dup over TRAINED cells — the full production
     pipeline (train -> assign -> cell-bounded pairwise cosine) instead of
@@ -1165,85 +1214,28 @@ def q_dedup_embedding_trained(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles. Round-8 window (VERDICT r07
-    # task 2): first the queries whose CODE CHANGED this round — the
-    # three de-weakened scale forms (dedup_embedding/dedup_semantic cell
-    # caps, dedup_srp adaptive banding, plus dedup_srp_scaled sharing
-    # the retouched operator), the span pair (intra-doc flag touched
-    # duplicated_spans), the PQ pair (localCheckpoint swap), the widened
-    # product_stats_approx envelope and the certificate's max_df knob —
-    # then the rest of the 18 r04-stale rows (positions 51-68 last
-    # round), then back-fill to the window edge with the oldest
-    # untouched evidence (r05). Everything r07-verified and untouched
-    # holds the tail. Per-query recency is auto-audited in VERIFIED.md
-    # (tools/verified_rounds.py).
-    #
-    # Round-8 second sitting added twelve never-verified queries to the
-    # window: the trained-quantizer tier (cluster_kmeans / _assign,
-    # dedup_embedding_trained, sim_topk_ivf_trained,
-    # dedup_semantic_trained), the HLL sketch, the Z-order audit, the
-    # runtime-bloom join, co-purchase mining, the exact covariance, plus
-    # the early-round span/bloom pair — all inside positions 1-50.
+    # entries against the DuckDB oracles. Round-9 window (VERDICT r08
+    # tasks 1 and 3): first the two queries whose CODE changed this round
+    # (the embedding_covariance sign-of-zero fix - the round-8 red row -
+    # and the HLL exact-shiftright swap), then the three new round-9
+    # queries (sampled-fit quantizer composition, PageRank, histogram
+    # quantile sketch), then ALL 38 rows whose last green driver check
+    # was r05 (the oldest evidence after the r08 rotation), back-filled
+    # to the window edge with the oldest r07 rows. Everything r07/r08-
+    # verified and untouched holds the tail. Per-query recency is
+    # auto-audited in VERIFIED.md (tools/verified_rounds.py).
     return {
-        # -- code changed this round (rotation rule: must re-verify)
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_srp": q_dedup_srp,
-        "dedup_srp_scaled": q_dedup_srp_scaled,
-        "dedup_spans": q_dedup_spans,
-        "dedup_spans_apply": q_dedup_spans_apply,
-        # -- new this round (ADVICE r07: occurrence-rule span detection;
-        #    bloom decontamination tier)
-        "dedup_spans_intradoc": q_dedup_spans_intradoc,
-        "contamination_bloom": q_contamination_bloom,
-        # -- new this round (trained coarse quantizer: kills the fixed-k
-        #    quantizer assumption the r07 verdict flagged at its root;
-        #    HLL completes the sketch family beside CMS)
-        "hybrid_search": q_hybrid_search,
-        "dedup_semantic_trained": q_dedup_semantic_trained,
+        # -- code changed this round (rotation rule: the covariance fix
+        #    re-enters after its r08 red row; the HLL shiftright swap)
         "embedding_covariance": q_embedding_covariance,
-        "copurchase": q_copurchase,
-        "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
-        "urgent_revenue": q_urgent_revenue,
-        "events_zorder": q_events_zorder,
         "events_distinct_hll": q_events_distinct_hll,
-        "cluster_kmeans": q_cluster_kmeans,
-        "cluster_kmeans_assign": q_cluster_kmeans_assign,
-        "dedup_embedding_trained": q_dedup_embedding_trained,
-        "sim_topk_pq": q_sim_topk_pq,
-        "pq_recall_report": q_pq_recall_report,
-        "product_stats_approx": q_product_stats_approx,
-        "dedup_minhash_xx": q_dedup_minhash_xx,
-        # -- last driver-checked in r04 (the stale 17 of last round's
-        #    positions 51-68; dedup_embedding leads the block above)
-        "product_stats": q_product_stats,
-        "dedup_exact": q_dedup_exact,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_vectorized": q_sim_topk_vectorized,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "text_token_stats": q_text_token_stats,
-        "text_corpus_summary": q_text_corpus_summary,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "session_stats": q_session_stats,
-        "mm_decode": q_mm_decode,
-        "asof_last_order": q_asof_last_order,
-        "gmv_rollup": q_gmv_rollup,
-        "funnel_windowed": q_funnel_windowed,
-        # -- back-fill: oldest untouched evidence (r05)
-        "daily_anomalies": q_daily_anomalies,
-        "daily_anomalies_dense": q_daily_anomalies_dense,
-        "order_value_percentiles_approx": q_order_value_percentiles_approx,
-        "ann_recall_report": q_ann_recall_report,
-        "minhash_pr_report": q_minhash_pr_report,
-        "mm_features": q_mm_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize": q_mm_resize,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_fingerprint": q_text_fingerprint,
+        # -- new this round (sampled-fit trained tier; PageRank link
+        #    analysis; mergeable histogram quantile sketch)
+        "cluster_kmeans_sampled": q_cluster_kmeans_sampled,
+        "pagerank": q_pagerank,
+        "value_quantiles_hist": q_value_quantiles_hist,
+        # -- the 38 rows whose last driver check was r05 (oldest
+        #    evidence after the r08 rotation; VERDICT r08 task 3)
         "a1_project_orders": q_a1_project_orders,
         "a2_filter_events": q_a2_filter_events,
         "a3_explode_words": q_a3_explode_words,
@@ -1256,8 +1248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_payment_wide": q_a8_payment_wide,
         "a9_order_wide": q_a9_order_wide,
         "a9_product_wide": q_a9_product_wide,
-        # ---- end of the 50-query verified window ----
-        # -- r05 evidence, untouched, next in the rotation queue
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "order_prorate": q_order_prorate,
@@ -1284,7 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_state": q_scd2_order_state,
         "a8_interval_join_outer": q_a8_interval_join_outer,
         "sim_topk_ivf_nprobe": q_sim_topk_ivf_nprobe,
-        # -- freshest evidence (driver-verified green in r07)
+        # -- back-fill to the window edge: oldest r07 evidence
         "event_freq_cms": q_event_freq_cms,
         "corpus_pipeline_v4": q_corpus_pipeline_v4,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1292,6 +1282,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,
+        # ---- end of the 50-query verified window ----
+        # -- r08-verified, untouched
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_srp": q_dedup_srp,
+        "dedup_srp_scaled": q_dedup_srp_scaled,
+        "dedup_spans": q_dedup_spans,
+        "dedup_spans_apply": q_dedup_spans_apply,
+        "dedup_spans_intradoc": q_dedup_spans_intradoc,
+        "contamination_bloom": q_contamination_bloom,
+        "hybrid_search": q_hybrid_search,
+        "dedup_semantic_trained": q_dedup_semantic_trained,
+        "copurchase": q_copurchase,
+        "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
+        "urgent_revenue": q_urgent_revenue,
+        "events_zorder": q_events_zorder,
+        "cluster_kmeans": q_cluster_kmeans,
+        "cluster_kmeans_assign": q_cluster_kmeans_assign,
+        "dedup_embedding_trained": q_dedup_embedding_trained,
+        "sim_topk_pq": q_sim_topk_pq,
+        "pq_recall_report": q_pq_recall_report,
+        "product_stats_approx": q_product_stats_approx,
+        "dedup_minhash_xx": q_dedup_minhash_xx,
+        "product_stats": q_product_stats,
+        "dedup_exact": q_dedup_exact,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_vectorized": q_sim_topk_vectorized,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_corpus_summary": q_text_corpus_summary,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "session_stats": q_session_stats,
+        "mm_decode": q_mm_decode,
+        "asof_last_order": q_asof_last_order,
+        "gmv_rollup": q_gmv_rollup,
+        "funnel_windowed": q_funnel_windowed,
+        "daily_anomalies": q_daily_anomalies,
+        "daily_anomalies_dense": q_daily_anomalies_dense,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
+        "ann_recall_report": q_ann_recall_report,
+        "minhash_pr_report": q_minhash_pr_report,
+        "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        # -- r07-verified, untouched
         "text_gopher": q_text_gopher,
         "text_logprob": q_text_logprob,
         "dedup_chunks": q_dedup_chunks,
@@ -1669,31 +1710,48 @@ def _hll_sql() -> str:
 _KM_N_ITER = 3  # similarity.kmeans_fit default, unrolled in the oracle
 
 
-def _kmeans_ctes(n_iter: int = _KM_N_ITER, target: int = 100) -> str:
+def _kmeans_ctes(
+    n_iter: int = _KM_N_ITER, target: int = 100, sample_mod: int | None = None
+) -> str:
     """The k-means fit as SQL CTEs — Lloyd's unrolled, one (dist, assign,
     per-dim-mean, centroid) block per iteration, all arithmetic the same
     exact int64 the operator uses so every intermediate is bit-identical.
     k regenerated from COUNT(*) exactly as similarity.kmeans_auto_k does,
     so the auto-k adaptivity is itself oracle-verified (the same
     discipline as _srp_sql_adaptive). `a{n_iter+1}` is the serving
-    assignment against the final centroids."""
+    assignment against the final centroids.
+
+    `sample_mod` replays similarity.kmeans_fit_sampled: the n_iter
+    training passes run over the hash-membership sample (md5('kms:' ||
+    vec_id) mod sample_mod = 0) while k stays derived from the FULL
+    count and the serving pass covers the full collection — the sampled
+    FIT is itself oracle-verified, not just its use."""
+    train = "tr" if sample_mod else "q"
     parts = [
         ("q AS (SELECT vec_id, list_transform(embedding, "
          "v -> CAST(round(v::DOUBLE * 1000) AS BIGINT)) AS qv FROM embeddings)"),
         (f"kk AS (SELECT LEAST(256, GREATEST(2, CAST(ceil(COUNT(*) / {target}.0)"
          " AS BIGINT))) AS k FROM q)"),
-        ("seeds AS (SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) - 1"
+    ]
+    if sample_mod:
+        parts.append(
+            "tr AS (SELECT vec_id, qv FROM q WHERE "
+            f"('0x'||substr(md5('kms:'||vec_id),1,15))::BIGINT % {sample_mod} = 0)"
+        )
+    parts += [
+        (f"seeds AS (SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) - 1"
          " AS cid FROM (SELECT vec_id, qv, "
-         "('0x'||substr(md5('km:'||vec_id),1,15))::BIGINT AS h FROM q) "
+         f"('0x'||substr(md5('km:'||vec_id),1,15))::BIGINT AS h FROM {train}) "
          "QUALIFY row_number() OVER (ORDER BY h, vec_id) <= (SELECT k FROM kk))"),
         "cent0 AS (SELECT cid, qv AS cent FROM seeds)",
     ]
     for i in range(1, n_iter + 2):  # +1 extra assignment = the serving pass
+        src = train if i <= n_iter else "q"
         parts += [
             (f"d{i} AS (SELECT v.vec_id, v.qv, c.cid, "
              "list_sum(list_transform(range(1, len(v.qv)+1), "
              "j -> (v.qv[j]-c.cent[j])*(v.qv[j]-c.cent[j]))) AS d2 "
-             f"FROM q v CROSS JOIN cent{i - 1} c)"),
+             f"FROM {src} v CROSS JOIN cent{i - 1} c)"),
             (f"a{i} AS (SELECT vec_id, qv, cid, d2 FROM d{i} QUALIFY "
              "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)"),
         ]
@@ -1718,6 +1776,88 @@ def _kmeans_fit_sql() -> str:
                      AS cent_l1,
                    c.cent[1]::BIGINT AS cent_d0
             FROM cent{n} c JOIN pop p USING (cid)"""
+
+
+def _histq_sql(n_bins: int = 256, pcts: tuple[int, ...] = (50, 90, 99)) -> str:
+    """relational.histogram_quantile_report twin: same integer binning
+    (`//` = Spark `div`), same sum-merged '__all__' counters, same
+    100*cum >= n*p rank rule — every emitted edge an exact integer."""
+    sel_cols = ", ".join(
+        f"MIN(CASE WHEN 100 * cum >= n * {p} THEN bin END) AS b{p}" for p in pcts
+    )
+    out_cols = ", ".join(
+        f"CAST(lo + (b{p} * (hi - lo + 1)) // {n_bins} AS BIGINT) AS q{p}_edge"
+        for p in pcts
+    )
+    return f"""
+            WITH base AS (SELECT event_type AS scope,
+                                 CAST(round(value::DOUBLE * 1000) AS BIGINT) AS q
+                          FROM events),
+            bounds AS (SELECT MIN(q) AS lo, MAX(q) AS hi FROM base),
+            binned AS (SELECT scope, ((q - lo) * {n_bins}) // (hi - lo + 1) AS bin
+                       FROM base, bounds),
+            pt AS (SELECT scope, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+            counters AS (SELECT * FROM pt
+                         UNION ALL
+                         SELECT '__all__', bin, SUM(c) FROM pt GROUP BY 2),
+            cum AS (SELECT scope, bin, c,
+                           SUM(c) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+                           SUM(c) OVER (PARTITION BY scope) AS n
+                    FROM counters),
+            sel AS (SELECT scope, n, {sel_cols} FROM cum GROUP BY 1, 2)
+            SELECT scope, CAST(n AS BIGINT) AS n, {out_cols}
+            FROM sel, bounds"""
+
+
+def _pagerank_sql(
+    n_iter: int = 5, min_support: int = 2, max_basket: int = 64
+) -> str:
+    """analytics.pagerank unrolled: the co-purchase edge build, then one
+    (contrib, rank) CTE pair per Jacobi step — every step pure int64
+    with `//` integer division, the exact twin of Spark's `div`."""
+    scale, base = 1_000_000, (15 * 1_000_000) // 100
+    parts = [
+        ("items AS (SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT "
+         "l_orderkey, l_partkey, COUNT(*) OVER (PARTITION BY l_orderkey) "
+         "AS basket FROM (SELECT DISTINCT l_orderkey, l_partkey FROM "
+         f"lineitem)) WHERE basket <= {max_basket})"),
+        ("p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM items a "
+         "JOIN items b ON a.l_orderkey = b.l_orderkey AND "
+         "a.l_partkey < b.l_partkey "
+         f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_support})"),
+        "edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p)",
+        "deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS pr FROM deg)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts += [
+            (f"c{i} AS (SELECT e.dst AS node, SUM(r.pr // d.degree) AS s "
+             f"FROM edges e JOIN r{i - 1} r ON e.src = r.node "
+             "JOIN deg d ON e.src = d.src GROUP BY 1)"),
+            (f"r{i} AS (SELECT d.src AS node, CAST({base} + "
+             "(COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS pr "
+             f"FROM deg d LEFT JOIN c{i} c ON d.src = c.node)"),
+        ]
+    ctes = ",\n            ".join(parts)
+    return f"""
+            WITH {ctes}
+            SELECT d.src::BIGINT AS part_id, d.degree::BIGINT AS degree,
+                   r.pr::BIGINT AS pr_rank
+            FROM deg d JOIN r{n_iter} r ON d.src = r.node"""
+
+
+def _kmeans_sampled_sql(sample_mod: int = 4) -> str:
+    n = _KM_N_ITER
+    return f"""
+            WITH {_kmeans_ctes(sample_mod=sample_mod)},
+            cells AS (SELECT cid, COUNT(*) AS n, SUM(d2) AS d2_sum
+                      FROM a{n + 1} GROUP BY 1)
+            SELECT p.cid::BIGINT AS cid, p.n::BIGINT AS n,
+                   CAST(p.d2_sum AS BIGINT) AS d2_sum,
+                   CAST(list_sum(list_transform(c.cent, x -> abs(x))) AS BIGINT)
+                     AS cent_l1,
+                   c.cent[1]::BIGINT AS cent_d0
+            FROM cent{n} c JOIN cells p USING (cid)"""
 
 
 def _kmeans_assign_sql() -> str:
@@ -2626,6 +2766,9 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_hll": _hll_sql(),
         "cluster_kmeans": _kmeans_fit_sql(),
         "cluster_kmeans_assign": _kmeans_assign_sql(),
+        "cluster_kmeans_sampled": _kmeans_sampled_sql(),
+        "pagerank": _pagerank_sql(),
+        "value_quantiles_hist": _histq_sql(),
         "dedup_embedding_trained": _dedup_trained_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_chunks": """

@@ -306,3 +306,111 @@ def copurchase_pairs(
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph (iterative link analysis)
+# ---------------------------------------------------------------------------
+PR_SCALE = 1_000_000  # rank mass per node, int64 fixed-point
+PR_DAMPING_PCT = 85  # d = 0.85 as an integer percentage
+
+
+def pagerank(
+    lineitem: DataFrame,
+    n_iter: int = 5,
+    min_support: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """PageRank over the co-purchase part graph — the iterative
+    link-analysis member of the analytics family (CC closure finds
+    components; PageRank ranks WITHIN them), and the classic quality
+    prior a web-scale training corpus weights documents by (Page et al.
+    1999; Common Crawl ranks hosts the same way). Here the graph is the
+    one this engine already mines: parts are nodes, co-purchased pairs
+    (support-gated, basket-capped like copurchase_pairs) are undirected
+    edges, so every node has degree >= 1 and there is no dangling mass.
+
+    Arithmetic contract: ranks are int64 fixed-point (PR_SCALE mass per
+    node), each Jacobi step is
+
+        rank'(v) = floor(15 * SCALE / 100)
+                   + (85 * sum over in-edges of (rank(u) div deg(u))) div 100
+
+    with `div` EXACT integer division in both engines (Spark `div`,
+    DuckDB `//`) — no float enters the loop, so the fixed-point is
+    bit-reproducible by the oracle's unrolled CTEs at any partitioning.
+    Overflow valve: inbound sums are bounded by total mass ~ n * SCALE,
+    so bigint holds to ~9e12 graph nodes (document-scale corpora need
+    SCALE dropped to 10^3, same discipline as embedding_gram's valve).
+
+    Scale posture: Pregel's canonical shape — per iteration ONE shuffle
+    join of the rank table against edges co-partitioned on src and ONE
+    (dst)-keyed aggregate with map-side partial sums; edges and degrees
+    are built once and reused. n_iter is fixed (5), so the plan is a
+    bounded chain; per-iteration localCheckpoint cuts the lineage
+    cascade exactly as kmeans_fit's does (without it, iteration i
+    re-runs the i-1 joins at every reference — job count quadratic in
+    n_iter). Returns (part_id, degree, pr_rank) — all exact integers.
+    """
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "basket", F.count("*").over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("basket") <= max_basket)
+        .drop("basket")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    # edges carry their source degree so the loop joins ONCE per step
+    esrc = edges.join(deg, "src").localCheckpoint(eager=True)
+    base = (15 * PR_SCALE) // 100
+    rank = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            esrc.join(rank, esrc.src == rank.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank div degree").cast("bigint").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"(coalesce(s, CAST(0 AS BIGINT)) * {PR_DAMPING_PCT})"
+                        " div 100"
+                    ).cast("bigint")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        deg.select(F.col("src").alias("part_id"), "degree")
+        .join(rank, F.col("part_id") == F.col("node"))
+        .select("part_id", "degree", F.col("rank").alias("pr_rank"))
+    )

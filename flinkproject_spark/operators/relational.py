@@ -626,3 +626,89 @@ def prorate_order_amount(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         (split.cast("double") / 100.0).alias("split_total_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram -> quantile sketch
+# ---------------------------------------------------------------------------
+HISTQ_BINS = 256
+HISTQ_PCTS = (50, 90, 99)
+
+
+def histogram_quantile_report(
+    events: DataFrame,
+    n_bins: int = HISTQ_BINS,
+    pcts: tuple[int, ...] = HISTQ_PCTS,
+) -> DataFrame:
+    """Fixed-bin histogram quantiles — the QUANTILE member of the sketch
+    family built on the same exactness discipline as its siblings (CMS
+    bounds frequencies, HLL estimates distincts, MinHash similarity):
+    values quantized round(v*1000) -> int64, binned against GLOBAL edges
+    by pure integer arithmetic (`div`), so counters, cumulative ranks
+    AND the reported quantile edges are bit-reproduced by the oracle —
+    the estimate is value-verified, not tolerance-certified (contrast
+    order_value_percentiles_approx, whose GK sketch is opaque and only
+    rank-error-CERTIFIED).
+
+    Mergeability is the point: with shared edges the counters merge by
+    ADDITION across partitions, micro-batches, or scopes — the '__all__'
+    row is computed from the SUM-merge of the per-type counters, never
+    from raw rows, so merge-equals-direct is exercised by construction
+    (the same property HLL proves with max-merge). n_bins counters per
+    scope whatever the input volume.
+
+    Quantile rule: q_p = lower edge of the smallest bin whose cumulative
+    count reaches ceil(p*n/100), compared as 100*cum >= n*p in integers.
+    Edges are emitted in QUANTIZED units (bigint, value*1000): the
+    sketch's resolution is span/n_bins, and reporting the exact integer
+    edge keeps the cross-engine contract float-free end to end.
+
+    Scale posture: one 1-row (min, max) aggregate broadcast back (the
+    bounded-metadata discipline), one narrow projection, ONE groupBy
+    over (scope, bin) with map-side partials — at most scopes*n_bins
+    rows ever shuffle; the quantile selection is a window over those
+    counter rows only. Two passes over the data (bounds, counts) is the
+    textbook trade for data-independent edges; a streaming deployment
+    pins edges from history and drops to one pass."""
+    from pyspark.sql import Window
+
+    q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
+    base = events.select(F.col("event_type").alias("scope"), q.alias("q"))
+    bounds = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "scope", F.expr(f"((q - lo) * {n_bins}) div (hi - lo + 1)").alias("bin")
+    )
+    per_type = binned.groupBy("scope", "bin").agg(F.count("*").alias("c"))
+    merged = (
+        per_type.groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit("__all__").alias("scope"), "bin", "c")
+    )
+    counters = per_type.unionByName(merged)
+    w = (
+        Window.partitionBy("scope")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counters.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("scope"))
+    )
+    sel = cum.groupBy("scope", "n").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("bin"))
+            ).alias(f"b{p}")
+            for p in pcts
+        ]
+    )
+    out = sel.crossJoin(F.broadcast(bounds)).select(
+        "scope",
+        "n",
+        *[
+            F.expr(f"lo + (b{p} * (hi - lo + 1)) div {n_bins}")
+            .cast("bigint")
+            .alias(f"q{p}_edge")
+            for p in pcts
+        ],
+    )
+    return out

@@ -870,6 +870,42 @@ def kmeans_fit(
     return cent.join(pops, "cid")
 
 
+def kmeans_fit_sampled(
+    embeddings: DataFrame,
+    sample_mod: int = 4,
+    k: int | None = None,
+    n_iter: int = 3,
+    target_cell_rows: int = KM_TARGET_CELL_ROWS,
+) -> DataFrame:
+    """The 100 TB production shape of the trainer: fit on a DETERMINISTIC
+    hash sample of the corpus with k derived from the FULL count, then
+    :func:`kmeans_assign` the corpus in one pass against the (persisted)
+    centroids. Cell-boundary statistics converge long before the full
+    corpus, so the n_iter Lloyd passes touch n/sample_mod rows while k —
+    the knob that pins E[cell] at target_cell_rows — still tracks the
+    real corpus size; training cost drops by sample_mod while the
+    serving assignment stays the same single pass.
+
+    The sample is membership-by-hash (md5-hash64('kms:' || vec_id) mod
+    sample_mod == 0), not a rate: reproducible across engines, executors
+    and re-runs, so the FIT ITSELF remains oracle-replayable — the same
+    discipline as corpus_sample. Returns the (cid, cent, n) centroid
+    table, where n counts SAMPLE members (the fit's own assignment);
+    persist it with write.parquet and hand it to kmeans_assign.
+
+    Reference parity: no trainer in the reference (its IVF analog uses
+    precomputed labels); sampled Lloyd training per Jegou et al. 2011
+    (IVFADC coarse quantizers are conventionally trained on a corpus
+    subsample)."""
+    from flinkproject_spark import functions as K
+
+    if k is None:
+        k = kmeans_auto_k(embeddings.count(), target_cell_rows)
+    h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
+    sample = embeddings.where(F.pmod(h, F.lit(sample_mod)) == 0)
+    return kmeans_fit(sample, k=k, n_iter=n_iter)
+
+
 def kmeans_assign(
     embeddings: DataFrame, centroids: DataFrame | None = None, **fit_kwargs
 ) -> DataFrame:

@@ -2762,6 +2762,33 @@ def test_kmeans_assign_reuses_persisted_centroids(tables, tmp_path):
     assert inline == served
 
 
+def test_kmeans_sampled_fit_persist_assign_composition(tables, tmp_path):
+    """The documented 100 TB shape end-to-end: sample-train (k from the
+    FULL count) -> persist centroids -> one-pass full-corpus assign.
+    Pins (a) persisted-vs-inline parity, (b) k tracking the full corpus
+    not the sample, (c) assignment quality: sampled-fit cells keep the
+    same bound the full fit guarantees (max cell near the target), and
+    the partition property (every vector in exactly one cell) holds."""
+    emb = tables["embeddings"]
+    n = emb.count()
+    fit = similarity.kmeans_fit_sampled(emb, sample_mod=4)
+    # k derives from the FULL count even though training saw ~n/4 rows
+    assert fit.count() == similarity.kmeans_auto_k(n)
+    path = str(tmp_path / "sampled_centroids")
+    fit.write.parquet(path)
+    stored = emb.sparkSession.read.parquet(path)
+    inline = similarity.kmeans_assign(emb, centroids=fit).orderBy("vec_id").collect()
+    served = similarity.kmeans_assign(emb, centroids=stored).orderBy("vec_id").collect()
+    assert inline == served
+    assert len(served) == n
+    assert len({r.vec_id for r in served}) == n
+    # sample-trained cells still bound per-cell work like the full fit
+    from collections import Counter
+
+    top = max(Counter(r.cid for r in served).values())
+    assert top <= 4 * similarity.KM_TARGET_CELL_ROWS
+
+
 def test_kmeans_trained_cells_bound_near_dup_work(tables):
     """The scale property the fixed 10-label quantizer lacked: with auto-k,
     max cell population stays near the target independent of corpus size,
@@ -2941,6 +2968,104 @@ def test_copurchase_hand_case_and_basket_gate(spark):
     assert r.lift == 1.0  # 2*3/(3*2)
     # no pair from the dropped basket survives
     assert not any(a >= 1000 for a, _ in got)
+
+
+# --- histogram quantile sketch (round 9) -------------------------------------
+
+def test_histogram_quantiles_match_independent_replay(tables):
+    """Full independent replay in Python: same quantization, binning,
+    sum-merge and integer rank rule — every emitted edge must match, and
+    the '__all__' row (built from MERGED counters) must equal the direct
+    histogram over the ungrouped rows (merge-equals-direct)."""
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    ev = tables["events"]
+    got = {
+        r.scope: r
+        for r in relational.histogram_quantile_report(ev).collect()
+    }
+    vals = [
+        (r.event_type, int(Decimal(repr(r.value * 1000)).quantize(0, ROUND_HALF_UP)))
+        for r in ev.select("event_type", "value").collect()
+    ]
+    qs = [q for _, q in vals]
+    lo, hi = min(qs), max(qs)
+    span, nb = hi - lo + 1, relational.HISTQ_BINS
+
+    def replay(pairs):
+        hist = Counter(((q - lo) * nb) // span for q in pairs)
+        n = sum(hist.values())
+        out = {"n": n}
+        cum = 0
+        want = {p: None for p in relational.HISTQ_PCTS}
+        for b in sorted(hist):
+            cum += hist[b]
+            for p in relational.HISTQ_PCTS:
+                if want[p] is None and 100 * cum >= n * p:
+                    want[p] = lo + (b * span) // nb
+        out.update({f"q{p}_edge": want[p] for p in relational.HISTQ_PCTS})
+        return out
+
+    scopes = {s for s, _ in vals} | {"__all__"}
+    assert set(got) == scopes
+    for s in scopes:
+        sub = [q for t, q in vals if s == "__all__" or t == s]
+        exp = replay(sub)
+        r = got[s]
+        assert r.n == exp["n"], s
+        for p in relational.HISTQ_PCTS:
+            assert getattr(r, f"q{p}_edge") == exp[f"q{p}_edge"], (s, p)
+
+
+def test_histogram_quantiles_partition_invariant(tables):
+    ev = tables["events"]
+    a = relational.histogram_quantile_report(ev).orderBy("scope").collect()
+    b = (
+        relational.histogram_quantile_report(ev.repartition(13))
+        .orderBy("scope")
+        .collect()
+    )
+    assert a == b  # integer counters merge by addition: layout-invariant
+
+
+# --- PageRank over the co-purchase graph (round 9) ---------------------------
+
+def test_pagerank_triangle_fixed_point(spark):
+    """Hand-checkable graph: three orders each pairing two of parts
+    {10, 20, 30} twice (support gate) -> a triangle, every degree 2.
+    By symmetry all ranks stay equal; the exact int64 recurrence is
+    replayed in pure Python to pin every Jacobi step's value."""
+    from flinkproject_spark.operators import analytics
+
+    rows = []
+    for rep in range(2):  # each co-purchase twice to clear min_support=2
+        for o, (x, y) in enumerate([(10, 20), (20, 30), (10, 30)]):
+            oid = 100 * rep + o
+            rows += [(oid, x), (oid, y)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = analytics.pagerank(li, n_iter=5).orderBy("part_id").collect()
+    assert [r.part_id for r in got] == [10, 20, 30]
+    assert all(r.degree == 2 for r in got)
+    # replay the integer recurrence: rank' = 150000 + (85 * 2*(rank//2)) // 100
+    rank = analytics.PR_SCALE
+    for _ in range(5):
+        rank = 150_000 + (85 * 2 * (rank // 2)) // 100
+    assert all(r.pr_rank == rank for r in got)
+
+
+def test_pagerank_is_partition_invariant_and_bounded(tables):
+    from flinkproject_spark.operators import analytics
+
+    li = tables["lineitem"]
+    a = analytics.pagerank(li).orderBy("part_id").collect()
+    b = analytics.pagerank(li.repartition(17)).orderBy("part_id").collect()
+    assert a == b  # pure int64 arithmetic: layout can't move a bit
+    assert all(r.degree >= 1 for r in a)  # symmetric edges: no dangling mass
+    assert all(r.pr_rank >= 150_000 for r in a)  # the teleport floor
+    # total mass stays within the damped envelope (no mass invented)
+    n = len(a)
+    assert sum(r.pr_rank for r in a) <= n * analytics.PR_SCALE + n * 150_000
 
 
 # --- Gram / covariance / whitening (round 8) -----------------------------------

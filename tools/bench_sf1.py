@@ -102,6 +102,13 @@ HEADLINE = [
     "events_distinct_hll",
     "events_zorder",
     "urgent_revenue",
+    # round-9 additions: the sampled-fit trained tier (the documented
+    # 100 TB shape — hash-sample train, full-corpus assign), PageRank
+    # over the co-purchase graph (5 Jacobi steps, int64 fixed-point),
+    # and the mergeable histogram quantile sketch (scopes*256 counters)
+    "cluster_kmeans_sampled",
+    "pagerank",
+    "value_quantiles_hist",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

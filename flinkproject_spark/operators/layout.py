@@ -59,12 +59,34 @@ def zorder_layout(
     """Write `df` Z-clustered on `cols`: range-partition by the Morton
     key into `n_files` files, sorted within each so row-group stats are
     tight too. Footer min-max stats of EVERY interleaved column become
-    selective — see `file_ranges` for the measured effect."""
+    selective — see `file_ranges` for the measured effect.
+
+    Each column is min-max scaled to the shared `bits` width first (one
+    1-row bounds aggregate broadcast back — bounded metadata), so
+    dimensions with disparate domains interleave at comparable
+    significance. Without this, a 2^27-domain user_id next to a 9-bit
+    day-of-year leaves the key's high bits owned entirely by the wide
+    column and the narrow one never clusters — measured in
+    BENCH_ZORDER.md as day-pruning collapsing to a full 64/64-file scan.
+    (Delta/Iceberg OPTIMIZE ZORDER range-bucket each column for the same
+    reason.) With scaling, bits=8 gives 2^(8d) Z-cells — ample for any
+    realistic n_files — independent of raw column domains."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    )
+    scaled = [
+        F.expr(
+            f"(({c} - __lo_{c}) * {1 << bits}) div (__hi_{c} - __lo_{c} + 1)"
+        )
+        for c in cols
+    ]
     (
-        df.withColumn("zkey", zorder_key(cols, bits))
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("zkey", zorder_key(scaled, bits))
         .repartitionByRange(n_files, "zkey")
         .sortWithinPartitions("zkey")
-        .drop("zkey")
+        .drop("zkey", *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
         .write.mode("overwrite")
         .parquet(path)
     )

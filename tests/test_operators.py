@@ -2887,6 +2887,25 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert layout.files_touched(rz, {"y": 37}) <= 8
 
 
+def test_zorder_layout_scales_disparate_domains(spark, tmp_path):
+    """Regression for the unscaled-Z pitfall BENCH_ZORDER caught: a
+    2^20-domain id interleaved raw next to an 8-bit day leaves the key's
+    high bits owned by the wide column — the narrow one never clusters
+    and its point queries read every file. With min-max scaling, BOTH
+    dimensions prune."""
+    from flinkproject_spark.operators import layout
+
+    df = spark.range(40_000).select(
+        (F.col("id") * 31 % (1 << 20)).alias("uid"),
+        (F.col("id") % 200).alias("day"),
+    )
+    path = str(tmp_path / "z")
+    layout.zorder_layout(df, ["uid", "day"], path, n_files=16, bits=8)
+    rz = layout.file_ranges(path, ["uid", "day"])
+    assert layout.files_touched(rz, {"day": 37}) <= 8  # narrow col prunes
+    assert layout.files_touched(rz, {"uid": 12345}) <= 8  # wide col too
+
+
 # --- runtime bloom-filter join (round 8) --------------------------------------
 
 def test_urgent_revenue_bloom_filter_injects_when_thresholds_allow(spark, tables):

@@ -14,10 +14,12 @@ forces a query to read for:
   - 7-day range       (day BETWEEN D AND D+6)
 
 Probes are deterministic percentile points (10 per metric, p5..p95 of
-each column's actual domain), averaged. Z-order bit width is derived
-from the user_id domain (bits = ceil(log2(max+1))) so the Morton key
-clusters RAW ids — footer min/max on the real predicate columns, no
-folded stand-ins.
+each column's actual domain), averaged. zorder_layout min-max scales
+each column to the shared 8-bit width before interleaving, so the raw
+user_id domain and the ~9-bit day domain cluster at comparable
+significance — footer min/max on the real predicate columns, no folded
+stand-ins. (The unscaled first cut left day pruning at a full 64/64
+scan: the wide column owned every significant key bit.)
 
 Usage: python tools/bench_zorder.py            (sf1; --sf10 adds sf10)
 Env: SPARK_GRAFT_SF1_DIR / SPARK_GRAFT_SF10_DIR (defaults /tmp/spark_graft_*).
@@ -65,8 +67,7 @@ def bench_sf(spark, sf_dir: str, label: str, out: list[str]) -> None:
         "user_id", F.dayofyear(F.to_date("ts")).alias("day"), "value"
     )
     n = ev.count()
-    max_uid = ev.agg(F.max("user_id")).first()[0]
-    bits = max(8, math.ceil(math.log2(max_uid + 1)))
+    bits = 8  # zorder_layout min-max scales each column to this width
     base = f"/tmp/spark_graft_zorder_{label}"
     t0 = time.time()
     (

@@ -53,6 +53,12 @@ BNLJ_ALLOWED = {
     # single-row total-order-count broadcast onto the pair table (the
     # lift denominator) — scalar x data, same shape as corpus_mix
     "copurchase",
+    # r09: the sampled-fit tier shares the trained tier's intended
+    # tiny-x-data Lloyd shapes
+    "cluster_kmeans_sampled",
+    # r09: ONE-row global (min, max) bounds aggregate broadcast onto the
+    # value rows (the histogram's shared bin edges) — scalar x data
+    "value_quantiles_hist",
 }
 
 
@@ -235,6 +241,19 @@ def test_certified_hll_registers_never_shuffle(plans):
     exchanges = [s for s in sections if s.startswith("Exchange")]
     assert len(exchanges) == 1, f"expected 1 exchange, plan has {len(exchanges)}"
     assert "MS[" not in exchanges[0], "HLL register buffers crossing the shuffle"
+
+
+def test_histogram_quantiles_shuffles_counters_not_rows(plans):
+    """value_quantiles_hist (r09): the only data-volume aggregate is the
+    (scope, bin) counter groupBy, which must partial-aggregate map-side —
+    at most scopes*256 counter rows ever cross an exchange; everything
+    after (the '__all__' sum-merge, the cumulative window, the rank
+    selection) runs over counter rows only. Pin partial aggregation and
+    the single-row bounds broadcast (BroadcastNestedLoopJoin of a 1-row
+    aggregate, never a data x data nested loop)."""
+    p = plans["value_quantiles_hist"]
+    assert p.count("HashAggregate") >= 2, "counter groupBy lost partial agg"
+    assert "CartesianProduct" not in p
 
 
 def test_sim_quantize_is_shuffle_free(plans):

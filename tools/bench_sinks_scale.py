@@ -243,6 +243,85 @@ def main() -> None:
             print(f"  hll batch {b}: write {w_wall}s read {r_wall}s "
                   f"registers={n_reg}", flush=True)
         curves["hll"] = hll_rows
+
+        print("Gram sink (write + serving read):", flush=True)
+        emb_full = catalog.load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        gram_writer = sinks.gram_incremental_writer(f"{tmp}/gram")
+        gram_rows = []
+        for b in range(n_batches):
+            batch = emb_full.select(
+                (F.col("vec_id") + F.lit(b * 10_000_000)).alias("vec_id"),
+                "embedding",
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            gram_writer(batch, b)
+            w_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_cells = sinks.read_gram(spark, f"{tmp}/gram").count()
+            r_wall = round(time.perf_counter() - t0, 2)
+            gram_rows.append(
+                dict(batch=b, write_s=w_wall, read_s=r_wall, cells=n_cells)
+            )
+            print(f"  gram batch {b}: write {w_wall}s read {r_wall}s "
+                  f"cells={n_cells}", flush=True)
+        curves["gram"] = gram_rows
+
+        print("k-means assigning sink (stateless serving writes):", flush=True)
+        from flinkproject_spark.operators.similarity import kmeans_fit
+
+        kmeans_fit(emb_full).write.mode("overwrite").parquet(f"{tmp}/centroids")
+        km_writer = sinks.kmeans_assigning_writer(
+            f"{tmp}/centroids", f"{tmp}/assignments"
+        )
+        km_rows = []
+        for b in range(n_batches):
+            batch = emb_full.select(
+                (F.col("vec_id") + F.lit(b * 10_000_000)).alias("vec_id"),
+                "embedding",
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            km_writer(batch, b)
+            w_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_asg = sinks.read_assignments(spark, f"{tmp}/assignments").count()
+            r_wall = round(time.perf_counter() - t0, 2)
+            km_rows.append(
+                dict(batch=b, write_s=w_wall, read_s=r_wall, assignments=n_asg)
+            )
+            print(f"  kmeans batch {b}: write {w_wall}s read {r_wall}s "
+                  f"assignments={n_asg}", flush=True)
+        curves["kmeans"] = km_rows
+
+        print("Z-order compacting sink (append + window rewrite):", flush=True)
+        ev_xy = catalog.load_table(spark, SF_DIR, "events").select(
+            F.col("user_id").alias("x"),
+            F.dayofyear(F.to_date("ts")).alias("y"),
+            "value",
+        )
+        z_writer = sinks.zorder_compacting_writer(
+            f"{tmp}/zsink", ["x", "y"], bits=8, window_batches=4
+        )
+        z_rows = []
+        store = 0
+        for b in range(n_batches):
+            batch = ev_xy.select(
+                (F.col("x") + F.lit(b * 10_000_000)).alias("x"), "y", "value"
+            ).localCheckpoint(eager=True)
+            n_in = batch.count()
+            t0 = time.perf_counter()
+            z_writer(batch, b)
+            w_wall = round(time.perf_counter() - t0, 2)
+            store += n_in
+            compacted = (b + 1) % 4 == 0
+            z_rows.append(
+                dict(batch=b, write_s=w_wall, store_rows=store,
+                     compacted="yes" if compacted else "")
+            )
+            print(f"  zorder batch {b}: write {w_wall}s store={store} "
+                  f"{'(window rewrite)' if compacted else ''}", flush=True)
+        curves["zorder"] = z_rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -379,6 +458,68 @@ def main() -> None:
         " replay needs no batch-id machinery at all, and the serving read"
         " merges at most batches x days x 64 rows whatever the stream"
         " volume.",
+        "",
+        "## Gram sink: exact-covariance deltas vs delta-log growth",
+        "",
+        "| batch | write wall s | serving read wall s | merged cells |",
+        "|---|---|---|---|",
+    ]
+    for r in curves["gram"]:
+        lines.append(
+            f"| {r['batch']} | {r['write_s']} | {r['read_s']} | {r['cells']} |"
+        )
+    lines += [
+        "",
+        f"Gram half-over-half ratios: write"
+        f" **{slope(curves['gram'], 'write_s')}**, read"
+        f" **{slope(curves['gram'], 'read_s')}**. Each trigger appends"
+        " exactly d(d+1)/2 = 2080 exact-integer partial rows independent"
+        " of batch size; partials merge by ADDITION with batch-id dedup"
+        " (the CMS discipline), so the serving read folds batches x 2080"
+        " rows — bounded by trigger count, never stream volume — and the"
+        " merged table feeds whitening_transform at O(d^2) per refresh.",
+        "",
+        "## k-means assigning sink: stateless serving writes vs log growth",
+        "",
+        "| batch | write wall s | serving read wall s | assignments |",
+        "|---|---|---|---|",
+    ]
+    for r in curves["kmeans"]:
+        lines.append(
+            f"| {r['batch']} | {r['write_s']} | {r['read_s']} "
+            f"| {r['assignments']} |"
+        )
+    lines += [
+        "",
+        f"k-means half-over-half ratios: write"
+        f" **{slope(curves['kmeans'], 'write_s')}**, read"
+        f" **{slope(curves['kmeans'], 'read_s')}**. The write side is"
+        " STATELESS per trigger (persisted centroids broadcast, exact"
+        " argmin, append) — flat by construction; the serving read's"
+        " full-row distinct grows with the log and is the one consumers"
+        " snapshot/compact in production (same discipline as the span"
+        " log).",
+        "",
+        "## Z-order compacting sink: fast appends + every-4 window rewrite",
+        "",
+        "| batch | write wall s | store rows | window rewrite |",
+        "|---|---|---|---|",
+    ]
+    for r in curves["zorder"]:
+        lines.append(
+            f"| {r['batch']} | {r['write_s']} | {r['store_rows']} "
+            f"| {r['compacted']} |"
+        )
+    comp = [r["write_s"] for r in curves["zorder"] if r["compacted"]]
+    plain = [r["write_s"] for r in curves["zorder"] if not r["compacted"]]
+    lines += [
+        "",
+        f"Append triggers mean **{round(sum(plain)/len(plain), 2)}s**;"
+        f" window-rewrite triggers mean **{round(sum(comp)/len(comp), 2)}s**"
+        " and do NOT grow with store size (each rewrite clusters its own"
+        " 4-batch window once and never touches it again — compaction is"
+        " O(window), not O(store), so the sawtooth's peaks stay level as"
+        " the store grows: the lakehouse OPTIMIZE-ZORDER discipline).",
         "",
     ]
     with open("/root/repo/BENCH_SINKS_SCALE.md", "w") as f:

@@ -64,15 +64,11 @@ def bulk_batch(emb, b):
 
 def main() -> None:
     sf10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+    src_dir = sf10 if os.path.isdir(sf10) else "/root/testdata/sf0.1"
     spark = get_spark("index-crossover", cpus=16, shuffle_partitions=32)
-    if os.path.isdir(sf10):
-        emb = catalog.load_table(spark, sf10, "embeddings").select(
-            "vec_id", "embedding"
-        )
-    else:
-        emb = catalog.load_table(
-            spark, "/root/testdata/sf0.1", "embeddings"
-        ).select("vec_id", "embedding")
+    emb = catalog.load_table(spark, src_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
     n_base = emb.count()
     expected = n_base * N_BULK
     bits, bands = srp_recommended_banding(expected, bands=8)
@@ -80,6 +76,16 @@ def main() -> None:
     results: dict[str, dict] = {}
     try:
         for lay, buckets in (("flat", None), ("bucketed", N_BUCKETS)):
+            # fresh session per layout: accumulated broadcast/state debris
+            # from the first run otherwise taxes the second; inputs must
+            # be reloaded on the LIVE session
+            spark.stop()
+            spark = get_spark(
+                "index-crossover", cpus=16, shuffle_partitions=32
+            )
+            emb = catalog.load_table(spark, src_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
             writer = sinks.srp_incremental_writer(
                 f"{tmp}/{lay}_corpus",
                 f"{tmp}/{lay}_sigs",
@@ -110,10 +116,6 @@ def main() -> None:
                 trickle.append(round(time.perf_counter() - t0, 2))
                 print(f"  {lay} trickle {i}: {trickle[-1]}s", flush=True)
             results[lay] = dict(build=build, trickle=trickle, idx_rows=idx_rows)
-            # fresh session between layouts: accumulated state-store and
-            # broadcast debris otherwise taxes the second run
-            spark.stop()
-            spark = get_spark("index-crossover", cpus=16, shuffle_partitions=32)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -366,9 +366,16 @@ def main() -> None:
         " layout (BucketedParquetIndex) pays a constant per-trigger"
         " overhead here (touched-set collect, partitioned listing, the"
         " repartition before partitionBy) that a 10^5-row index cannot"
-        " amortize; its crossover is where a full index scan exceeds"
-        " those constants — 10^8+ rows per executor, the regime the"
-        " at-scale claim concerns. Outputs are identical across layouts"
+        " amortize. CLAIM REVISED (r09): BENCH_INDEX_CROSSOVER.md grew"
+        " the index to 1.8e7 rows and the crossover still did NOT appear"
+        " (trickle flat 4.1 s vs bucketed 5.0 s) — on a single box with"
+        " local disk the flat columnar re-scan stays competitive through"
+        " at least ~2e7 rows. The bucketed layout's honest value is"
+        " bounded worst-case read VOLUME per trigger (O(touched buckets"
+        " / n_buckets) of the store), which matters in the remote-"
+        " object-store regime where bytes moved — not local scan wall —"
+        " is the cost; it is NOT a measured local-wall win at any size"
+        " this sandbox can reach. Outputs are identical across layouts"
         " (parity tests), so the layout is a pure storage decision.",
         "",
         "## Repeated-span detector: flat vs bucketed gram index",

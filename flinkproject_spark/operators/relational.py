@@ -712,3 +712,79 @@ def histogram_quantile_report(
         ],
     )
     return out
+
+
+def histq_bin_deltas(
+    events: DataFrame, lo: int, hi: int, n_bins: int = HISTQ_BINS
+) -> DataFrame:
+    """The histogram sketch's MERGEABLE unit against PINNED global edges:
+    (scope, bin) counts with the same integer binning as
+    histogram_quantile_report, but lo/hi supplied as constants instead of
+    computed in-query — the one-pass streaming form the report docstring
+    promises (edges pinned from history, counters merge by addition).
+    Values outside [lo, hi] clamp into the edge bins (a pinned-edge
+    sketch can only report where mass FELL relative to its domain;
+    re-pin and rebuild when the domain drifts — the same re-train
+    discipline as the k-means centroids)."""
+    lo, hi = int(lo), int(hi)
+    q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
+    clamped = F.greatest(F.lit(lo).cast("bigint"), F.least(F.lit(hi).cast("bigint"), q))
+    base = events.select(F.col("event_type").alias("scope"), clamped.alias("q"))
+    return (
+        base.select(
+            "scope",
+            F.expr(f"((q - {lo}) * {n_bins}) div ({hi} - {lo} + 1)").alias("bin"),
+        )
+        .groupBy("scope", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def histq_quantiles_from_counters(
+    counters: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = HISTQ_BINS,
+    pcts: tuple[int, ...] = HISTQ_PCTS,
+) -> DataFrame:
+    """Quantile report from a MERGED (scope, bin, c) counter table — the
+    serving tail of the streaming histogram sink: the same sum-merged
+    '__all__' row, cumulative window and integer rank rule as
+    histogram_quantile_report, applied to counters that arrived by
+    addition instead of one batch pass. Output schema identical to the
+    batch report, so streaming-vs-batch parity is a row comparison."""
+    from pyspark.sql import Window
+
+    lo, hi = int(lo), int(hi)
+    merged = (
+        counters.groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit("__all__").alias("scope"), "bin", "c")
+    )
+    allc = counters.select("scope", "bin", "c").unionByName(merged)
+    w = (
+        Window.partitionBy("scope")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = allc.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("scope"))
+    )
+    sel = cum.groupBy("scope", "n").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("bin"))
+            ).alias(f"b{p}")
+            for p in pcts
+        ]
+    )
+    return sel.select(
+        "scope",
+        "n",
+        *[
+            F.expr(f"{lo} + (b{p} * ({hi} - {lo} + 1)) div {n_bins}")
+            .cast("bigint")
+            .alias(f"q{p}_edge")
+            for p in pcts
+        ],
+    )

@@ -1197,6 +1197,45 @@ def read_cms_counters(spark, counters_path: str) -> DataFrame:
     return per_batch.groupBy("i", "bucket").agg(F.sum("c").alias("c"))
 
 
+def histq_incremental_writer(
+    counters_path: str, lo: int, hi: int, n_bins: int = 256
+) -> Callable[[DataFrame, int], None]:
+    """Streaming histogram quantile sketch: per micro-batch compute the
+    batch's (scope, bin) counter DELTAS against PINNED global edges
+    (operators.relational.histq_bin_deltas — the report docstring's
+    one-pass form: edges [lo, hi] fixed from history, out-of-domain
+    values clamp into edge bins) and append them batch-id-tagged.
+    Histogram counters merge by ADDITION, so the serving sketch is a sum
+    over deltas — read with :func:`read_histq_counters` (per-batch dedup
+    then sum, the CMS delta-log discipline), then
+    relational.histq_quantiles_from_counters serves the same report
+    shape as the batch operator. Completes the sink family's sketch
+    symmetry: CMS (frequency, add), HLL (cardinality, max), histogram
+    (quantiles, add)."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        from flinkproject_spark.operators.relational import histq_bin_deltas
+
+        histq_bin_deltas(batch, lo, hi, n_bins).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(counters_path)
+
+    return fn
+
+
+def read_histq_counters(spark, counters_path: str) -> DataFrame:
+    """Merged histogram counters from the delta log: collapse replayed
+    batches (identical (batch_id, scope, bin) rows — deterministic
+    recomputation — so MAX of duplicates is the one true delta), then
+    sum across batches. Returns (scope, bin, c), the input shape
+    relational.histq_quantiles_from_counters serves from."""
+    raw = spark.read.parquet(counters_path)
+    per_batch = raw.groupBy("batch_id", "scope", "bin").agg(
+        F.max("c").alias("c")
+    )
+    return per_batch.groupBy("scope", "bin").agg(F.sum("c").alias("c"))
+
+
 def hll_incremental_writer(registers_path: str) -> Callable[[DataFrame, int], None]:
     """Streaming HyperLogLog unique-visitor sketch: per micro-batch compute
     the batch-local (day, register) max-rho rows

@@ -2178,6 +2178,54 @@ def test_hll_incremental_registers_merge_and_survive_replay(spark, sf_dir, tmp_p
     assert got_est == want_est
 
 
+def test_histq_incremental_counters_merge_and_survive_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming histogram sketch == batch report under crash replay:
+    edges pinned from the full table's true bounds, events streamed in
+    three chunks with the first batch re-invoked (retry before
+    checkpoint commit) — the merged counters must serve the exact
+    quantile rows the one-shot batch report emits (no clamping occurs
+    when the pinned edges are the true bounds, so parity is exact)."""
+    from flinkproject_spark.operators import relational
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
+    lo, hi = events.select(F.min(q), F.max(q)).first()
+    chunks = [
+        events.filter(F.pmod("event_id", F.lit(3)) == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    path = str(tmp_path / "histq")
+    fn = sinks.histq_incremental_writer(path, lo, hi)
+    fn(chunks[0], 0)
+    fn(chunks[0], 0)  # replayed batch: identical deltas, dedup-on-read absorbs
+    fn(chunks[1], 1)
+    fn(chunks[2], 2)
+
+    merged = sinks.read_histq_counters(spark, path)
+    got = {
+        r.scope: (r.n, r.q50_edge, r.q90_edge, r.q99_edge)
+        for r in relational.histq_quantiles_from_counters(merged, lo, hi).collect()
+    }
+    want = {
+        r.scope: (r.n, r.q50_edge, r.q90_edge, r.q99_edge)
+        for r in relational.histogram_quantile_report(events).collect()
+    }
+    assert got == want
+    # clamping: a value outside the pinned domain lands in an edge bin,
+    # never a crash or a phantom bin
+    import pyspark.sql.types as T
+
+    schema = chunks[0].schema
+    row = chunks[0].limit(1).collect()[0].asDict()
+    row["value"] = (hi + 1000) / 1000.0 * 2  # beyond the pinned domain
+    extra = spark.createDataFrame([row], schema)
+    fn(extra, 3)
+    bins = sinks.read_histq_counters(spark, path).select("bin").distinct()
+    assert bins.agg(F.max("bin")).first()[0] <= 255
+
+
 def test_kmeans_assigning_writer_matches_batch_and_survives_replay(
     spark, sf_dir, tmp_path
 ):

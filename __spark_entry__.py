@@ -1064,6 +1064,18 @@ def q_copurchase(spark, sf):
     return analytics.copurchase_pairs(_t(spark, sf, "lineitem"))
 
 
+def q_cluster_topics(spark, sf):
+    """Per-trained-cell distinctive vocabulary: kmeans_assign labels docs
+    through the aligned doc_id = vec_id key space, then top-10 tokens per
+    cell by tf-idf against the corpus-wide df — the corpus-cartography
+    report (what IS each cluster about?); the fourth quantizer consumer,
+    and the whole composition including the Lloyd fit is oracle-replayed
+    (text.cluster_topics)."""
+    return text.cluster_topics(
+        _t(spark, sf, "documents"), _t(spark, sf, "embeddings")
+    )
+
+
 def q_pagerank(spark, sf):
     """PageRank over the co-purchase part graph — iterative link analysis
     in int64 fixed-point (rank mass 10^6/node, damping 85/100, 5 Jacobi
@@ -1281,7 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
-        "corpus_mix": q_corpus_mix,
+        # -- new this round, second sitting (fourth quantizer consumer)
+        "cluster_topics": q_cluster_topics,
         # ---- end of the 50-query verified window ----
         # -- r08-verified, untouched
         "dedup_embedding": q_dedup_embedding,
@@ -1333,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_fingerprint": q_text_fingerprint,
         # -- r07-verified, untouched
+        "corpus_mix": q_corpus_mix,
         "text_gopher": q_text_gopher,
         "text_logprob": q_text_logprob,
         "dedup_chunks": q_dedup_chunks,
@@ -1844,6 +1858,39 @@ def _pagerank_sql(
             SELECT d.src::BIGINT AS part_id, d.degree::BIGINT AS degree,
                    r.pr::BIGINT AS pr_rank
             FROM deg d JOIN r{n_iter} r ON d.src = r.node"""
+
+
+def _cluster_topics_sql(k: int = 10) -> str:
+    """text.cluster_topics twin: the unrolled k-means serving assignment
+    labels docs on doc_id = vec_id, then the text_tfidf arithmetic
+    (ln-round-6, token tiebreak) per cell against the corpus df."""
+    n = _KM_N_ITER
+    return f"""
+            WITH {_kmeans_ctes()},
+            asg AS (SELECT vec_id, cid FROM a{n + 1}),
+            docs AS (SELECT d.doc_id, a.cid, d.text
+                     FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+            tok AS (
+              SELECT doc_id, cid, t
+              FROM (SELECT doc_id, cid,
+                           unnest(string_split_regex(text, '\\s+')) AS t
+                    FROM docs)
+              WHERE t <> ''),
+            tf AS (SELECT cid, t, COUNT(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT t, COUNT(*)::BIGINT AS df
+                      FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+            nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM docs),
+            scored AS (
+              SELECT cid, t, tf, df,
+                     round(tf * ln(n_docs / df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (t), nd)
+            SELECT cid::BIGINT AS cid, t AS token, tf, df, tfidf,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                                               ORDER BY tfidf DESC, t) AS rk
+                  FROM scored)
+            WHERE rk <= {k}"""
 
 
 def _kmeans_sampled_sql(sample_mod: int = 4) -> str:
@@ -2769,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_kmeans_sampled": _kmeans_sampled_sql(),
         "pagerank": _pagerank_sql(),
         "value_quantiles_hist": _histq_sql(),
+        "cluster_topics": _cluster_topics_sql(),
         "dedup_embedding_trained": _dedup_trained_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_chunks": """

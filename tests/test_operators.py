@@ -2485,6 +2485,28 @@ def test_tfidf_terms_ranked_and_universal_tokens_zero(tables):
     assert (universal.tfidf == 0).all()
 
 
+def test_cluster_topics_partitions_ranked_vocab_by_trained_cell(tables):
+    """The fourth quantizer consumer: every cell gets a rank-contiguous
+    top-k of tokens that actually occur in that cell's documents; the
+    tf-idf ranking is monotone within a cell; and cells cover exactly
+    the trained assignment's cids. Deterministic: repartitioning the
+    inputs cannot move a row (exact counts + ln-round-6 key + tiebreak)."""
+    docs, emb = tables["documents"], tables["embeddings"]
+    out = text.cluster_topics(docs, emb, k=5).toPandas()
+    from flinkproject_spark.operators import similarity
+
+    cids = {r.cid for r in similarity.kmeans_assign(emb).select("cid").distinct().collect()}
+    assert set(out.cid) <= cids and len(set(out.cid)) == len(cids)
+    for _, g in out.groupby("cid"):
+        s = g.sort_values("rk")
+        assert list(s.rk) == list(range(1, len(s) + 1))
+        assert (s.tfidf.diff().dropna() <= 1e-12).all()
+    again = text.cluster_topics(docs.repartition(7), emb.repartition(5), k=5).toPandas()
+    a = out.sort_values(["cid", "rk"]).reset_index(drop=True)
+    b = again.sort_values(["cid", "rk"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_bigram_logprob_matches_hand_computed_interpolation(spark):
     import math
 

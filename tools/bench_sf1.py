@@ -109,6 +109,7 @@ HEADLINE = [
     "cluster_kmeans_sampled",
     "pagerank",
     "value_quantiles_hist",
+    "cluster_topics",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

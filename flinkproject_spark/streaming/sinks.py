@@ -1564,3 +1564,64 @@ def read_gram(spark, gram_path: str) -> DataFrame:
         F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
         F.sum("sy").alias("sy"), F.sum("n").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# delta-log snapshot compaction (the discipline every sketch reader cites)
+# ---------------------------------------------------------------------------
+SNAPSHOT_BATCH_ID = -1  # foreachBatch ids are >= 0: never collides
+
+
+def compact_delta_log(spark, path: str, key_cols: list[str]) -> None:
+    """Snapshot-compact an additive delta-log sink directory (CMS / Gram /
+    histogram counters): fold the whole log — per-batch replay dedup
+    then sum, exactly what the serving reader does — into ONE snapshot
+    batch tagged SNAPSHOT_BATCH_ID, and rewrite the directory to just
+    that batch. Every value column is summed; `key_cols` are the grouping
+    keys. The readers need no changes: a snapshot row is just another
+    batch delta to them, so reads after compaction cost O(keys), not
+    O(keys x batches) — the periodic-snapshot discipline the reader
+    docstrings promise, implemented.
+
+    MAX-merged logs (HLL registers) use :func:`compact_register_log` —
+    folding by SUM would corrupt a max-semantics log, so the two are
+    separate functions rather than a flag someone can pass wrongly.
+
+    Non-atomic, like BucketedParquetIndex.maybe_compact: the rewrite is
+    write-tmp / delete / rename, and a crash in the window loses the log
+    (the sink's upstream outputs are unaffected; rebuild by re-ingesting
+    or restoring the previous snapshot). Run it OUTSIDE the streaming
+    query's replay window (after checkpoint commit): a batch replayed
+    AFTER its rows were folded into the snapshot would double-count,
+    since the batch-id that dedup-on-read keys on is gone. A
+    transactional table format gives the same fold atomically."""
+    import shutil
+
+    raw = spark.read.parquet(path)
+    vals = [c for c in raw.columns if c not in set(key_cols) | {"batch_id"}]
+    per_batch = raw.groupBy("batch_id", *key_cols).agg(
+        *[F.max(c).alias(c) for c in vals]
+    )
+    merged = per_batch.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in vals]
+    )
+    snap = merged.withColumn("batch_id", F.lit(SNAPSHOT_BATCH_ID))
+    tmp = path.rstrip("/") + "__compacting"
+    snap.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def compact_register_log(spark, path: str) -> None:
+    """Snapshot-compact a MAX-merged register log (HLL): rewrite the
+    directory to the merged (scope, reg, rho) table. Max-merge is
+    idempotent, so there is no batch-id machinery to preserve and even a
+    replay straddling the compaction cannot move the sketch — the only
+    caveat is the same non-atomic rewrite window as compact_delta_log."""
+    import shutil
+
+    merged = read_hll_registers(spark, path)
+    tmp = path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -2226,6 +2226,73 @@ def test_histq_incremental_counters_merge_and_survive_replay(
     assert bins.agg(F.max("bin")).first()[0] <= 255
 
 
+def test_delta_log_compaction_is_invisible_to_readers(spark, sf_dir, tmp_path):
+    """Snapshot compaction folds the log into one batch without moving a
+    value: for each delta sink (CMS sum-merge, histogram sum-merge, Gram
+    sum-merge, HLL max-merge), ingest some batches, compact, ingest MORE
+    batches, and the reader must return exactly what the uncompacted
+    twin returns — while the compacted directory holds one snapshot
+    batch plus only the post-compaction deltas."""
+    events = catalog.load_table(spark, sf_dir, "events")
+    chunks = [
+        events.filter(F.pmod("event_id", F.lit(4)) == i).localCheckpoint(eager=True)
+        for i in range(4)
+    ]
+    # --- CMS (sum-merged, batch-id dedup) ---
+    a, b = str(tmp_path / "cms_a"), str(tmp_path / "cms_b")
+    fa, fb = sinks.cms_incremental_writer(a), sinks.cms_incremental_writer(b)
+    for i in range(2):
+        fa(chunks[i], i), fb(chunks[i], i)
+    sinks.compact_delta_log(spark, a, ["i", "bucket"])
+    for i in range(2, 4):
+        fa(chunks[i], i), fb(chunks[i], i)
+    ga = {(r.i, r.bucket): r.c for r in sinks.read_cms_counters(spark, a).collect()}
+    gb = {(r.i, r.bucket): r.c for r in sinks.read_cms_counters(spark, b).collect()}
+    assert ga == gb
+    ids = {r.batch_id for r in spark.read.parquet(a).select("batch_id").distinct().collect()}
+    assert ids == {sinks.SNAPSHOT_BATCH_ID, 2, 3}
+    # --- histogram quantile counters (sum-merged) ---
+    q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
+    lo, hi = events.select(F.min(q), F.max(q)).first()
+    a, b = str(tmp_path / "hq_a"), str(tmp_path / "hq_b")
+    fa = sinks.histq_incremental_writer(a, lo, hi)
+    fb = sinks.histq_incremental_writer(b, lo, hi)
+    for i in range(2):
+        fa(chunks[i], i), fb(chunks[i], i)
+    sinks.compact_delta_log(spark, a, ["scope", "bin"])
+    for i in range(2, 4):
+        fa(chunks[i], i), fb(chunks[i], i)
+    ga = {(r.scope, r.bin): r.c for r in sinks.read_histq_counters(spark, a).collect()}
+    gb = {(r.scope, r.bin): r.c for r in sinks.read_histq_counters(spark, b).collect()}
+    assert ga == gb
+    # --- Gram partials (sum-merged) ---
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    echunks = [
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    a, b = str(tmp_path / "gr_a"), str(tmp_path / "gr_b")
+    fa, fb = sinks.gram_incremental_writer(a), sinks.gram_incremental_writer(b)
+    fa(echunks[0], 0), fb(echunks[0], 0)
+    fa(echunks[1], 1), fb(echunks[1], 1)
+    sinks.compact_delta_log(spark, a, ["i", "j"])
+    fa(echunks[2], 2), fb(echunks[2], 2)
+    ga = sorted(map(tuple, sinks.read_gram(spark, a).collect()))
+    gb = sorted(map(tuple, sinks.read_gram(spark, b).collect()))
+    assert ga == gb
+    # --- HLL registers (max-merged) ---
+    a, b = str(tmp_path / "hll_a"), str(tmp_path / "hll_b")
+    fa, fb = sinks.hll_incremental_writer(a), sinks.hll_incremental_writer(b)
+    for i in range(2):
+        fa(chunks[i], i), fb(chunks[i], i)
+    sinks.compact_register_log(spark, a)
+    for i in range(2, 4):
+        fa(chunks[i], i), fb(chunks[i], i)
+    ga = {(r.scope, r.reg): r.rho for r in sinks.read_hll_registers(spark, a).collect()}
+    gb = {(r.scope, r.reg): r.rho for r in sinks.read_hll_registers(spark, b).collect()}
+    assert ga == gb
+
+
 def test_kmeans_assigning_writer_matches_batch_and_survives_replay(
     spark, sf_dir, tmp_path
 ):

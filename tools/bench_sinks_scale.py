@@ -244,6 +244,34 @@ def main() -> None:
                   f"registers={n_reg}", flush=True)
         curves["hll"] = hll_rows
 
+        print("histogram-quantile sink (write + serving read):", flush=True)
+        ev_val = catalog.load_table(spark, SF_DIR, "events").select(
+            "event_id", "event_type", "value"
+        )
+        qexp = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast(
+            "bigint"
+        )
+        hq_lo, hq_hi = ev_val.select(F.min(qexp), F.max(qexp)).first()
+        hq_writer = sinks.histq_incremental_writer(f"{tmp}/histq", hq_lo, hq_hi)
+        hq_rows = []
+        for b in range(n_batches):
+            batch = ev_val.select(
+                (F.col("event_id") + F.lit(b * 10_000_000)).alias("event_id"),
+                "event_type", "value",
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            hq_writer(batch, b)
+            w_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            n_ctr = sinks.read_histq_counters(spark, f"{tmp}/histq").count()
+            r_wall = round(time.perf_counter() - t0, 2)
+            hq_rows.append(
+                dict(batch=b, write_s=w_wall, read_s=r_wall, counters=n_ctr)
+            )
+            print(f"  histq batch {b}: write {w_wall}s read {r_wall}s "
+                  f"counters={n_ctr}", flush=True)
+        curves["histq"] = hq_rows
+
         print("Gram sink (write + serving read):", flush=True)
         emb_full = catalog.load_table(spark, SF_DIR, "embeddings").select(
             "vec_id", "embedding"
@@ -465,6 +493,26 @@ def main() -> None:
         " replay needs no batch-id machinery at all, and the serving read"
         " merges at most batches x days x 64 rows whatever the stream"
         " volume.",
+        "",
+        "## Histogram-quantile sink: counter deltas vs delta-log growth",
+        "",
+        "| batch | write wall s | serving read wall s | merged counters |",
+        "|---|---|---|---|",
+    ]
+    for r in curves["histq"]:
+        lines.append(
+            f"| {r['batch']} | {r['write_s']} | {r['read_s']} | {r['counters']} |"
+        )
+    lines += [
+        "",
+        f"Histogram half-over-half ratios: write"
+        f" **{slope(curves['histq'], 'write_s')}**, read"
+        f" **{slope(curves['histq'], 'read_s')}**. Pinned-edge binning"
+        " caps deltas at scopes x 256 counter rows per trigger whatever"
+        " the batch size; counters merge by addition with batch-id dedup"
+        " (the CMS discipline), and `compact_delta_log` folds the log to"
+        " one snapshot batch when reads should stop paying the"
+        " per-batch merge (compaction invisibility pinned by test).",
         "",
         "## Gram sink: exact-covariance deltas vs delta-log growth",
         "",

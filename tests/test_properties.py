@@ -877,3 +877,51 @@ def test_kmeans_assignment_is_argmin_with_cid_tiebreak(spark, sf_dir):
         best = int(d.min())
         assert r.d2 == best
         assert r.cid == int(cids[d == best].min())  # smallest-cid tie-break
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-1000, max_value=1000,
+                      allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_histogram_quantile_edges_bound_true_quantiles(spark, rows):
+    """The histogram sketch's defining guarantee on RANDOM inputs: for
+    every scope and percentile p, the reported edge is the lower edge of
+    the bin holding the true rank-ceil(p*n/100) element — so the true
+    quantile q_true satisfies edge <= q_true < edge + bin_width (in
+    quantized units). Checks the guarantee for the merged '__all__' row
+    too (the sum-merge path)."""
+    import math
+
+    from flinkproject_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, t, float(v)) for i, (t, v) in enumerate(rows)],
+        ["event_id", "event_type", "value"],
+    )
+    out = relational.histogram_quantile_report(df).collect()
+    from decimal import Decimal, ROUND_HALF_UP
+
+    qv = [
+        (t, int(Decimal(repr(float(v) * 1000)).quantize(0, ROUND_HALF_UP)))
+        for t, v in rows
+    ]
+    lo = min(q for _, q in qv)
+    hi = max(q for _, q in qv)
+    span, nb = hi - lo + 1, relational.HISTQ_BINS
+    width = max(1, math.ceil(span / nb))
+    for r in out:
+        sub = sorted(q for t, q in qv if r.scope == "__all__" or t == r.scope)
+        assert r.n == len(sub)
+        for p in relational.HISTQ_PCTS:
+            true_q = sub[math.ceil(p * len(sub) / 100) - 1]
+            edge = getattr(r, f"q{p}_edge")
+            assert edge <= true_q, (r.scope, p, edge, true_q)
+            assert true_q < edge + width + 1, (r.scope, p, edge, true_q, width)

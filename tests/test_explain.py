@@ -59,6 +59,9 @@ BNLJ_ALLOWED = {
     # r09: ONE-row global (min, max) bounds aggregate broadcast onto the
     # value rows (the histogram's shared bin edges) — scalar x data
     "value_quantiles_hist",
+    # r09: the tfidf n_docs 1-row broadcast (same shape as text_tfidf)
+    # plus the trained tier's intended tiny-x-data Lloyd shapes
+    "cluster_topics",
 }
 
 

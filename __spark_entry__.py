@@ -1291,8 +1291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_v4": q_corpus_pipeline_v4,
         "dedup_clusters_star": q_dedup_clusters_star,
         "text_redact_pii": q_text_redact_pii,
-        "contamination": q_contamination,
-        "corpus_shuffle": q_corpus_shuffle,
+        # -- code refactored this round, third sitting (shared tf-idf
+        #    engine and market-basket pair builder): rotation rule
+        "text_tfidf": q_text_tfidf,
+        "copurchase": q_copurchase,
         # -- new this round, second sitting (fourth quantizer consumer)
         "cluster_topics": q_cluster_topics,
         # ---- end of the 50-query verified window ----
@@ -1307,7 +1309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": q_contamination_bloom,
         "hybrid_search": q_hybrid_search,
         "dedup_semantic_trained": q_dedup_semantic_trained,
-        "copurchase": q_copurchase,
         "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
         "urgent_revenue": q_urgent_revenue,
         "events_zorder": q_events_zorder,
@@ -1356,7 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_udtf_lateral": q_a19_udtf_lateral,
         "a19_udtf_subword": q_a19_udtf_subword,
         "corpus_weighted_sample": q_corpus_weighted_sample,
-        "text_tfidf": q_text_tfidf,
+        "contamination": q_contamination,
+        "corpus_shuffle": q_corpus_shuffle,
         "text_bigram_logprob": q_text_bigram_logprob,
         "corpus_profile": q_corpus_profile,
         "cep_followedby": q_cep_followedby,

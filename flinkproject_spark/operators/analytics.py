@@ -232,6 +232,42 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     )
 
 
+def _gated_items(lineitem: DataFrame, max_basket: int) -> DataFrame:
+    """Distinct (order, part) items with pathological baskets dropped
+    OUTRIGHT — the shared first stage of every market-basket consumer
+    (copurchase_pairs' lift table, pagerank's edge build): capping
+    baskets bounds downstream pair volume at O(rows * max_basket)."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "basket", F.count("*").over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("basket") <= max_basket)
+        .drop("basket")
+    )
+
+
+def _supported_pairs(items: DataFrame, min_support: int) -> DataFrame:
+    """Support-gated co-purchase pairs (part_a < part_b, counted over the
+    gated item set) — shared by copurchase_pairs and pagerank so the two
+    operators mine the SAME graph by construction."""
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+
+
 def copurchase_pairs(
     lineitem: DataFrame, min_support: int = 2, max_basket: int = 64
 ) -> DataFrame:
@@ -254,33 +290,12 @@ def copurchase_pairs(
     item set so support and lift are mutually consistent. Ties and
     floats: counts are exact ints, lift rounds to 6 per module contract.
     """
-    items = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .withColumn(
-            "basket", F.count("*").over(Window.partitionBy("l_orderkey"))
-        )
-        .filter(F.col("basket") <= max_basket)
-        .drop("basket")
-    )
+    items = _gated_items(lineitem, max_basket)
     part_ct = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_support)
-    )
+    pairs = _supported_pairs(items, min_support)
     return (
         pairs.join(
             F.broadcast(part_ct.select(F.col("l_partkey").alias("part_a"),
@@ -352,32 +367,20 @@ def pagerank(
     re-runs the i-1 joins at every reference — job count quadratic in
     n_iter). Returns (part_id, degree, pr_rank) — all exact integers.
     """
-    items = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .withColumn(
-            "basket", F.count("*").over(Window.partitionBy("l_orderkey"))
-        )
-        .filter(F.col("basket") <= max_basket)
-        .drop("basket")
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_support)
-    )
+    pairs = _supported_pairs(_gated_items(lineitem, max_basket), min_support)
     edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    # deg is node-sized and referenced every iteration AND in the final
+    # join — checkpoint it once, or each reference re-runs the whole
+    # items self-join lineage (the very cost the basket gate bounds)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
     # edges carry their source degree so the loop joins ONCE per step
     esrc = edges.join(deg, "src").localCheckpoint(eager=True)
     # Join strategy, MEASURED: broadcasting the node-sized rank table

@@ -75,9 +75,17 @@ def zorder_layout(
         *[F.min(c).alias(f"__lo_{c}") for c in cols],
         *[F.max(c).alias(f"__hi_{c}") for c in cols],
     )
+    # divide-first form: bucket width = ceil(span / 2^bits), scaled =
+    # (c - lo) div width. Multiply-first ((c - lo) * 2^bits) overflows
+    # int64 for domains wider than ~2^(63-bits) (hashed/snowflake ids
+    # span the full 2^64) — wrapping negative and silently destroying
+    # the clustering. (c - lo) itself is the one remaining overflow
+    # (span > 2^63 needs both extremes present); width >= span/2^bits
+    # keeps every scaled value in [0, 2^bits).
     scaled = [
         F.expr(
-            f"(({c} - __lo_{c}) * {1 << bits}) div (__hi_{c} - __lo_{c} + 1)"
+            f"({c} - __lo_{c}) div "
+            f"(((__hi_{c} - __lo_{c}) div {1 << bits}) + 1)"
         )
         for c in cols
     ]

@@ -899,6 +899,13 @@ def kmeans_fit_sampled(
     subsample)."""
     from flinkproject_spark import functions as K
 
+    if sample_mod < 1:
+        # pmod(h, 0) is null -> a silent EMPTY sample and an empty
+        # centroid table; fail loudly instead (the whiten_embeddings
+        # misuse-guard discipline)
+        raise ValueError(
+            f"kmeans_fit_sampled: sample_mod must be >= 1, got {sample_mod}"
+        )
     if k is None:
         k = kmeans_auto_k(embeddings.count(), target_cell_rows)
     h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))

@@ -903,6 +903,56 @@ def corpus_zipf(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def _tfidf_topk(docs: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Shared tf-idf engine for the per-group distinctive-vocabulary
+    reports (tfidf_terms groups by source, cluster_topics by trained
+    cell): tf within the group, df over distinct doc-token pairs
+    CORPUS-wide, idf = ln(N_docs / df), ranking key ln-round-6 with
+    token tiebreak. One convention, one implementation — the oracle
+    twins replay this exact arithmetic for both consumers.
+
+    `docs` must carry (doc_id, group_col, text)."""
+    tok = (
+        docs.withColumn("x", tokens("text"))
+        .select("doc_id", group_col, F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = tok.groupBy(group_col, "t").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = (
+        tok.select("doc_id", "t")
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            group_col,
+            "t",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .select(
+            group_col,
+            F.col("t").alias("token"),
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def tfidf_terms(documents: DataFrame, k: int = 10) -> DataFrame:
     """Distinctive vocabulary per source: top-k tokens by tf-idf, the
     classic what-makes-this-domain-different audit (and the feature the
@@ -919,44 +969,8 @@ def tfidf_terms(documents: DataFrame, k: int = 10) -> DataFrame:
     along as a 1-row broadcast. The top-k window partitions by source
     over the SOURCE-VOCAB aggregate (Zipf-small), never over corpus rows.
     """
-    tok = (
-        with_tokens(documents)
-        .select("doc_id", "source", F.explode("x").alias("t"))
-        .filter(F.col("t") != "")
-    )
-    tf = tok.groupBy("source", "t").agg(F.count("*").cast("bigint").alias("tf"))
-    df_ = (
-        tok.select("doc_id", "t")
-        .distinct()
-        .groupBy("t")
-        .agg(F.count("*").cast("bigint").alias("df"))
-    )
-    n_docs = documents.agg(F.count("*").cast("double").alias("n_docs"))
-    scored = (
-        tf.join(df_, "t")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "source",
-            "t",
-            "tf",
-            "df",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
-                "tfidf"
-            ),
-        )
-    )
-    win = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("t"))
-    return (
-        scored.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") <= k)
-        .select(
-            "source",
-            F.col("t").alias("token"),
-            "tf",
-            "df",
-            "tfidf",
-            F.col("rk").cast("bigint").alias("rk"),
-        )
+    return _tfidf_topk(
+        documents.select("doc_id", "source", "text"), "source", k
     )
 
 
@@ -1029,42 +1043,4 @@ def cluster_topics(
     docs = documents.join(
         asg, documents.doc_id == asg.vec_id
     ).select("doc_id", "cid", "text")
-    tok = (
-        docs.withColumn("x", tokens("text"))
-        .select("doc_id", "cid", F.explode("x").alias("t"))
-        .filter(F.col("t") != "")
-    )
-    tf = tok.groupBy("cid", "t").agg(F.count("*").cast("bigint").alias("tf"))
-    df_ = (
-        tok.select("doc_id", "t")
-        .distinct()
-        .groupBy("t")
-        .agg(F.count("*").cast("bigint").alias("df"))
-    )
-    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    scored = (
-        tf.join(df_, "t")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "cid",
-            "t",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
-    )
-    win = Window.partitionBy("cid").orderBy(F.desc("tfidf"), F.asc("t"))
-    return (
-        scored.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") <= k)
-        .select(
-            "cid",
-            F.col("t").alias("token"),
-            "tf",
-            "df",
-            "tfidf",
-            F.col("rk").cast("bigint").alias("rk"),
-        )
-    )
+    return _tfidf_topk(docs, "cid", k)

@@ -2811,6 +2811,13 @@ def test_kmeans_sampled_fit_persist_assign_composition(tables, tmp_path):
     assert top <= 4 * similarity.KM_TARGET_CELL_ROWS
 
 
+def test_kmeans_fit_sampled_rejects_degenerate_mod(tables):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample_mod"):
+        similarity.kmeans_fit_sampled(tables["embeddings"], sample_mod=0)
+
+
 def test_kmeans_trained_cells_bound_near_dup_work(tables):
     """The scale property the fixed 10-label quantizer lacked: with auto-k,
     max cell population stays near the target independent of corpus size,

@@ -366,6 +366,11 @@ def pagerank(
     cascade exactly as kmeans_fit's does (without it, iteration i
     re-runs the i-1 joins at every reference — job count quadratic in
     n_iter). Returns (part_id, degree, pr_rank) — all exact integers.
+
+    Reference parity: the reference has no graph tier (its closest
+    surface is the per-key serving aggregates); this is north-star
+    extension surface. Public formulation per Page/Brin/Motwani/Winograd
+    1999; the iterative shape is Pregel's (Malewicz et al. 2010).
     """
     pairs = _supported_pairs(_gated_items(lineitem, max_basket), min_support)
     edges = pairs.select(

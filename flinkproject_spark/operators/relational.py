@@ -659,6 +659,10 @@ def histogram_quantile_report(
 
     Quantile rule: q_p = lower edge of the smallest bin whose cumulative
     count reaches ceil(p*n/100), compared as 100*cum >= n*p in integers.
+    Reference parity: the reference serves only exact per-key aggregates;
+    this is north-star sketch surface (fixed-bin equi-width histograms
+    are the textbook mergeable quantile structure, cf. Greenwald-Khanna
+    2001 for the rank-error family Spark's approx_percentile implements).
     Edges are emitted in QUANTIZED units (bigint, value*1000): the
     sketch's resolution is span/n_bins, and reporting the exact integer
     edge keeps the cross-engine contract float-free end to end.

@@ -1036,7 +1036,11 @@ def cluster_topics(
     composition — the Lloyd fit INCLUDED — is replayed by the oracle's
     unrolled CTEs. Plan: two corpus-grain token passes (cell-tf, df)
     plus the assignment's mapInPandas argmin; the top-k window runs over
-    the cell-vocab aggregate (Zipf-small), never corpus rows."""
+    the cell-vocab aggregate (Zipf-small), never corpus rows.
+
+    Reference parity: the reference's KeywordStatsApp serves per-keyword
+    stats without any clustering tier; this composition is north-star
+    extension surface (tf-idf per Sparck Jones 1972)."""
     from flinkproject_spark.operators.similarity import kmeans_assign
 
     asg = kmeans_assign(embeddings).select("vec_id", "cid")

@@ -1802,15 +1802,16 @@ def _histq_sql(n_bins: int = 256, pcts: tuple[int, ...] = (50, 90, 99)) -> str:
         f"MIN(CASE WHEN 100 * cum >= n * {p} THEN bin END) AS b{p}" for p in pcts
     )
     out_cols = ", ".join(
-        f"CAST(lo + (b{p} * (hi - lo + 1)) // {n_bins} AS BIGINT) AS q{p}_edge"
+        f"CAST(lo + b{p} * ((hi - lo) // {n_bins} + 1) AS BIGINT) AS q{p}_edge"
         for p in pcts
     )
     return f"""
             WITH base AS (SELECT event_type AS scope,
                                  CAST(round(value::DOUBLE * 1000) AS BIGINT) AS q
-                          FROM events),
+                          FROM events
+                          WHERE value IS NOT NULL),
             bounds AS (SELECT MIN(q) AS lo, MAX(q) AS hi FROM base),
-            binned AS (SELECT scope, ((q - lo) * {n_bins}) // (hi - lo + 1) AS bin
+            binned AS (SELECT scope, (q - lo) // ((hi - lo) // {n_bins} + 1) AS bin
                        FROM base, bounds),
             pt AS (SELECT scope, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
             counters AS (SELECT * FROM pt

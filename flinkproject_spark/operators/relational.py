@@ -658,7 +658,9 @@ def histogram_quantile_report(
     scope whatever the input volume.
 
     Quantile rule: q_p = lower edge of the smallest bin whose cumulative
-    count reaches ceil(p*n/100), compared as 100*cum >= n*p in integers.
+    count reaches ceil(p*n/100), compared as 100*cum >= n*p in integers
+    (the shared :func:`_histq_quantile_select` tail — one copy of the
+    load-bearing rule, also serving histq_quantiles_from_counters).
     Reference parity: the reference serves only exact per-key aggregates;
     this is north-star sketch surface (fixed-bin equi-width histograms
     are the textbook mergeable quantile structure, cf. Greenwald-Khanna
@@ -666,6 +668,14 @@ def histogram_quantile_report(
     Edges are emitted in QUANTIZED units (bigint, value*1000): the
     sketch's resolution is span/n_bins, and reporting the exact integer
     edge keeps the cross-engine contract float-free end to end.
+    Binning is DIVIDE-FIRST — width = (hi-lo) div n_bins + 1, bin =
+    (q-lo) div width — never (q-lo)*n_bins, whose product overflows
+    int64 once the quantized span nears 2^55 (the same valve
+    zorder_layout uses for its bucket scaling). Null values are
+    filtered explicitly before binning so the batch report and the
+    pinned-edge delta path (histq_bin_deltas, where greatest/least
+    would silently clamp a null into the top bin) agree by
+    construction.
 
     Scale posture: one 1-row (min, max) aggregate broadcast back (the
     bounded-metadata discipline), one narrow projection, ONE groupBy
@@ -674,30 +684,58 @@ def histogram_quantile_report(
     counter rows only. Two passes over the data (bounds, counts) is the
     textbook trade for data-independent edges; a streaming deployment
     pins edges from history and drops to one pass."""
-    from pyspark.sql import Window
-
     q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
-    base = events.select(F.col("event_type").alias("scope"), q.alias("q"))
+    base = events.select(F.col("event_type").alias("scope"), q.alias("q")).where(
+        F.col("q").isNotNull()
+    )
     bounds = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
     binned = base.crossJoin(F.broadcast(bounds)).select(
-        "scope", F.expr(f"((q - lo) * {n_bins}) div (hi - lo + 1)").alias("bin")
+        "scope",
+        F.expr(f"(q - lo) div ((hi - lo) div {n_bins} + 1)").alias("bin"),
     )
     per_type = binned.groupBy("scope", "bin").agg(F.count("*").alias("c"))
+    sel = _histq_quantile_select(per_type, pcts)
+    out = sel.crossJoin(F.broadcast(bounds)).select(
+        "scope",
+        "n",
+        *[
+            F.expr(f"lo + b{p} * ((hi - lo) div {n_bins} + 1)")
+            .cast("bigint")
+            .alias(f"q{p}_edge")
+            for p in pcts
+        ],
+    )
+    return out
+
+
+def _histq_quantile_select(counters: DataFrame, pcts: tuple[int, ...]) -> DataFrame:
+    """The histogram sketch's load-bearing quantile rule, factored once
+    for both consumers (batch histogram_quantile_report, streaming-serving
+    histq_quantiles_from_counters): sum-merge the '__all__' scope from the
+    per-scope counters, cumulative-sum per scope in bin order, then select
+    per percentile the SMALLEST bin whose cumulative count reaches
+    ceil(p*n/100) — compared as 100*cum >= n*p in pure integers. Input
+    (scope, bin, c) with unique (scope, bin) rows; output (scope, n,
+    b{p}, ...) with bins still in sketch units (callers own the
+    bin->edge projection because only they know whether lo/hi are
+    in-query aggregates or pinned constants)."""
+    from pyspark.sql import Window
+
     merged = (
-        per_type.groupBy("bin")
+        counters.groupBy("bin")
         .agg(F.sum("c").alias("c"))
         .select(F.lit("__all__").alias("scope"), "bin", "c")
     )
-    counters = per_type.unionByName(merged)
+    allc = counters.select("scope", "bin", "c").unionByName(merged)
     w = (
         Window.partitionBy("scope")
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = counters.withColumn("cum", F.sum("c").over(w)).withColumn(
+    cum = allc.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("scope"))
     )
-    sel = cum.groupBy("scope", "n").agg(
+    return cum.groupBy("scope", "n").agg(
         *[
             F.min(
                 F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("bin"))
@@ -705,17 +743,6 @@ def histogram_quantile_report(
             for p in pcts
         ]
     )
-    out = sel.crossJoin(F.broadcast(bounds)).select(
-        "scope",
-        "n",
-        *[
-            F.expr(f"lo + (b{p} * (hi - lo + 1)) div {n_bins}")
-            .cast("bigint")
-            .alias(f"q{p}_edge")
-            for p in pcts
-        ],
-    )
-    return out
 
 
 def histq_bin_deltas(
@@ -729,15 +756,22 @@ def histq_bin_deltas(
     Values outside [lo, hi] clamp into the edge bins (a pinned-edge
     sketch can only report where mass FELL relative to its domain;
     re-pin and rebuild when the domain drifts — the same re-train
-    discipline as the k-means centroids)."""
+    discipline as the k-means centroids). Null values are dropped
+    BEFORE the clamp — greatest/least skip NULLs, so an unfiltered
+    null would silently land in the top bin while the batch report
+    filters it out; the explicit filter keeps streaming-vs-batch
+    parity on dirty inputs by construction."""
     lo, hi = int(lo), int(hi)
+    width = (hi - lo) // n_bins + 1
     q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
     clamped = F.greatest(F.lit(lo).cast("bigint"), F.least(F.lit(hi).cast("bigint"), q))
-    base = events.select(F.col("event_type").alias("scope"), clamped.alias("q"))
+    base = events.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("scope"), clamped.alias("q")
+    )
     return (
         base.select(
             "scope",
-            F.expr(f"((q - {lo}) * {n_bins}) div ({hi} - {lo} + 1)").alias("bin"),
+            F.expr(f"(q - {lo}) div {width}").alias("bin"),
         )
         .groupBy("scope", "bin")
         .agg(F.count("*").alias("c"))
@@ -756,37 +790,17 @@ def histq_quantiles_from_counters(
     '__all__' row, cumulative window and integer rank rule as
     histogram_quantile_report, applied to counters that arrived by
     addition instead of one batch pass. Output schema identical to the
-    batch report, so streaming-vs-batch parity is a row comparison."""
-    from pyspark.sql import Window
-
+    batch report, so streaming-vs-batch parity is a row comparison
+    (the rank rule itself is the shared :func:`_histq_quantile_select`
+    — one copy, no drift)."""
     lo, hi = int(lo), int(hi)
-    merged = (
-        counters.groupBy("bin")
-        .agg(F.sum("c").alias("c"))
-        .select(F.lit("__all__").alias("scope"), "bin", "c")
-    )
-    allc = counters.select("scope", "bin", "c").unionByName(merged)
-    w = (
-        Window.partitionBy("scope")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = allc.withColumn("cum", F.sum("c").over(w)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy("scope"))
-    )
-    sel = cum.groupBy("scope", "n").agg(
-        *[
-            F.min(
-                F.when(F.col("cum") * 100 >= F.col("n") * p, F.col("bin"))
-            ).alias(f"b{p}")
-            for p in pcts
-        ]
-    )
+    width = (hi - lo) // n_bins + 1
+    sel = _histq_quantile_select(counters, pcts)
     return sel.select(
         "scope",
         "n",
         *[
-            F.expr(f"{lo} + (b{p} * ({hi} - {lo} + 1)) div {n_bins}")
+            (F.col(f"b{p}") * F.lit(width) + F.lit(lo))
             .cast("bigint")
             .alias(f"q{p}_edge")
             for p in pcts

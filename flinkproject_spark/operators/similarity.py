@@ -910,6 +910,17 @@ def kmeans_fit_sampled(
         k = kmeans_auto_k(embeddings.count(), target_cell_rows)
     h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
     sample = embeddings.where(F.pmod(h, F.lit(sample_mod)) == 0)
+    n_sample = sample.count()
+    if n_sample < k:
+        # Lloyd on fewer rows than centroids silently returns < k cells,
+        # quietly breaking the "k tracks the full corpus" contract — fail
+        # loudly (same discipline as the sample_mod guard above); the cost
+        # is one train-time aggregate over the sample, not a serving cost
+        raise ValueError(
+            f"kmeans_fit_sampled: sample holds {n_sample} rows < k={k} "
+            f"(sample_mod={sample_mod} too coarse for this corpus); lower "
+            "sample_mod or pass an explicit k <= the sample size"
+        )
     return kmeans_fit(sample, k=k, n_iter=n_iter)
 
 

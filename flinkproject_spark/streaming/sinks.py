@@ -1599,11 +1599,15 @@ def compact_delta_log(spark, path: str, key_cols: list[str]) -> None:
 
     raw = spark.read.parquet(path)
     vals = [c for c in raw.columns if c not in set(key_cols) | {"batch_id"}]
+    # cast each sum back to the column's ORIGINAL dtype: SUM widens
+    # (int -> bigint, float -> double), and a blanket bigint cast would
+    # silently truncate a future float-valued delta sink at compaction
+    in_type = {f.name: f.dataType for f in raw.schema.fields}
     per_batch = raw.groupBy("batch_id", *key_cols).agg(
         *[F.max(c).alias(c) for c in vals]
     )
     merged = per_batch.groupBy(*key_cols).agg(
-        *[F.sum(c).cast("bigint").alias(c) for c in vals]
+        *[F.sum(c).cast(in_type[c]).alias(c) for c in vals]
     )
     snap = merged.withColumn("batch_id", F.lit(SNAPSHOT_BATCH_ID))
     tmp = path.rstrip("/") + "__compacting"

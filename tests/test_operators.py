@@ -3039,10 +3039,10 @@ def test_histogram_quantiles_match_independent_replay(tables):
     ]
     qs = [q for _, q in vals]
     lo, hi = min(qs), max(qs)
-    span, nb = hi - lo + 1, relational.HISTQ_BINS
+    width = (hi - lo) // relational.HISTQ_BINS + 1  # divide-first, like the operator
 
     def replay(pairs):
-        hist = Counter(((q - lo) * nb) // span for q in pairs)
+        hist = Counter((q - lo) // width for q in pairs)
         n = sum(hist.values())
         out = {"n": n}
         cum = 0
@@ -3051,7 +3051,7 @@ def test_histogram_quantiles_match_independent_replay(tables):
             cum += hist[b]
             for p in relational.HISTQ_PCTS:
                 if want[p] is None and 100 * cum >= n * p:
-                    want[p] = lo + (b * span) // nb
+                    want[p] = lo + b * width
         out.update({f"q{p}_edge": want[p] for p in relational.HISTQ_PCTS})
         return out
 

@@ -915,8 +915,7 @@ def test_histogram_quantile_edges_bound_true_quantiles(spark, rows):
     ]
     lo = min(q for _, q in qv)
     hi = max(q for _, q in qv)
-    span, nb = hi - lo + 1, relational.HISTQ_BINS
-    width = max(1, math.ceil(span / nb))
+    width = (hi - lo) // relational.HISTQ_BINS + 1  # the operator's divide-first width
     for r in out:
         sub = sorted(q for t, q in qv if r.scope == "__all__" or t == r.scope)
         assert r.n == len(sub)

@@ -99,6 +99,42 @@ def probe_noise(spark, qs) -> list[float]:
     return times
 
 
+def _spread_pct(times: list[float]) -> float:
+    return round(100.0 * (max(times) - min(times)) / statistics.median(times), 1)
+
+
+# Quiet-box pre-flight (VERDICT r09 #8): two consecutive rounds needed manual
+# retimes because the box was hammered during recording (probe spreads 50%+).
+# Refuse to START timing until the probe spread is under the gate, waiting
+# out transient load between attempts; if the box never settles, record
+# anyway (the driver needs its one JSON line) but say so in the output —
+# `preflight.passed=false` marks every timing in the run as noise-suspect.
+PREFLIGHT_MAX_SPREAD_PCT = 25.0
+PREFLIGHT_ATTEMPTS = 3
+PREFLIGHT_COOLDOWN_S = 30.0
+
+
+def preflight(spark, qs) -> tuple[dict, list[float]]:
+    """Returns (report, last probe times) — the last attempt's probe doubles
+    as the run's start-of-run noise sample so a clean pre-flight costs no
+    extra probe runs."""
+    attempts: list[float] = []
+    times: list[float] = []
+    for i in range(PREFLIGHT_ATTEMPTS):
+        times = probe_noise(spark, qs)
+        attempts.append(_spread_pct(times))
+        if attempts[-1] <= PREFLIGHT_MAX_SPREAD_PCT:
+            break
+        if i < PREFLIGHT_ATTEMPTS - 1:
+            time.sleep(PREFLIGHT_COOLDOWN_S)
+    report = {
+        "gate_pct": PREFLIGHT_MAX_SPREAD_PCT,
+        "attempt_spreads_pct": attempts,
+        "passed": attempts[-1] <= PREFLIGHT_MAX_SPREAD_PCT,
+    }
+    return report, times
+
+
 def load_prev_bench() -> tuple[str, dict] | None:
     """Latest recorded BENCH_r{N}.json next to this script, for the
     round-over-round comparison. Driver archives hold only a truncated
@@ -201,7 +237,7 @@ def main() -> None:
                  "dedup_exact", "sim_topk_vectorized"):
         materialize(qs[warm](spark, SF_DIR))
 
-    noise_start = probe_noise(spark, qs)
+    preflight_report, noise_start = preflight(spark, qs)
     timings: dict[str, float] = {}
     for name in HEADLINE + [q for q in qs if q not in HEADLINE]:
         reps = []
@@ -248,6 +284,7 @@ def main() -> None:
             "median": round(noise_med, 3),
             "spread_pct": spread_pct,
         },
+        "preflight": preflight_report,
         "vs_prev": vs_prev_summary(timings, spread_pct, retime=_retimer(spark, qs)),
     }
     print(json.dumps(out))

@@ -98,6 +98,59 @@ def salted_join(
     return out.drop(f[SALT]).drop(r[SALT])
 
 
+def hot_customer_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Deliberately SKEWED-key join — the driver-surface proof of the
+    engine's hot-key posture (the #1 scale-killer class; VERDICT r09 #3).
+
+    The fact side remaps ~90% of orders onto ONE hot customer
+    (o_custkey % 10 != 0 -> custkey 1 — deterministic, so the oracle
+    replays the skew exactly); the join to `customer` is merge-HINTED,
+    never broadcast, modeling the 100 TB plan where the customer table
+    scales with the fact side and cannot ship to executors. That leaves a
+    sort-merge join whose hot partition holds ~90% of the fact — exactly
+    the shape AQE's skew-join splitting (on in session.py:
+    spark.sql.adaptive.skewJoin.enabled) splits into threshold-sized
+    sub-partitions at runtime, each joined against a replicated copy of
+    the matching right rows. tests/test_explain.py pins the split
+    actually firing (skew=true in the executed SMJ) under forced
+    thresholds; at test SFs the default 256 MB threshold never binds and
+    the plan is an ordinary SMJ.
+
+    The aggregation after the join deliberately groups by keys UNRELATED
+    to the join key (c_mktsegment, c_nationkey): grouping by the join key
+    would let the HashAggregate reuse the join's output partitioning, and
+    OptimizeSkewedJoin then (correctly) declines to split — splitting
+    would cost an extra exchange (measured: with groupBy(c_custkey) the
+    executed plan stays skew=false under forced thresholds). With
+    independent grouping keys the aggregate exchanges regardless, the
+    split is free, and partial aggregation collapses each split's rows
+    before that exchange. The explicit valves for shapes that MUST keep
+    the join key downstream are forceOptimizeSkewedJoin (pay a tiny
+    partial-agg reshuffle) or salted_join/salted_agg above.
+
+    Output: (c_mktsegment, c_nationkey, n_orders, total_spend) — the hot
+    key's ~90% order volume flows through whichever segment customer 1
+    belongs to, so the skew survives into the values being verified.
+    Reference parity: no skew handling exists in the reference
+    (parallelism 1 — SURVEY §6); this is engine-native scale surface.
+    """
+    hot = orders.withColumn(
+        "cust_hot",
+        F.when(F.col("o_custkey") % 10 != 0, F.lit(1).cast("bigint")).otherwise(
+            F.col("o_custkey").cast("bigint")
+        ),
+    )
+    from flinkproject_spark import functions as K
+
+    j = hot.hint("merge").join(
+        customer, hot["cust_hot"] == customer["c_custkey"], "inner"
+    )
+    return j.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        K.money_sum("o_totalprice").alias("total_spend"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # bucketed co-located joins
 # ---------------------------------------------------------------------------

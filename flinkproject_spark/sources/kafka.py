@@ -84,6 +84,25 @@ def kafka_reader(
     return r
 
 
+def json_value_parser(schema: T.StructType, view_name: str | None = None):
+    """The (value, timestamp) -> typed-columns projection shared by every
+    JSON-over-transport source: from_json on the value payload, flatten,
+    keep the source timestamp, optionally register a temp view. One parse
+    path for the Kafka topic reader AND the socket twin
+    (sources.socket.socket_json_source), so the executable socket test
+    exercises the exact code the broker path would run."""
+
+    def parse(raw: DataFrame) -> DataFrame:
+        df = raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("v"), "timestamp"
+        ).select("v.*", "timestamp")
+        if view_name:
+            df.createOrReplaceTempView(view_name)
+        return df
+
+    return parse
+
+
 def json_topic(
     spark: SparkSession,
     topic: str,
@@ -98,16 +117,7 @@ def json_topic(
     Returns a function of the loaded raw frame so construction stays
     broker-free: `parse(reader.load())`.
     """
-
-    def parse(raw: DataFrame) -> DataFrame:
-        df = raw.select(
-            F.from_json(F.col("value").cast("string"), schema).alias("v"), "timestamp"
-        ).select("v.*", "timestamp")
-        if view_name:
-            df.createOrReplaceTempView(view_name)
-        return df
-
-    return kafka_reader(spark, topic, servers), parse
+    return kafka_reader(spark, topic, servers), json_value_parser(schema, view_name)
 
 
 def kafka_writer_options(

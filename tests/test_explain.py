@@ -62,6 +62,9 @@ BNLJ_ALLOWED = {
     # r09: the tfidf n_docs 1-row broadcast (same shape as text_tfidf)
     # plus the trained tier's intended tiny-x-data Lloyd shapes
     "cluster_topics",
+    # r10: serves the persisted k-row centroid table through the same
+    # intended tiny-x-data Lloyd assignment crossJoin
+    "cluster_kmeans_serve",
 }
 
 
@@ -366,3 +369,64 @@ def test_star_cc_half_rounds_are_window_form_no_collect(spark):
         plan = fn(edges)._jdf.queryExecution().explainString(mode)
         assert "Window" in plan
         assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_skew_hot_join_never_broadcasts(plans):
+    """skew_hot_join (r10) models the 100 TB shape where the customer
+    table scales with the fact side: the merge hint must hold — a
+    BroadcastHashJoin here would make the skew test vacuous (broadcast
+    joins don't shuffle, so there is no hot partition to split)."""
+    p = plans["skew_hot_join"]
+    assert "SortMergeJoin" in p, "merge hint lost"
+    assert "BroadcastHashJoin" not in p
+
+
+def test_skew_hot_join_aqe_splits_hot_partition(spark):
+    """The skew-split plan pin (VERDICT r09 #3): with the skew thresholds
+    forced down to test-SF sizes, AQE must detect the hot customer's
+    partition (~90% of orders on one key) and split it — the executed
+    adaptive plan marks the SortMergeJoin with skew=true. At production
+    defaults (256 MB) the same plan shape splits hot partitions without
+    any query change; this pins that the operator's join actually sits
+    on the AQE-splittable path (merge join, no broadcast, partial agg
+    exchanging on independent keys so the split never costs an extra
+    shuffle).
+
+    The fact side is fed through a round-robin repartition first: AQE
+    splits a skewed reduce partition by MAPPER ranges, and a single-file
+    parquet scan is ONE map task (the one-split pitfall) whose single
+    output block cannot be subdivided — on a real cluster the fact
+    arrives from thousands of mappers, which the repartition stands in
+    for."""
+    from flinkproject_spark import catalog
+    from flinkproject_spark.operators import scale
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = catalog.load_table(spark, "/root/testdata/sf0.01", "orders")
+        customer = catalog.load_table(spark, "/root/testdata/sf0.01", "customer")
+        df = scale.hot_customer_revenue(orders.repartition(8), customer)
+        rows = df.collect()
+        assert len(rows) > 0
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, f"AQE skew split did not fire:\n{final[:2000]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

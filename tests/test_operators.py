@@ -2818,6 +2818,19 @@ def test_kmeans_fit_sampled_rejects_degenerate_mod(tables):
         similarity.kmeans_fit_sampled(tables["embeddings"], sample_mod=0)
 
 
+def test_kmeans_fit_sampled_rejects_sample_smaller_than_k(tables):
+    """A sample_mod too coarse for the corpus would silently fit fewer
+    than k centroids (Lloyd can't make k cells from < k rows), quietly
+    breaking the 'k tracks the full corpus' contract — must fail loudly
+    (r09 advice)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample holds"):
+        similarity.kmeans_fit_sampled(
+            tables["embeddings"], sample_mod=10**9, k=5
+        )
+
+
 def test_kmeans_trained_cells_bound_near_dup_work(tables):
     """The scale property the fixed 10-label quantizer lacked: with auto-k,
     max cell population stays near the target independent of corpus size,

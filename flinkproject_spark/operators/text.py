@@ -467,14 +467,23 @@ def register_split_words(spark, segmenter: str = "whitespace") -> None:
     segmenter="whitespace" (default) splits on single spaces — the
     deterministic oracle tier for the synthetic ASCII corpus.
 
-    segmenter="jieba" is the CJK path matching the reference's IK analyzer
-    (utils/KeywordUtil.java:13-35: dictionary segmentation, multiple lexemes
-    per phrase). jieba is imported lazily INSIDE eval so the import happens
-    on the executor, once per worker process, and a missing/broken segmenter
-    degrades to emitting the raw string as one token — the exact fallback
-    KeywordUtil.java:30-33 implements (catch IOException -> add whole text).
-    Raises ImportError at *registration* time when jieba is absent on the
-    driver, so callers discover misconfiguration eagerly, not per-row.
+    segmenter="dictionary" is the DEFAULT-AVAILABLE CJK path matching the
+    reference's IK analyzer (utils/KeywordUtil.java:13-35: dictionary
+    segmentation, multiple lexemes per phrase): bidirectional maximum
+    matching over operators.cjk's lexicon — dependency-free, so a
+    Chinese-log user gets dictionary segmentation out of the box exactly
+    as the reference does. Mixed-script text works (non-CJK runs split on
+    whitespace); extend coverage by passing a bigger `lexicon`.
+
+    segmenter="jieba" is the optional better-dictionary tier (the sandbox
+    cannot vendor it — no network, not preinstalled — so it stays
+    dependency-gated). jieba is imported lazily INSIDE eval so the import
+    happens on the executor, once per worker process, and a missing/broken
+    segmenter degrades to emitting the raw string as one token — the exact
+    fallback KeywordUtil.java:30-33 implements (catch IOException -> add
+    whole text). Raises ImportError at *registration* time when jieba is
+    absent on the driver, so callers discover misconfiguration eagerly,
+    not per-row.
 
     Production note: the explode(split(...)) form in keyword_stats is the
     JVM-side fast path; this UDTF exists for the *extensibility* surface —
@@ -492,8 +501,22 @@ def register_split_words(spark, segmenter: str = "whitespace") -> None:
     """
     from pyspark.sql.functions import udtf
 
-    if segmenter not in ("whitespace", "jieba"):
+    if segmenter not in ("whitespace", "dictionary", "jieba"):
         raise ValueError(f"unknown segmenter {segmenter!r}")
+    if segmenter == "dictionary":
+
+        @udtf(returnType="word string, pos int", useArrow=False)
+        class SplitWordsDict:
+            def eval(self, text: str):
+                if not text:
+                    return
+                from flinkproject_spark.operators.cjk import segment
+
+                for i, w in enumerate(segment(text)):
+                    yield (w, i)
+
+        spark.udtf.register("split_words", SplitWordsDict)
+        return
     if segmenter == "jieba":
         import jieba  # noqa: F401 — eager driver-side availability check
 

@@ -166,6 +166,18 @@ def province_stats_stream(
     Redis apparatus — OrderWideApp.java:126-231 — reduced to a hash probe),
     then the windowed province aggregate.
 
+    Dim-freshness contract (measured, r10): the static DataFrames passed
+    here are snapshots AS OF STREAM CONSTRUCTION — a stream-static join
+    pins the dim's parquet file listing in the plan, so an overwrite
+    mid-query serves stale rows and then fails with FileNotFoundException
+    once the old part files vanish. The reference instead invalidates its
+    Redis cache on dim update (DimSinkFunction.java:49-51); the Spark twin
+    of that freshness guarantee is sinks.dim_enriching_writer, which
+    re-reads + re-broadcasts the dim INSIDE foreachBatch (update between
+    micro-batches visible in the very next batch — replay-tested in
+    test_dim_update_mid_replay_visible_next_batch). Use THIS job when dims
+    are release-pinned; use the writer when dims churn under the stream.
+
     Streaming-legal distinct: `size(collect_set(...))` replaces the batch
     twin's countDistinct (same exact value). Column-compatible with
     operators.windows.province_stats for replay parity tests.

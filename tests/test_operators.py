@@ -2101,6 +2101,84 @@ def test_split_words_jieba_cjk(spark):
         text.register_split_words(spark)  # restore whitespace tier for other tests
 
 
+def test_cjk_bidirectional_mm_disambiguation():
+    """The classical FMM/BMM ambiguity case: forward greed takes 研究生
+    and strands 命 as a singleton; backward matching yields the correct
+    研究|生命|科学. The tie-break rule (fewer tokens, then fewer
+    singletons, backward wins) must pick the backward parse — the
+    textbook behavior the IK analyzer's ambiguity resolution refines
+    (utils/KeywordUtil.java:13-35 parity tier)."""
+    from flinkproject_spark.operators import cjk
+
+    assert cjk._fmm("研究生命科学", cjk.DEFAULT_LEXICON, cjk.MAX_WORD_LEN) == [
+        "研究生", "命", "科学",
+    ]
+    assert cjk.segment("研究生命科学") == ["研究", "生命", "科学"]
+
+
+def test_cjk_longest_match_and_singletons():
+    from flinkproject_spark.operators import cjk
+
+    # longest dictionary word wins over its prefixes (小米手机 > 小米)
+    assert cjk.segment("小米手机性价比") == ["小米手机", "性价比"]
+    # out-of-dictionary characters come through as singletons, lossless
+    assert cjk.segment("魑魅魍魉") == ["魑", "魅", "魍", "魉"]
+    assert cjk.segment("") == []
+    assert cjk.segment(None) == []
+
+
+def test_cjk_mixed_script_passthrough():
+    """Non-CJK runs split on whitespace; script flips flush the buffer —
+    mixed SKU/brand text segments without a second code path."""
+    from flinkproject_spark.operators import cjk
+
+    assert cjk.segment("小米phone 性价比高 data") == [
+        "小米", "phone", "性价比", "高", "data",
+    ]
+
+
+def test_cjk_custom_lexicon_extension():
+    """The production dictionary surface (IK's extension-dict analog):
+    a user lexicon changes the parse without touching the algorithm."""
+    from flinkproject_spark.operators import cjk
+
+    lex = frozenset({"魑魅", "魍魉"})
+    assert cjk.segment("魑魅魍魉", lexicon=lex) == ["魑魅", "魍魉"]
+
+
+def test_split_words_dictionary_cjk_lateral(spark):
+    """The default-available CJK tier through the full UDTF + LATERAL
+    surface (A19/D), asserted against a LITERAL expected segmentation —
+    the same independent-truth discipline the driver oracles use. This is
+    the IK-parity test that previously skipped for want of jieba."""
+    from flinkproject_spark.operators import cjk
+
+    text.register_split_words(spark, segmenter="dictionary")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "小米手机性价比高 best phone"), (2, "研究生命科学")],
+            "doc_id bigint, body string",
+        )
+        docs.createOrReplaceTempView("zh_docs")
+        rows = spark.sql(
+            "SELECT doc_id, word, pos FROM zh_docs, LATERAL split_words(body) "
+            "ORDER BY doc_id, pos"
+        ).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.doc_id, []).append(r.word)
+        assert got == {
+            1: ["小米手机", "性价比", "高", "best", "phone"],
+            2: ["研究", "生命", "科学"],
+        }
+        # positions are dense per doc
+        assert [r.pos for r in rows if r.doc_id == 1] == list(range(5))
+        # and the UDTF agrees with the library function it wraps
+        assert got[1] == cjk.segment("小米手机性价比高 best phone")
+    finally:
+        text.register_split_words(spark)  # restore whitespace tier
+
+
 def test_ivf_nprobe_precomputed_centroids_identical(tables):
     """Train-once-persist (the production quantizer shape) must give the
     same answers as the self-contained recompute form."""

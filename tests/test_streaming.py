@@ -2465,3 +2465,68 @@ def test_socket_json_stream_end_to_end(spark, tmp_path):
         done.set()
         q.stop()
         srv.close()
+
+
+def test_a6_late_rows_dropped_past_watermark(spark, tmp_path):
+    """Late-data contract pin (VERDICT r09 #6; SURVEY §2E): Flink's default
+    window operator silently DROPS events later than the allowed lateness;
+    the Spark twin drops at the watermark, with one measured refinement
+    this test encodes: the late filter for micro-batch N evaluates against
+    the watermark as of batch N-1's END, so a late row racing the very
+    batch where the watermark first crosses its window can still be
+    absorbed (measured on 4.1: crossing-batch row aggregated,
+    numRowsDroppedByWatermark=0). The GUARANTEED drop — what this test
+    pins — is for a late row arriving once the crossing is a strictly
+    earlier batch: the closed window emits exactly once, WITHOUT the late
+    row, and never re-emits. Flink has the same race through its async
+    watermark propagation; neither engine re-opens an emitted window."""
+    from datetime import datetime
+
+    path = str(tmp_path / "late")
+    os.makedirs(path)
+
+    def stage(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double",
+        )
+        d = str(tmp_path / ("tmp_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        replay._move_single_part(d, f"{path}/{name}.parquet")
+
+    def at(minute, hour=0, day=1):
+        return datetime(2024, 1, day, hour, minute)
+
+    stage(
+        [(1, at(1), 10, "view", 1.0), (2, at(3), 10, "view", 1.0),
+         (3, at(5), 10, "view", 1.0)],
+        "00000",
+    )
+    # watermark advancer: max event time 01:00 - 10 min delay = 00:50,
+    # past the [00:00, 00:10) window end
+    stage([(4, at(0, hour=1), 11, "view", 1.0)], "00001")
+    # one more on-time batch so the 00:50 watermark is in force BEFORE the
+    # late row arrives (the guaranteed-drop regime, not the crossing race)
+    stage([(5, at(5, hour=1), 12, "view", 1.0)], "00002")
+    # LATE row inside the long-closed window: must be dropped
+    stage([(6, at(2), 10, "view", 1.0)], "00003")
+    # heartbeat closes the remaining windows and flushes emissions
+    stage([(7, at(0, day=2), replay.HEARTBEAT_ID, "view", 0.0)], "00004")
+
+    base_t = os.path.getmtime(f"{path}/00000.parquet")
+    for i, f in enumerate(sorted(os.listdir(path))):
+        os.utime(f"{path}/{f}", (base_t + i * 10, base_t + i * 10))
+
+    out = replay.run_to_table(
+        jobs.visitor_stats_stream(replay.read_replay(spark, path)),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    got = [(r.stt, r.edt, r.pv_ct) for r in out.collect()]
+    # exactly-once emission of the closed window, late row excluded (3, not 4)
+    assert got.count(("2024-01-01 00:00:00", "2024-01-01 00:10:00", 3)) == 1
+    assert not any(
+        s == "2024-01-01 00:00:00" and pv != 3 for s, _, pv in got
+    ), f"late row leaked or window re-emitted: {got}"
+    # the advancers' window closed via the heartbeat
+    assert ("2024-01-01 01:00:00", "2024-01-01 01:10:00", 2) in got

@@ -62,9 +62,6 @@ BNLJ_ALLOWED = {
     # r09: the tfidf n_docs 1-row broadcast (same shape as text_tfidf)
     # plus the trained tier's intended tiny-x-data Lloyd shapes
     "cluster_topics",
-    # r10: serves the persisted k-row centroid table through the same
-    # intended tiny-x-data Lloyd assignment crossJoin
-    "cluster_kmeans_serve",
 }
 
 

@@ -110,6 +110,10 @@ HEADLINE = [
     "pagerank",
     "value_quantiles_hist",
     "cluster_topics",
+    # round-10 additions: the deliberately-skewed AQE-split join and the
+    # persisted-model serving tier (fit cost paid once, not per query)
+    "skew_hot_join",
+    "cluster_kmeans_serve",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

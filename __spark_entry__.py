@@ -1235,13 +1235,22 @@ def q_cluster_kmeans_serve(spark, sf):
     Production twin: streaming.sinks.kmeans_assigning_writer serves
     micro-batches from the same persisted table; this query is its batch
     face on the driver surface."""
+    import hashlib as _hashlib
     import os as _os
 
     emb = _t(spark, sf, "embeddings")
+    # cache key = full corpus path + source file (size, mtime) + fit params:
+    # a regenerated corpus (new mtime) or a same-basename sibling directory
+    # gets a fresh fit instead of silently serving foreign centroids
+    src = _os.path.join(_os.path.normpath(sf), "embeddings.parquet")
+    stat = _os.stat(src)
+    fp = _hashlib.md5(
+        f"{_os.path.abspath(src)}:{stat.st_size}:{int(stat.st_mtime)}:mod4:v1".encode()
+    ).hexdigest()[:16]
     tag = _os.path.basename(_os.path.normpath(sf))
     model_dir = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)),
-        "spark-warehouse", "models", f"kmeans_{tag}_mod4_v1",
+        "spark-warehouse", "models", f"kmeans_{tag}_{fp}",
     )
     if not _os.path.exists(_os.path.join(model_dir, "_SUCCESS")):
         similarity.kmeans_fit_sampled(emb, sample_mod=4).select(

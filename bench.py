@@ -250,7 +250,7 @@ def main() -> None:
 
     noise_all = noise_start + noise_end
     noise_med = statistics.median(noise_all)
-    spread_pct = round(100.0 * (max(noise_all) - min(noise_all)) / noise_med, 1)
+    spread_pct = _spread_pct(noise_all)  # same formula as the preflight gate
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # FIELD ORDER IS LOAD-BEARING: the round driver records only the LAST

@@ -34,6 +34,8 @@ candidate — embarrassingly parallel per row, no state, no shuffle.
 
 from __future__ import annotations
 
+import re
+
 # Common-vocabulary seed lexicon (word -> present). Small on purpose: the
 # point is correct ALGORITHM + extension surface, not dictionary coverage.
 DEFAULT_LEXICON: frozenset[str] = frozenset({
@@ -54,6 +56,8 @@ DEFAULT_LEXICON: frozenset[str] = frozenset({
 })
 
 MAX_WORD_LEN = max(len(w) for w in DEFAULT_LEXICON)
+
+_WORD = re.compile(r"\w+")  # non-CJK token class: punctuation is a delimiter
 
 
 def is_cjk(ch: str) -> bool:
@@ -117,15 +121,21 @@ def segment(
     max_len: int | None = None,
 ) -> list[str]:
     """Tokenize mixed-script text: CJK runs through bidirectional
-    max-matching against `lexicon`, non-CJK runs split on whitespace (a
-    run is flushed whenever the script class flips). Returns the token
-    list in reading order; empty/None input yields []."""
+    max-matching against `lexicon`, non-CJK runs reduced to their \\w+
+    word tokens (whitespace AND punctuation — ASCII or fullwidth — are
+    delimiters, never tokens; a run is flushed whenever the script class
+    flips). Returns the token list in reading order; empty/None input
+    yields []."""
     if not text:
         return []
     lex = lexicon if lexicon is not None else DEFAULT_LEXICON
-    ml = max_len if max_len is not None else (
-        max(len(w) for w in lex) if lex else 1
-    )
+    if max_len is not None:
+        ml = max_len
+    elif lex is DEFAULT_LEXICON:
+        ml = MAX_WORD_LEN  # precomputed: segment() runs once per row on
+        # the UDTF hot path, so don't re-scan the lexicon per call
+    else:
+        ml = max(len(w) for w in lex) if lex else 1
     tokens: list[str] = []
     buf: list[str] = []
     buf_cjk = False
@@ -137,7 +147,11 @@ def segment(
         if buf_cjk:
             tokens.extend(segment_run(run, lex, ml))
         else:
-            tokens.extend(w for w in run.split() if w)
+            # word characters only: punctuation — including fullwidth CJK
+            # punctuation like ，。which is_cjk classes as non-CJK — is a
+            # delimiter, never a token (IK drops it too; emitting it would
+            # put phantom keywords in the A19 aggregates)
+            tokens.extend(_WORD.findall(run))
         buf.clear()
 
     for ch in text:

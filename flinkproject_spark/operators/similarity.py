@@ -906,22 +906,28 @@ def kmeans_fit_sampled(
         raise ValueError(
             f"kmeans_fit_sampled: sample_mod must be >= 1, got {sample_mod}"
         )
-    if k is None:
-        k = kmeans_auto_k(embeddings.count(), target_cell_rows)
     h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
-    sample = embeddings.where(F.pmod(h, F.lit(sample_mod)) == 0)
-    n_sample = sample.count()
+    member = F.pmod(h, F.lit(sample_mod)) == 0
+    # ONE aggregate serves both the auto-k full count and the sample-size
+    # guard — not two separate scans (r10 review)
+    row = embeddings.agg(
+        F.count("*").alias("n"),
+        F.sum(member.cast("long")).alias("ns"),
+    ).first()
+    n, n_sample = int(row["n"]), int(row["ns"] or 0)
+    if k is None:
+        k = kmeans_auto_k(n, target_cell_rows)
     if n_sample < k:
         # Lloyd on fewer rows than centroids silently returns < k cells,
         # quietly breaking the "k tracks the full corpus" contract — fail
         # loudly (same discipline as the sample_mod guard above); the cost
-        # is one train-time aggregate over the sample, not a serving cost
+        # rides the aggregate the auto-k count already needed
         raise ValueError(
             f"kmeans_fit_sampled: sample holds {n_sample} rows < k={k} "
             f"(sample_mod={sample_mod} too coarse for this corpus); lower "
             "sample_mod or pass an explicit k <= the sample size"
         )
-    return kmeans_fit(sample, k=k, n_iter=n_iter)
+    return kmeans_fit(embeddings.where(member), k=k, n_iter=n_iter)
 
 
 def kmeans_assign(

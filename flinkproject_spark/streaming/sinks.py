@@ -1597,17 +1597,26 @@ def compact_delta_log(spark, path: str, key_cols: list[str]) -> None:
     transactional table format gives the same fold atomically."""
     import shutil
 
+    from pyspark.sql import types as _T
+
     raw = spark.read.parquet(path)
     vals = [c for c in raw.columns if c not in set(key_cols) | {"batch_id"}]
-    # cast each sum back to the column's ORIGINAL dtype: SUM widens
-    # (int -> bigint, float -> double), and a blanket bigint cast would
-    # silently truncate a future float-valued delta sink at compaction
+    # dtype rule: FRACTIONAL value columns cast back to their original type
+    # (a blanket bigint cast would silently truncate float partials), but
+    # INTEGRAL columns keep SUM's widened bigint — narrowing a lifetime
+    # total back to int32 would silently wrap once it outgrows the delta
+    # column's range (the r10 review's counter-example to the first fix)
     in_type = {f.name: f.dataType for f in raw.schema.fields}
+
+    def out_type(c: str):
+        t = in_type[c]
+        return t if isinstance(t, (_T.FloatType, _T.DoubleType, _T.DecimalType)) else _T.LongType()
+
     per_batch = raw.groupBy("batch_id", *key_cols).agg(
         *[F.max(c).alias(c) for c in vals]
     )
     merged = per_batch.groupBy(*key_cols).agg(
-        *[F.sum(c).cast(in_type[c]).alias(c) for c in vals]
+        *[F.sum(c).cast(out_type(c)).alias(c) for c in vals]
     )
     snap = merged.withColumn("batch_id", F.lit(SNAPSHOT_BATCH_ID))
     tmp = path.rstrip("/") + "__compacting"

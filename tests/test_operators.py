@@ -2128,13 +2128,24 @@ def test_cjk_longest_match_and_singletons():
 
 
 def test_cjk_mixed_script_passthrough():
-    """Non-CJK runs split on whitespace; script flips flush the buffer —
-    mixed SKU/brand text segments without a second code path."""
+    """Non-CJK runs reduce to their word tokens; script flips flush the
+    buffer — mixed SKU/brand text segments without a second code path."""
     from flinkproject_spark.operators import cjk
 
     assert cjk.segment("小米phone 性价比高 data") == [
         "小米", "phone", "性价比", "高", "data",
     ]
+
+
+def test_cjk_punctuation_is_delimiter_never_token():
+    """IK parity detail (r10 review): punctuation — fullwidth CJK (，。)
+    or ASCII — delimits tokens and is never emitted, so the dictionary
+    tier can't put phantom punctuation keywords into A19 aggregates."""
+    from flinkproject_spark.operators import cjk
+
+    assert cjk.segment("苹果，手机。") == ["苹果", "手机"]
+    assert cjk.segment("phone,iphone!") == ["phone", "iphone"]
+    assert cjk.segment("，。！") == []
 
 
 def test_cjk_custom_lexicon_extension():

@@ -924,3 +924,34 @@ def test_histogram_quantile_edges_bound_true_quantiles(spark, rows):
             edge = getattr(r, f"q{p}_edge")
             assert edge <= true_q, (r.scope, p, edge, true_q)
             assert true_q < edge + width + 1, (r.scope, p, edge, true_q, width)
+
+
+@settings(**SETTINGS)
+@given(
+    st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),
+            st.sampled_from(list("小米手机性价比研究生命科学 ,.，。!abc123")),
+        ),
+        max_size=60,
+    )
+)
+def test_cjk_segmentation_lossless_on_word_chars(s):
+    """The segmenter's conservation law on RANDOM mixed text: every CJK
+    character and every \\w word character of the input appears in the
+    token stream exactly as many times as it occurs (dictionary matching
+    reorders NOTHING and drops ONLY delimiters), tokens are non-empty,
+    and CJK tokens never exceed the longest lexicon word."""
+    import re
+    from collections import Counter
+
+    from flinkproject_spark.operators import cjk
+
+    toks = cjk.segment(s)
+    assert all(toks), "empty token emitted"
+    kept = Counter(c for c in s if cjk.is_cjk(c) or re.match(r"\w", c))
+    got = Counter("".join(toks))
+    assert got == kept
+    for t in toks:
+        if any(cjk.is_cjk(c) for c in t):
+            assert len(t) <= cjk.MAX_WORD_LEN

@@ -2530,3 +2530,28 @@ def test_a6_late_rows_dropped_past_watermark(spark, tmp_path):
     ), f"late row leaked or window re-emitted: {got}"
     # the advancers' window closed via the heartbeat
     assert ("2024-01-01 01:00:00", "2024-01-01 01:10:00", 2) in got
+
+
+def test_compact_delta_log_preserves_fractional_and_widened_int_dtypes(
+    spark, tmp_path
+):
+    """Compaction dtype rule (r09 advice + r10 review): a float-valued
+    delta column keeps its dtype through the snapshot fold (a blanket
+    bigint cast would truncate), while an int32 delta column comes out as
+    the SUM-widened bigint (casting the lifetime total back to int32
+    would silently wrap once it outgrows the delta type's range)."""
+    path = str(tmp_path / "dl")
+    rows = [(0, "a", 1.5, 2_000_000_000), (0, "b", 2.25, 5),
+            (1, "a", 0.25, 2_000_000_000)]
+    df = spark.createDataFrame(
+        rows, "batch_id int, k string, fval double, ival int"
+    )
+    df.write.mode("append").parquet(path)
+    sinks.compact_delta_log(spark, path, key_cols=["k"])
+    out = spark.read.parquet(path)
+    types = dict(out.dtypes)
+    assert types["fval"] == "double"
+    assert types["ival"] == "bigint"  # widened: 2 * 2e9 overflows int32
+    got = {r.k: (r.fval, r.ival) for r in out.collect()}
+    assert got == {"a": (1.75, 4_000_000_000), "b": (2.25, 5)}
+    assert out.select("batch_id").distinct().count() == 1

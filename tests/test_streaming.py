@@ -2555,3 +2555,40 @@ def test_compact_delta_log_preserves_fractional_and_widened_int_dtypes(
     got = {r.k: (r.fval, r.ival) for r in out.collect()}
     assert got == {"a": (1.75, 4_000_000_000), "b": (2.25, 5)}
     assert out.select("batch_id").distinct().count() == 1
+
+
+def test_unique_visits_transformwithstate_matches_batch(spark, events, staged):
+    """The transformWithState twin (Spark 4's KeyedProcessFunction-shaped
+    API: named value state + timer set) must replay to EXACTLY the batch
+    operator's rows, like its applyInPandasWithState sibling — one
+    semantics, two stateful APIs.
+
+    protobuf-gated: PySpark's transformWithState workers speak a protobuf
+    state protocol (pyspark.sql.streaming.proto.StateMessage_pb2 imports
+    google.protobuf), and this sandbox cannot install the protobuf wheel
+    (no network) — measured: the driver worker crashes at query start
+    with ModuleNotFoundError, so EXECUTION is environment-blocked while
+    construction is not (see the construction test below)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from flinkproject_spark.operators import state as state_ops
+
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.unique_visits_tws(wm))
+    want = state_ops.unique_visits(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_unique_visits_transformwithstate_constructs(spark, staged):
+    """Ungated half of the transformWithState twin: the grouped transform
+    must CONSTRUCT against the real API (processor class shape, state
+    schema string, output schema, eventTime mode) — the same
+    construction-level discipline as the Kafka builders."""
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    df = stateful.unique_visits_tws(wm)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "dt", "event_type",
+    ]

@@ -114,6 +114,7 @@ HEADLINE = [
     # persisted-model serving tier (fit cost paid once, not per query)
     "skew_hot_join",
     "cluster_kmeans_serve",
+    "dedup_embedding_served",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

@@ -1207,6 +1207,16 @@ def q_cluster_kmeans_sampled(spark, sf):
     return cells.join(digest, "cid")
 
 
+def q_event_transitions(spark, sf):
+    """Path analysis: within-session next-event transition matrix with
+    per-from-state shares in exact integer ppm
+    (analytics.event_transitions) — the previous->current page relation
+    the reference consumes event-by-event through `page.last_page_id`
+    (UserJumpDetailApp.java:72-80), materialized as the aggregate
+    serving table."""
+    return analytics.event_transitions(_t(spark, sf, "events"))
+
+
 def q_skew_hot_join(spark, sf):
     """Skewed-key join on the driver surface: ~90% of orders deterministically
     remapped onto ONE hot customer, then a merge-hinted (never-broadcast)
@@ -1327,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hot_join": q_skew_hot_join,
         "cluster_kmeans_serve": q_cluster_kmeans_serve,
         "dedup_embedding_served": q_dedup_embedding_served,
+        "event_transitions": q_event_transitions,
         # -- the 37 rows whose last driver check was r07 (oldest evidence)
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
@@ -1373,9 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
         "dedup_spans_intradoc": q_dedup_spans_intradoc,
-        "contamination_bloom": q_contamination_bloom,
         # ---- end of the 50-query verified window ----
         # -- r08-verified, untouched
+        "contamination_bloom": q_contamination_bloom,
         "hybrid_search": q_hybrid_search,
         "dedup_semantic_trained": q_dedup_semantic_trained,
         "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
@@ -2914,6 +2925,35 @@ def oracle_sql() -> dict[str, str]:
         "cluster_kmeans_assign": _kmeans_assign_sql(),
         "cluster_kmeans_sampled": _kmeans_sampled_sql(),
         "cluster_kmeans_serve": _kmeans_serve_sql(),
+        "event_transitions": """
+            WITH sess AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS sess_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (
+              SELECT *, SUM(sess_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM sess),
+            pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id, sess_id
+                       ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM s2),
+            counts AS (
+              SELECT from_type, to_type, COUNT(*) AS n
+              FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, SUM(n) AS total_from
+                    FROM counts GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n::BIGINT AS n,
+                   CAST((c.n * 1000000) // t.total_from AS BIGINT)
+                     AS share_ppm
+            FROM counts c JOIN tot t USING (from_type)""",
         "skew_hot_join": f"""
             WITH hot AS (
               SELECT CASE WHEN o_custkey % 10 != 0

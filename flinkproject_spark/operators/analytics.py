@@ -429,3 +429,79 @@ def pagerank(
         .join(rank, F.col("part_id") == F.col("node"))
         .select("part_id", "degree", F.col("rank").alias("pr_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# event-flow transition matrix (path analysis)
+# ---------------------------------------------------------------------------
+def event_transitions(events: DataFrame, session_gap_min: int = 30) -> DataFrame:
+    """Next-event transition matrix — the path-analysis serving table every
+    behavior warehouse grows beside funnels: sessionize each user's events
+    by inactivity gap, then count the (from_type -> to_type) transitions
+    between CONSECUTIVE events within a session, with the per-from-state
+    transition share as exact integer parts-per-million.
+
+    Reference parity: the reference's log layer tracks page flow through
+    `page.last_page_id` — session entry is `last_page_id == null`
+    (app/dwm/UniqueVisitApp.java:64-66, UserJumpDetailApp.java:72-80) and
+    the jump job inspects exactly this previous->current page relation;
+    this operator is that relation materialized as the aggregate
+    transition table instead of consumed event-by-event.
+
+    Arithmetic contract: the share is (n * 1_000_000) div total_from —
+    pure int64, bit-identical in Spark (`div`) and DuckDB (`//`) — never
+    a rounded double division, whose half-up/half-even tie handling
+    differs across engines.
+
+    Plan: one user_id-partitioned window pass (lag + running session
+    counter: two window functions over ONE shuffle on user_id), then one
+    (from, to) groupBy with map-side partials, then a broadcast-sized
+    per-from total joined back. Scale: state per user is the window
+    sort — at 100 TB the user_id shuffle is the cost, and it is one
+    exchange reused by both window functions; the transition matrix
+    itself is |event_type|^2 rows, metadata-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = session_gap_min * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    # exact MICROSECOND comparison (the a13 sessionize convention) — a
+    # seconds cast would floor and disagree with the oracle at boundaries
+    is_start = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
+    ).cast("bigint")
+    sess = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("sess_start", is_start)
+        .withColumn(
+            "sess_id",
+            F.sum("sess_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    w_s = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    pairs = (
+        sess.withColumn("from_type", F.lag("event_type").over(w_s))
+        .where(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    # per-from total as a WINDOW over the metadata-sized counts table —
+    # a groupBy+join here re-executes the whole window pipeline for the
+    # totals side (measured in the plan: duplicated exchange chain),
+    # while the window adds one exchange over |types|^2 rows
+    total_from = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") * F.lit(1_000_000)).cast("bigint").alias("__num"),
+        total_from.alias("__tot"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __tot").alias("share_ppm"),
+    )

@@ -3300,3 +3300,48 @@ def test_hybrid_rrf_term_miss_and_both_lists_respected(tables):
     leader = [r for r in out if r.lex_rank == 1 and r.vec_rank == 1]
     if leader:
         assert leader[0].rank == 1
+
+
+# --- event-flow transitions (round 10) ----------------------------------------
+
+def test_event_transitions_hand_computed():
+    """Hand-checkable path matrix: user 1 has two sessions (a 2000 s gap
+    splits them, > the 1800 s inactivity bound), user 2 one lone event.
+    Transitions count only WITHIN a session (the cross-gap view->purchase
+    pair must not appear), shares are exact integer ppm of the from-state
+    total, and a user's final event emits nothing."""
+    from datetime import datetime, timedelta
+
+    from flinkproject_spark.operators import analytics
+    from flinkproject_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=8, shuffle_partitions=8)
+    t0 = datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + timedelta(seconds=s)
+
+    rows = [
+        (1, at(0), 1, "view"), (2, at(60), 1, "click"),
+        (3, at(120), 1, "view"), (4, at(125), 1, "view"),
+        # 2000 s gap -> new session for user 1
+        (5, at(2125), 1, "purchase"), (6, at(2185), 1, "view"),
+        (7, at(0), 2, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.share_ppm)
+        for r in analytics.event_transitions(ev).collect()
+    }
+    # session 1 pairs: (view,click), (click,view), (view,view); the 125 s
+    # view is session-FINAL (its next event starts session 2) so it emits
+    # nothing. from-view total = 2 -> exact halves in ppm.
+    assert got == {
+        ("view", "click"): (1, 500000),
+        ("view", "view"): (1, 500000),
+        ("click", "view"): (1, 1000000),
+        ("purchase", "view"): (1, 1000000),
+    }
+    assert ("view", "purchase") not in got  # the cross-session pair

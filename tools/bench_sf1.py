@@ -115,6 +115,7 @@ HEADLINE = [
     "skew_hot_join",
     "cluster_kmeans_serve",
     "dedup_embedding_served",
+    "event_transitions",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

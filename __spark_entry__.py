@@ -1241,8 +1241,10 @@ def _kmeans_model(spark, sf):
     emb = _t(spark, sf, "embeddings")
     src = _os.path.join(_os.path.normpath(sf), "embeddings.parquet")
     stat = _os.stat(src)
+    # st_mtime_ns, not int(st_mtime): a same-size rewrite within one
+    # second must invalidate the cache too (r10 review)
     fp = _hashlib.md5(
-        f"{_os.path.abspath(src)}:{stat.st_size}:{int(stat.st_mtime)}:mod4:v1".encode()
+        f"{_os.path.abspath(src)}:{stat.st_size}:{stat.st_mtime_ns}:mod4:v1".encode()
     ).hexdigest()[:16]
     tag = _os.path.basename(_os.path.normpath(sf))
     model_dir = _os.path.join(
@@ -2928,9 +2930,11 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": """
             WITH sess AS (
               SELECT user_id, event_id, ts, event_type,
+                     -- whole-second gap rule = state.sessionize's
+                     -- unix_timestamp convention (floor of epoch seconds)
                      CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                             > 1800000000
+                          OR (epoch_us(ts) // 1000000)
+                             - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
                           THEN 1 ELSE 0 END AS sess_start
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

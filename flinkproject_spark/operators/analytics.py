@@ -453,33 +453,23 @@ def event_transitions(events: DataFrame, session_gap_min: int = 30) -> DataFrame
     a rounded double division, whose half-up/half-even tie handling
     differs across engines.
 
-    Plan: one user_id-partitioned window pass (lag + running session
-    counter: two window functions over ONE shuffle on user_id), then one
-    (from, to) groupBy with map-side partials, then a broadcast-sized
-    per-from total joined back. Scale: state per user is the window
-    sort — at 100 TB the user_id shuffle is the cost, and it is one
-    exchange reused by both window functions; the transition matrix
-    itself is |event_type|^2 rows, metadata-sized."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = session_gap_min * 60 * 1_000_000
-    prev_ts = F.lag("ts").over(w)
-    # exact MICROSECOND comparison (the a13 sessionize convention) — a
-    # seconds cast would floor and disagree with the oracle at boundaries
-    is_start = (
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
-    ).cast("bigint")
-    sess = (
-        events.select("user_id", "event_id", "ts", "event_type")
-        .withColumn("sess_start", is_start)
-        .withColumn(
-            "sess_id",
-            F.sum("sess_start").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-    )
-    w_s = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    Sessionization is state.sessionize itself — ONE session-boundary rule
+    in the codebase (unix_timestamp whole-second gap > gap_s, the same
+    convention every bounce/UV operator in state.py uses), not a private
+    re-derivation that could disagree with the other serving tables about
+    where a user's session ends (r10 review).
+
+    Plan: one user_id-partitioned window pass (sessionize's lag + running
+    counter plus this operator's lag: THREE window functions over ONE
+    shuffle on user_id — (user_id, session_seq) clustering is satisfied
+    by the user_id hash partitioning), then one (from, to) groupBy with
+    map-side partials. Scale: the user_id shuffle is the cost at 100 TB,
+    paid once; the transition matrix itself is |event_type|^2 rows,
+    metadata-sized."""
+    from flinkproject_spark.operators.state import sessionize
+
+    sess = sessionize(events, gap_min=session_gap_min)
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
     pairs = (
         sess.withColumn("from_type", F.lag("event_type").over(w_s))
         .where(F.col("from_type").isNotNull())

@@ -1601,22 +1601,46 @@ def compact_delta_log(spark, path: str, key_cols: list[str]) -> None:
 
     raw = spark.read.parquet(path)
     vals = [c for c in raw.columns if c not in set(key_cols) | {"batch_id"}]
-    # dtype rule: FRACTIONAL value columns cast back to their original type
-    # (a blanket bigint cast would silently truncate float partials), but
-    # INTEGRAL columns keep SUM's widened bigint — narrowing a lifetime
-    # total back to int32 would silently wrap once it outgrows the delta
-    # column's range (the r10 review's counter-example to the first fix)
+    # dtype rule (r10, twice-reviewed): the snapshot row must carry the
+    # DELTA SCHEMA exactly — a widened snapshot makes the directory
+    # unreadable the moment the live sink appends its next narrow delta
+    # (measured: mixed INT32/INT64 physical types fail the parquet read
+    # with PARQUET_COLUMN_DATA_TYPE_MISMATCH). So every sum is cast BACK
+    # to its input type (floats keep float, never a blanket bigint that
+    # would truncate), and the integral/decimal narrowing is GUARDED: a
+    # folded total that outgrew the delta type raises here instead of
+    # silently wrapping (int) or nulling (decimal) in the snapshot.
     in_type = {f.name: f.dataType for f in raw.schema.fields}
-
-    def out_type(c: str):
-        t = in_type[c]
-        return t if isinstance(t, (_T.FloatType, _T.DoubleType, _T.DecimalType)) else _T.LongType()
-
     per_batch = raw.groupBy("batch_id", *key_cols).agg(
         *[F.max(c).alias(c) for c in vals]
     )
-    merged = per_batch.groupBy(*key_cols).agg(
-        *[F.sum(c).cast(out_type(c)).alias(c) for c in vals]
+    merged_wide = per_batch.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in vals]
+    )
+    _INT_MAX = {_T.ByteType: 127, _T.ShortType: 32767, _T.IntegerType: 2147483647}
+    checks = []
+    for c in vals:
+        t = in_type[c]
+        if type(t) in _INT_MAX:
+            hi = _INT_MAX[type(t)]
+            checks.append(F.max((F.abs(F.col(c)) > hi).cast("int")).alias(c))
+        elif isinstance(t, _T.DecimalType):
+            lim = float(10 ** (t.precision - t.scale))
+            checks.append(
+                F.max((F.abs(F.col(c).cast("double")) >= lim).cast("int")).alias(c)
+            )
+    if checks:
+        over = merged_wide.agg(*checks).first().asDict()
+        bad = sorted(c for c, flag in over.items() if flag)
+        if bad:
+            raise ValueError(
+                f"compact_delta_log: folded totals for {bad} exceed their "
+                "delta column's type range — widen the sink's delta schema "
+                "before compacting (a narrowed snapshot would silently "
+                "wrap/null the counter)"
+            )
+    merged = merged_wide.select(
+        *key_cols, *[F.col(c).cast(in_type[c]).alias(c) for c in vals]
     )
     snap = merged.withColumn("batch_id", F.lit(SNAPSHOT_BATCH_ID))
     tmp = path.rstrip("/") + "__compacting"

@@ -3304,7 +3304,7 @@ def test_hybrid_rrf_term_miss_and_both_lists_respected(tables):
 
 # --- event-flow transitions (round 10) ----------------------------------------
 
-def test_event_transitions_hand_computed():
+def test_event_transitions_hand_computed(spark):
     """Hand-checkable path matrix: user 1 has two sessions (a 2000 s gap
     splits them, > the 1800 s inactivity bound), user 2 one lone event.
     Transitions count only WITHIN a session (the cross-gap view->purchase
@@ -3313,23 +3313,23 @@ def test_event_transitions_hand_computed():
     from datetime import datetime, timedelta
 
     from flinkproject_spark.operators import analytics
-    from flinkproject_spark.session import get_spark
 
-    spark = get_spark("tests", cpus=8, shuffle_partitions=8)
     t0 = datetime(2024, 1, 1)
 
     def at(s):
         return t0 + timedelta(seconds=s)
 
     rows = [
-        (1, at(0), 1, "view"), (2, at(60), 1, "click"),
-        (3, at(120), 1, "view"), (4, at(125), 1, "view"),
+        (1, at(0), 1, "view", 0.0), (2, at(60), 1, "click", 0.0),
+        (3, at(120), 1, "view", 0.0), (4, at(125), 1, "view", 0.0),
         # 2000 s gap -> new session for user 1
-        (5, at(2125), 1, "purchase"), (6, at(2185), 1, "view"),
-        (7, at(0), 2, "signup"),
+        (5, at(2125), 1, "purchase", 0.0), (6, at(2185), 1, "view", 0.0),
+        (7, at(0), 2, "signup", 0.0),
     ]
     ev = spark.createDataFrame(
-        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double",
     )
     got = {
         (r.from_type, r.to_type): (r.n, r.share_ppm)

@@ -2532,63 +2532,43 @@ def test_a6_late_rows_dropped_past_watermark(spark, tmp_path):
     assert ("2024-01-01 01:00:00", "2024-01-01 01:10:00", 2) in got
 
 
-def test_compact_delta_log_preserves_fractional_and_widened_int_dtypes(
+def test_compact_delta_log_keeps_delta_schema_and_guards_overflow(
     spark, tmp_path
 ):
-    """Compaction dtype rule (r09 advice + r10 review): a float-valued
-    delta column keeps its dtype through the snapshot fold (a blanket
-    bigint cast would truncate), while an int32 delta column comes out as
-    the SUM-widened bigint (casting the lifetime total back to int32
-    would silently wrap once it outgrows the delta type's range)."""
+    """Compaction dtype rule (r09 advice + two r10 review rounds): the
+    snapshot must carry the DELTA SCHEMA exactly — floats stay double
+    (no bigint truncation), ints stay int — because a widened snapshot
+    makes the directory unreadable once the live sink appends its next
+    narrow delta (mixed INT32/INT64 parquet physical types fail the
+    read). A folded integral/decimal total that outgrows the delta type
+    must RAISE, never wrap or null."""
+    import pytest as _pytest
+
     path = str(tmp_path / "dl")
-    rows = [(0, "a", 1.5, 2_000_000_000), (0, "b", 2.25, 5),
-            (1, "a", 0.25, 2_000_000_000)]
+    rows = [(0, "a", 1.5, 100), (0, "b", 2.25, 5), (1, "a", 0.25, 100)]
     df = spark.createDataFrame(
         rows, "batch_id int, k string, fval double, ival int"
     )
     df.write.mode("append").parquet(path)
     sinks.compact_delta_log(spark, path, key_cols=["k"])
     out = spark.read.parquet(path)
-    types = dict(out.dtypes)
-    assert types["fval"] == "double"
-    assert types["ival"] == "bigint"  # widened: 2 * 2e9 overflows int32
+    assert dict(out.dtypes)["fval"] == "double"
+    assert dict(out.dtypes)["ival"] == "int"  # delta schema preserved
     got = {r.k: (r.fval, r.ival) for r in out.collect()}
-    assert got == {"a": (1.75, 4_000_000_000), "b": (2.25, 5)}
+    assert got == {"a": (1.75, 200), "b": (2.25, 5)}
     assert out.select("batch_id").distinct().count() == 1
+    # the live sink's NEXT narrow delta must still be readable alongside
+    # the snapshot (the failure mode the widened-snapshot rule had)
+    spark.createDataFrame(
+        [(2, "a", 1.0, 7)], "batch_id int, k string, fval double, ival int"
+    ).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 3
 
-
-def test_unique_visits_transformwithstate_matches_batch(spark, events, staged):
-    """The transformWithState twin (Spark 4's KeyedProcessFunction-shaped
-    API: named value state + timer set) must replay to EXACTLY the batch
-    operator's rows, like its applyInPandasWithState sibling — one
-    semantics, two stateful APIs.
-
-    protobuf-gated: PySpark's transformWithState workers speak a protobuf
-    state protocol (pyspark.sql.streaming.proto.StateMessage_pb2 imports
-    google.protobuf), and this sandbox cannot install the protobuf wheel
-    (no network) — measured: the driver worker crashes at query start
-    with ModuleNotFoundError, so EXECUTION is environment-blocked while
-    construction is not (see the construction test below)."""
-    import pytest as _pytest
-
-    _pytest.importorskip("google.protobuf")
-    from flinkproject_spark.operators import state as state_ops
-
-    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
-    got = replay.run_to_table(stateful.unique_visits_tws(wm))
-    want = state_ops.unique_visits(events)
-    cols = want.columns
-    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
-
-
-def test_unique_visits_transformwithstate_constructs(spark, staged):
-    """Ungated half of the transformWithState twin: the grouped transform
-    must CONSTRUCT against the real API (processor class shape, state
-    schema string, output schema, eventTime mode) — the same
-    construction-level discipline as the Kafka builders."""
-    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
-    df = stateful.unique_visits_tws(wm)
-    assert df.isStreaming
-    assert [f.name for f in df.schema.fields] == [
-        "event_id", "ts", "user_id", "dt", "event_type",
-    ]
+    # overflow regime: int32 lifetime total past 2^31-1 -> loud refusal
+    path2 = str(tmp_path / "dl2")
+    spark.createDataFrame(
+        [(0, "a", 2_000_000_000), (1, "a", 2_000_000_000)],
+        "batch_id int, k string, ival int",
+    ).write.mode("append").parquet(path2)
+    with _pytest.raises(ValueError, match="type range"):
+        sinks.compact_delta_log(spark, path2, key_cols=["k"])

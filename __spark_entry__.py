@@ -1232,9 +1232,13 @@ def _kmeans_model(spark, sf):
     deterministic sampled fit (md5-membership sample, hash-rank seeding,
     int64 Lloyd — a pure function of the corpus) as a k-row parquet model
     table on first use, reload thereafter. Cache key = full corpus path +
-    source (size, mtime) + fit params, so a regenerated corpus or a
-    same-basename sibling directory gets a fresh fit instead of silently
-    serving foreign centroids. Returns (embeddings, centroids)."""
+    source (size, mtime) + fit params + similarity.KMEANS_FIT_VERSION —
+    the last so a fit-arithmetic change invalidates stored centroids
+    automatically (the oracle replays the NEW code; serving a stale
+    persisted fit would red-flag every consumer — r10 review), and a
+    regenerated corpus or same-basename sibling directory gets a fresh
+    fit instead of silently serving foreign centroids. Returns
+    (embeddings, centroids)."""
     import hashlib as _hashlib
     import os as _os
 
@@ -1244,7 +1248,8 @@ def _kmeans_model(spark, sf):
     # st_mtime_ns, not int(st_mtime): a same-size rewrite within one
     # second must invalidate the cache too (r10 review)
     fp = _hashlib.md5(
-        f"{_os.path.abspath(src)}:{stat.st_size}:{stat.st_mtime_ns}:mod4:v1".encode()
+        f"{_os.path.abspath(src)}:{stat.st_size}:{stat.st_mtime_ns}:mod4:"
+        f"fitv{similarity.KMEANS_FIT_VERSION}".encode()
     ).hexdigest()[:16]
     tag = _os.path.basename(_os.path.normpath(sf))
     model_dir = _os.path.join(
@@ -1902,7 +1907,7 @@ def _histq_sql(n_bins: int = 256, pcts: tuple[int, ...] = (50, 90, 99)) -> str:
             WITH base AS (SELECT event_type AS scope,
                                  CAST(round(value::DOUBLE * 1000) AS BIGINT) AS q
                           FROM events
-                          WHERE value IS NOT NULL),
+                          WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)),
             bounds AS (SELECT MIN(q) AS lo, MAX(q) AS hi FROM base),
             binned AS (SELECT scope, (q - lo) // ((hi - lo) // {n_bins} + 1) AS bin
                        FROM base, bounds),

@@ -671,11 +671,12 @@ def histogram_quantile_report(
     Binning is DIVIDE-FIRST — width = (hi-lo) div n_bins + 1, bin =
     (q-lo) div width — never (q-lo)*n_bins, whose product overflows
     int64 once the quantized span nears 2^55 (the same valve
-    zorder_layout uses for its bucket scaling). Null values are
-    filtered explicitly before binning so the batch report and the
-    pinned-edge delta path (histq_bin_deltas, where greatest/least
-    would silently clamp a null into the top bin) agree by
-    construction.
+    zorder_layout uses for its bucket scaling). Null AND NaN values
+    are filtered on the RAW column BEFORE the quantize cast — the same
+    order as histq_bin_deltas and the DuckDB oracle; filtering the
+    already-cast q instead would keep NaN rows (Spark's non-ANSI cast
+    maps NaN to 0, silently poisoning lo), while DuckDB's BIGINT cast
+    errors on them (r10 review).
 
     Scale posture: one 1-row (min, max) aggregate broadcast back (the
     bounded-metadata discipline), one narrow projection, ONE groupBy
@@ -685,9 +686,9 @@ def histogram_quantile_report(
     textbook trade for data-independent edges; a streaming deployment
     pins edges from history and drops to one pass."""
     q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
-    base = events.select(F.col("event_type").alias("scope"), q.alias("q")).where(
-        F.col("q").isNotNull()
-    )
+    base = events.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+    ).select(F.col("event_type").alias("scope"), q.alias("q"))
     bounds = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
     binned = base.crossJoin(F.broadcast(bounds)).select(
         "scope",
@@ -756,18 +757,18 @@ def histq_bin_deltas(
     Values outside [lo, hi] clamp into the edge bins (a pinned-edge
     sketch can only report where mass FELL relative to its domain;
     re-pin and rebuild when the domain drifts — the same re-train
-    discipline as the k-means centroids). Null values are dropped
-    BEFORE the clamp — greatest/least skip NULLs, so an unfiltered
-    null would silently land in the top bin while the batch report
-    filters it out; the explicit filter keeps streaming-vs-batch
-    parity on dirty inputs by construction."""
+    discipline as the k-means centroids). Null and NaN values are
+    dropped BEFORE the clamp — greatest/least skip NULLs, so an
+    unfiltered null would silently land in the top bin (and a NaN cast
+    to 0) while the batch report filters both out; the explicit filter
+    keeps streaming-vs-batch parity on dirty inputs by construction."""
     lo, hi = int(lo), int(hi)
     width = (hi - lo) // n_bins + 1
     q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
     clamped = F.greatest(F.lit(lo).cast("bigint"), F.least(F.lit(hi).cast("bigint"), q))
-    base = events.where(F.col("value").isNotNull()).select(
-        F.col("event_type").alias("scope"), clamped.alias("q")
-    )
+    base = events.where(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+    ).select(F.col("event_type").alias("scope"), clamped.alias("q"))
     return (
         base.select(
             "scope",

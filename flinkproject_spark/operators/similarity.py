@@ -689,6 +689,14 @@ def pq_adc_topk(
 KM_SCALE = 1000  # same round(v*1000) -> int64 contract as the SRP/PQ tiers
 KM_TARGET_CELL_ROWS = 100  # auto-k targets ~100-row cells until K_MAX binds
 KM_K_MAX = 256  # exact-assignment cost cap: n*k*d stays O(n) past the cap
+# Fit-arithmetic version: BUMP whenever kmeans_fit / kmeans_fit_sampled /
+# the quantize-assign-update kernels change their OUTPUT for the same
+# input (new seeding, different update rule, changed auto-k formula...).
+# Persisted-model caches (e.g. __spark_entry__._kmeans_model) fold this
+# into their fingerprint so a code change invalidates stored centroids
+# automatically instead of serving a stale fit the oracle can no longer
+# replay (r10 review).
+KMEANS_FIT_VERSION = 2  # v2 = r10 sample-size guard era
 
 
 def _km_quantize(vec_col: str = "embedding") -> Column:
@@ -908,15 +916,20 @@ def kmeans_fit_sampled(
         )
     h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
     member = F.pmod(h, F.lit(sample_mod)) == 0
-    # ONE aggregate serves both the auto-k full count and the sample-size
-    # guard — not two separate scans (r10 review)
-    row = embeddings.agg(
-        F.count("*").alias("n"),
-        F.sum(member.cast("long")).alias("ns"),
-    ).first()
-    n, n_sample = int(row["n"]), int(row["ns"] or 0)
     if k is None:
+        # ONE aggregate serves both the auto-k full count and the
+        # sample-size guard — not two separate scans (r10 review)
+        row = embeddings.agg(
+            F.count("*").alias("n"),
+            F.sum(member.cast("long")).alias("ns"),
+        ).first()
+        n, n_sample = int(row["n"]), int(row["ns"] or 0)
         k = kmeans_auto_k(n, target_cell_rows)
+    else:
+        # explicit k never needed the full count; count only the sample
+        # members for the guard (one narrower aggregate, same single
+        # scan the guard costs either way — r10 advice)
+        n_sample = embeddings.where(member).count()
     if n_sample < k:
         # Lloyd on fewer rows than centroids silently returns < k cells,
         # quietly breaking the "k tracks the full corpus" contract — fail

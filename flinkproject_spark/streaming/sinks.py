@@ -1614,21 +1614,58 @@ def compact_delta_log(spark, path: str, key_cols: list[str]) -> None:
     per_batch = raw.groupBy("batch_id", *key_cols).agg(
         *[F.max(c).alias(c) for c in vals]
     )
-    merged_wide = per_batch.groupBy(*key_cols).agg(
-        *[F.sum(c).alias(c) for c in vals]
-    )
-    _INT_MAX = {_T.ByteType: 127, _T.ShortType: 32767, _T.IntegerType: 2147483647}
-    checks = []
-    for c in vals:
+    _INT_MAX = {
+        _T.ByteType: 127,
+        _T.ShortType: 32767,
+        _T.IntegerType: 2147483647,
+        _T.LongType: 9223372036854775807,
+    }
+
+    # Integral and decimal columns are summed as DECIMAL(38, scale), not
+    # their native type: F.sum over bigint deltas wraps at the AGGREGATION
+    # itself under non-ANSI semantics (and decimal sums null out past
+    # precision+10), which would defeat the range check below — the wide
+    # sum keeps the true total so the guard can see it (r10 advice). The
+    # narrowing cast back to the delta type happens only after the check.
+    def _sum_expr(c):
         t = in_type[c]
         if type(t) in _INT_MAX:
+            return F.sum(F.col(c).cast(_T.DecimalType(38, 0))).alias(c)
+        if isinstance(t, _T.DecimalType):
+            return F.sum(F.col(c).cast(_T.DecimalType(38, t.scale))).alias(c)
+        return F.sum(c).alias(c)
+
+    guarded = [
+        c for c in vals
+        if type(in_type[c]) in _INT_MAX or isinstance(in_type[c], _T.DecimalType)
+    ]
+    merged_wide = per_batch.groupBy(*key_cols).agg(
+        *[_sum_expr(c) for c in vals],
+        # per-key non-null input counts: distinguish a legitimately-null
+        # sum (all inputs null) from a DECIMAL(38) overflow nulled by
+        # non-ANSI sum — the one case the wide type itself can't absorb
+        *[F.count(c).alias(f"__cnt_{c}") for c in guarded],
+    )
+    checks = []
+    for c in guarded:
+        t = in_type[c]
+        # a null wide sum over >0 non-null inputs = DECIMAL(38) overflow
+        over_null = F.col(c).isNull() & (F.col(f"__cnt_{c}") > 0)
+        if type(t) in _INT_MAX:
             hi = _INT_MAX[type(t)]
-            checks.append(F.max((F.abs(F.col(c)) > hi).cast("int")).alias(c))
-        elif isinstance(t, _T.DecimalType):
-            lim = float(10 ** (t.precision - t.scale))
-            checks.append(
-                F.max((F.abs(F.col(c).cast("double")) >= lim).cast("int")).alias(c)
+            over_rng = F.abs(F.col(c)) > F.lit(str(hi)).cast(_T.DecimalType(38, 0))
+        elif t.precision < 38:
+            # decimal-vs-decimal compare — a double cast is imprecise near
+            # the limit (r10 advice); 10^(p-s) fits DECIMAL(38,s) whenever
+            # p < 38, and at p == 38 the wide sum IS the delta type (no
+            # narrowing occurs; only the overflow-to-null case remains)
+            lim = str(10 ** (t.precision - t.scale))
+            over_rng = F.abs(F.col(c)) >= F.lit(lim).cast(
+                _T.DecimalType(38, t.scale)
             )
+        else:
+            over_rng = F.lit(False)
+        checks.append(F.max((over_null | over_rng).cast("int")).alias(c))
     if checks:
         over = merged_wide.agg(*checks).first().asDict()
         bad = sorted(c for c, flag in over.items() if flag)

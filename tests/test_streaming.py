@@ -148,6 +148,38 @@ def test_unique_visits_stream_matches_batch(spark, events, staged):
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
+def test_unique_visits_tws_construction(spark, events, staged):
+    """The transformWithState twin (A10+A14 via Spark 4's
+    StatefulProcessor) must CONSTRUCT everywhere — plan building needs no
+    google.protobuf, only execution does — and carry the exact output
+    schema of the applyInPandasWithState production path."""
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    df = stateful.unique_visits_tws(wm)
+    assert df.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("event_id", "bigint"),
+        ("ts", "string"),
+        ("user_id", "bigint"),
+        ("dt", "string"),
+        ("event_type", "string"),
+    ]
+
+
+def test_unique_visits_tws_matches_batch(spark, events, staged):
+    """Replay parity for the transformWithState twin: identical output to
+    the oracle-checked batch operator (and therefore to
+    unique_visits_stream, which pins the same rows above). Execution-gated
+    on google.protobuf — PySpark's transformWithState worker serializes
+    its state protocol with protobuf, uninstallable in this sandbox; on
+    any normal cluster the gate is `pip install protobuf`."""
+    pytest.importorskip("google.protobuf")
+    wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
+    got = replay.run_to_table(stateful.unique_visits_tws(wm))
+    want = state.unique_visits(events)
+    cols = want.columns
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
 def test_bounce_stream_matches_batch_incl_timeout_path(spark, events, staged):
     wm = jobs.watermarked_events(_stream(spark, staged), delay="1 minute")
     got = replay.run_to_table(stateful.detect_bounces_stream(wm))
@@ -2572,3 +2604,25 @@ def test_compact_delta_log_keeps_delta_schema_and_guards_overflow(
     ).write.mode("append").parquet(path2)
     with _pytest.raises(ValueError, match="type range"):
         sinks.compact_delta_log(spark, path2, key_cols=["k"])
+
+    # bigint overflow (r10 advice): a native F.sum over bigint deltas
+    # WRAPS at the aggregation itself under non-ANSI semantics before any
+    # range check can run — the DECIMAL(38,0)-wide sum keeps the true
+    # total so this must raise too, not silently snapshot a wrapped value
+    path3 = str(tmp_path / "dl3")
+    spark.createDataFrame(
+        [(0, "a", 9_000_000_000_000_000_000), (1, "a", 9_000_000_000_000_000_000)],
+        "batch_id int, k string, lval long",
+    ).write.mode("append").parquet(path3)
+    with _pytest.raises(ValueError, match="type range"):
+        sinks.compact_delta_log(spark, path3, key_cols=["k"])
+    # and an in-range bigint column still compacts exactly
+    path4 = str(tmp_path / "dl4")
+    spark.createDataFrame(
+        [(0, "a", 4_000_000_000_000_000_000), (1, "a", 4_000_000_000_000_000_000)],
+        "batch_id int, k string, lval long",
+    ).write.mode("append").parquet(path4)
+    sinks.compact_delta_log(spark, path4, key_cols=["k"])
+    out4 = spark.read.parquet(path4)
+    assert dict(out4.dtypes)["lval"] == "bigint"
+    assert out4.first().lval == 8_000_000_000_000_000_000

@@ -1322,6 +1322,32 @@ def q_dedup_embedding_trained(spark, sf):
     return dedup.embedding_near_dups(relabeled, threshold=0.35, max_cell_rows=2000)
 
 
+def q_sim_topk_ivf_pq(spark, sf):
+    """The COMPOSED trained ANN serving tier (VERDICT r10 task 1) —
+    IVFADC proper: trained k-means cells route each query to nprobe=2
+    cells, the broadcast ADC table scores ONLY those cells' members from
+    their m=16 6-bit PQ codes, and the corpus-sized shortlist
+    (pq_auto_rerank) is re-scored exact (similarity.ivf_pq_topk). A THIRD
+    consumer of the persisted `_kmeans_model` table — fit once, serve the
+    cell audit, near-dup, AND ANN — while the oracle replays fit +
+    routing + codes + ADC + rerank from first principles."""
+    emb, cent = _kmeans_model(spark, sf)
+    return similarity.ivf_pq_topk(emb, QUERY_IDS, centroids=cent)
+
+
+def q_ivf_pq_recall_report(spark, sf):
+    """Recall@10 of the composed IVF x PQ tier against the exact
+    brute-force ground truth — the calibration row that certifies what
+    the composition trades for its cell-pruned compressed scan (the
+    same report shape as ann_recall_report / pq_recall_report, both
+    pipelines DuckDB-reproducible)."""
+    emb, cent = _kmeans_model(spark, sf)
+    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
+    approx = similarity.ivf_pq_topk(emb, QUERY_IDS, centroids=cent)
+    out = similarity.recall_at_k(approx, exact, k=10)
+    return out.select("query_id", F.round("recall", 6).alias("recall"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles. Round-10 window (VERDICT r09
@@ -1345,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans_serve": q_cluster_kmeans_serve,
         "dedup_embedding_served": q_dedup_embedding_served,
         "event_transitions": q_event_transitions,
+        "sim_topk_ivf_pq": q_sim_topk_ivf_pq,
+        "ivf_pq_recall_report": q_ivf_pq_recall_report,
         # -- the 37 rows whose last driver check was r07 (oldest evidence)
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
@@ -2405,6 +2433,118 @@ FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
 """
 
 
+def _ivf_pq_sql(
+    m: int = 16, bits: int = 6, nprobe: int = 2, k: int = 10, sample_mod: int = 4
+) -> str:
+    """Oracle twin of similarity.ivf_pq_topk: the unrolled sampled k-means
+    CTEs (fit + serving assignment — the persisted model is a cache of
+    this pure function) supply cells, a Q x k int64-L2 routing CTE picks
+    nprobe cells per query (ties: smallest cid), candidates are the
+    probed cells' members, and the _pq_sql machinery (md5 hyperplanes,
+    codes, codebook sums, two-IEEE-division ADC terms, fixed-order m-term
+    score, corpus-sized auto shortlist, exact rounded-cosine rerank)
+    scores ONLY those candidates. The PQ quantization reuses the k-means
+    `q` CTE — identical round(v*1000) int64 contract."""
+    n = _KM_N_ITER
+    sub = 64 // m
+    qids = ", ".join(str(i) for i in QUERY_IDS)
+    t_sum = " + ".join(f"SUM(CASE WHEN blk = {b} THEN term END)" for b in range(m))
+    dot = _DOT.format(a="eq.embedding", b="ec.embedding")
+    qn = _NORM.format(a="eq.embedding")
+    cn = _NORM.format(a="ec.embedding")
+    return f"""
+WITH {_kmeans_ctes(sample_mod=sample_mod)},
+rp AS (
+  SELECT CASE WHEN COUNT(*) <= 2000 THEN 100
+         ELSE 100 * CAST(pow(2, CAST(ceil(log2(COUNT(*) / 2000.0) / 2)
+                                     AS BIGINT)) AS BIGINT) END AS r
+  FROM embeddings),
+qroute AS (
+  SELECT v.vec_id AS query_id, c.cid,
+         list_sum(list_transform(range(1, len(v.qv) + 1),
+           j -> (v.qv[j] - c.cent[j]) * (v.qv[j] - c.cent[j]))) AS qd2
+  FROM q v CROSS JOIN cent{n} c
+  WHERE v.vec_id IN ({qids})),
+probes AS (
+  SELECT query_id, cid FROM qroute
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY qd2, cid) <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM a{n + 1} a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id),
+proj AS (
+  SELECT b.blk, t.t, j.j,
+         (('0x' || substr(md5('pq:' || b.blk || ':' || j.j || ':' || t.t), 1, 15))::BIGINT
+          % 2001) - 1000 AS p
+  FROM range(0, {m}) b(blk), range(0, {bits}) j(j), range(0, {sub}) t(t)),
+dots AS (
+  SELECT q1.vec_id, pr.blk, pr.j,
+         SUM(q1.qv[pr.blk * {sub} + pr.t + 1] * pr.p) AS s
+  FROM q q1, proj pr GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, blk,
+         SUM(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS code
+  FROM dots GROUP BY 1, 2),
+cb AS (
+  SELECT c.blk, c.code, t.t,
+         SUM(q1.qv[c.blk * {sub} + t.t + 1]) AS s,
+         COUNT(*) AS n
+  FROM codes c JOIN q q1 USING (vec_id) CROSS JOIN range(0, {sub}) t(t)
+  GROUP BY 1, 2, 3),
+adc AS (
+  SELECT q2.vec_id AS query_id, cb.blk, cb.code,
+         (CAST(SUM(q2.qv[cb.blk * {sub} + cb.t + 1] * cb.s) AS DOUBLE)
+          / CAST(MAX(cb.n) AS DOUBLE)) / 1000000.0 AS term
+  FROM q q2 CROSS JOIN cb
+  WHERE q2.vec_id IN ({qids})
+  GROUP BY 1, 2, 3),
+pairs AS (
+  SELECT cd.query_id, cd.neighbor_id, c.blk, a.term
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.neighbor_id
+  JOIN adc a ON a.query_id = cd.query_id
+            AND a.blk = c.blk AND a.code = c.code),
+sc AS (
+  SELECT query_id, neighbor_id, round({t_sum}, 6) AS adc_score
+  FROM pairs GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id, adc_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_score DESC, neighbor_id) AS srank
+  FROM sc QUALIFY srank <= (SELECT r FROM rp))
+SELECT s.query_id,
+       row_number() OVER (PARTITION BY s.query_id
+                          ORDER BY round(({dot}) / (({qn}) * ({cn})), 6) DESC,
+                                   s.neighbor_id) AS rank,
+       s.neighbor_id,
+       round(({dot}) / (({qn}) * ({cn})), 6) AS cosine
+FROM short s
+JOIN embeddings eq ON eq.vec_id = s.query_id
+JOIN embeddings ec ON ec.vec_id = s.neighbor_id
+QUALIFY rank <= {k}
+"""
+
+
+def _ivf_pq_recall_sql() -> str:
+    """Oracle twin of q_ivf_pq_recall_report: the exact brute-force and
+    the composed IVFxPQ pipelines as CTEs, then per-query
+    |exact ∩ approx| / |exact| — the same shape as _pq_recall_sql."""
+    return f"""
+WITH ex AS ({_topk_sql(cell_pruned=False).strip()}),
+ap AS ({_ivf_pq_sql().strip()}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM ex e JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1),
+base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+SELECT b.query_id,
+       round(COALESCE(h.n_hit, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
 _LANG_SCORES = ",\n  ".join(
     "len(list_filter(x, t -> {ors})) AS s_{lg}".format(
         ors=" OR ".join(f"t = '{m}'" for m in ms), lg=lg
@@ -3323,6 +3463,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_report": _ann_recall_sql(),
         "sim_topk_pq": _pq_sql(),
         "pq_recall_report": _pq_recall_sql(),
+        "sim_topk_ivf_pq": _ivf_pq_sql(),
+        "ivf_pq_recall_report": _ivf_pq_recall_sql(),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
         "sim_topk_ivf_nprobe": _topk_nprobe_sql(),

@@ -530,6 +530,96 @@ def pq_auto_rerank(n_vectors: int, r0: int = 100, n0: int = 2000) -> int:
     return r0 * (1 << math.ceil(math.log2(n_vectors / n0) / 2))
 
 
+def _adc_table(enc: DataFrame, query_ids: list[int]) -> DataFrame:
+    """Per-query ADC lookup table from the encoded corpus: (query_id,
+    block, code, term) where term = (exact int dot of the query subvector
+    with the codeword SUM) / n / 1e6 — two IEEE divisions of exact
+    integers, the determinism contract pq_adc_topk documents. Q x m x
+    2^bits rows (kilobytes for a serving probe set)."""
+    cb = pq_codebook(enc)
+    qs = enc.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "block", F.col("qsub").alias("qq")
+    )
+    num = F.aggregate(
+        F.zip_with("qq", "S", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return qs.join(cb, "block").select(
+        "query_id",
+        "block",
+        "code",
+        (
+            (num.cast("double") / F.col("n").cast("double"))
+            / F.lit(float(PQ_SCALE * PQ_SCALE))
+        ).alias("term"),
+    )
+
+
+def _adc_shortlist(scored: DataFrame, m: int, shortlist_k: int) -> DataFrame:
+    """Fold per-(query, candidate) block terms into the ADC score and rank:
+    the m terms are pivoted into fixed columns and added in FIXED block
+    order (t0 + t1 + ... + t{m-1}, never a commutative SUM), rounded to
+    6 dp before ranking, so the oracle reproduces scores AND tie-breaks
+    bit-for-bit. Input (query_id, neighbor_id, block, term); output the
+    (query_id, rank, neighbor_id, adc_score) shortlist."""
+    from functools import reduce
+
+    per_pair = scored.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.sum(F.when(F.col("block") == b, F.col("term"))).alias(f"t{b}")
+            for b in range(m)
+        ]
+    )
+    score = F.round(
+        reduce(lambda a, b: a + b, [F.col(f"t{b}") for b in range(m)]), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        per_pair.withColumn("adc_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= shortlist_k)
+        .select("query_id", "rank", "neighbor_id", "adc_score")
+    )
+
+
+def _exact_rerank(
+    embeddings: DataFrame, shortlist: DataFrame, query_ids: list[int], k: int
+) -> DataFrame:
+    """Refine stage shared by the compressed tiers: exact cosine on the
+    Q x R shortlist only (broadcast the tiny id list against the
+    collection — full vectors never shuffle), reusing the brute-force
+    tier's rounded-cosine ranking contract."""
+    e = with_norm(embeddings)
+    qvecs = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cvecs = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    resc = (
+        cvecs.join(
+            F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id"
+        )
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6)
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        resc.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -590,8 +680,6 @@ def pq_adc_topk(
     (query_id, rank, neighbor_id, cosine) — the top-k contract shared
     with the exact tiers, ready for recall_at_k calibration.
     """
-    from functools import reduce
-
     if isinstance(rerank, str):
         if rerank != "auto":
             raise ValueError(
@@ -610,77 +698,16 @@ def pq_adc_topk(
     # .persist() does. Eager: one materialization job here, then every
     # branch reads the stored blocks — same total work as the persist.
     enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=True)
-    cb = pq_codebook(enc)
-    qs = enc.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), "block", F.col("qsub").alias("qq")
-    )
-    num = F.aggregate(
-        F.zip_with("qq", "S", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    adc = qs.join(cb, "block").select(
-        "query_id",
-        "block",
-        "code",
-        (
-            (num.cast("double") / F.col("n").cast("double"))
-            / F.lit(float(PQ_SCALE * PQ_SCALE))
-        ).alias("term"),
-    )
+    adc = _adc_table(enc, query_ids)
     cands = enc.select(F.col("vec_id").alias("neighbor_id"), "block", "code")
     adc_side = F.broadcast(adc) if broadcast_adc else adc
     scored = cands.join(adc_side, ["block", "code"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    per_pair = scored.groupBy("query_id", "neighbor_id").agg(
-        *[
-            F.sum(F.when(F.col("block") == b, F.col("term"))).alias(f"t{b}")
-            for b in range(m)
-        ]
-    )
-    score = F.round(
-        reduce(lambda a, b: a + b, [F.col(f"t{b}") for b in range(m)]), 6
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        per_pair.withColumn("adc_score", score)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= shortlist_k)
-        .select("query_id", "rank", "neighbor_id", "adc_score")
-    )
+    shortlist = _adc_shortlist(scored, m, shortlist_k)
     if rerank is None:
         return shortlist
-    # refine: exact cosine on the Q x R shortlist only (broadcast the tiny
-    # id list against the collection; full vectors never shuffle)
-    e = with_norm(embeddings)
-    qvecs = e.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cvecs = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    resc = (
-        cvecs.join(
-            F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id"
-        )
-        .join(F.broadcast(qvecs), "query_id")
-        .withColumn(
-            "cosine", F.round(cosine_expr("q_emb", "c_emb", "q_norm", "c_norm"), 6)
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        resc.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _exact_rerank(embeddings, shortlist, query_ids, k)
 
 
 # ---------------------------------------------------------------------------
@@ -957,6 +984,119 @@ def kmeans_assign(
     return _km_assign(q, centroids.select("cid", "cent")).select(
         "vec_id", "cid", "d2"
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 16,
+    bits: int = 6,
+    nprobe: int = 2,
+    rerank: int | str | None = "auto",
+    centroids: DataFrame | None = None,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """The COMPOSED 100 TB ANN serving tier — IVFADC proper (Jegou et al.
+    2011, both halves together): trained coarse cells route each query to
+    `nprobe` cells, the ADC lookup table scores ONLY those cells' members
+    from their m PQ codes, and the per-query shortlist is re-scored with
+    exact vectors. Each stage is the already-verified parent operator —
+    :func:`kmeans_fit_sampled`/:func:`kmeans_assign` (the trained coarse
+    quantizer), :func:`pq_encode`/:func:`_adc_table` (compressed scoring),
+    :func:`_exact_rerank` (full-precision refine) — so the composition
+    adds routing, not new arithmetic.
+
+    Why compose: the PQ-only tier (pq_adc_topk) still touches every
+    candidate's codes — O(n*m) lookups per query; the IVF-only tier
+    (cosine_topk_ivf_trained form) reads full d-float vectors for every
+    cell member. Composed, the scan is cell-pruned AND compressed:
+    O(nprobe * E[cell] * m) code lookups per query plus R exact fetches —
+    at 100 TB the collection is stored partitioned by cid (codes
+    colocated), so the probe is a partition-pruned scan of code columns
+    ~64x narrower than the vectors, and only the R-row shortlist ever
+    reads floats. Broadcast bounds: centroids (k <= KM_K_MAX rows), the
+    ADC table (Q x m x 2^bits), the candidate pair list (Q * nprobe *
+    E[cell], pinned ~target_cell_rows by the auto-k contract until
+    KM_K_MAX binds) — all driver-safe serving metadata.
+
+    Coarse routing metric is the SAME exact int64 squared L2 the
+    assignment uses (quantized query vs centroid, ties to smallest cid),
+    computed as an interpreted zip_with fold — fine HERE because the
+    routing table is Q x k tiny, while corpus-side assignment goes
+    through _km_assign's numpy matmul. Codes are GLOBAL (one codebook,
+    not per-cell residuals as in classical IVFADC): residual encoding
+    would couple the codebook to the fit and break the module's
+    cross-engine determinism contract; the exact rerank recovers the
+    precision the global codebook gives up (recall measured by
+    q_ivf_pq_recall_report).
+
+    `centroids`: pass the persisted model table (kmeans_fit_sampled
+    output) — the fit-once/serve-many production shape; None refits
+    inline (sample_mod hash-membership sample), the self-contained
+    oracle form. Determinism: every stage is the parents' exact
+    arithmetic, so the DuckDB oracle replays fit + routing + codes +
+    ADC + rerank end-to-end.
+
+    Returns (query_id, rank, neighbor_id, cosine) — or the ADC-score
+    shortlist when rerank is None — the top-k contract shared with every
+    ANN tier, ready for recall_at_k.
+
+    Reference parity: the reference has no ANN surface; this is the
+    north-star serving composition its dim-lookup tier (DimUtil.java:13-45
+    — hot-path lookup against a persisted store) plays for warehouse rows,
+    applied to embedding search.
+    """
+    if centroids is None:
+        centroids = kmeans_fit_sampled(embeddings, sample_mod=sample_mod)
+    cent = centroids.select("cid", "cent")
+
+    # --- coarse routing: nprobe nearest trained cells per query ---------
+    qz = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _km_quantize().alias("qq")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("qq", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cid"))
+    probes = (
+        qz.crossJoin(F.broadcast(cent))
+        .withColumn("qd2", qd2)
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    # --- candidate set: members of the probed cells ---------------------
+    asg = kmeans_assign(embeddings, centroids=cent)
+    cand_pairs = (
+        asg.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # --- ADC shortlist over the candidates only -------------------------
+    if isinstance(rerank, str):
+        if rerank != "auto":
+            raise ValueError(
+                f"ivf_pq_topk: rerank={rerank!r} — the only string mode "
+                "is 'auto' (corpus-sized R via pq_auto_rerank); pass an "
+                "int for an explicit shortlist"
+            )
+        rerank = pq_auto_rerank(embeddings.count())
+    shortlist_k = rerank if rerank is not None else k
+    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=True)
+    adc = _adc_table(enc, query_ids)
+    cand_codes = enc.select(
+        F.col("vec_id").alias("neighbor_id"), "block", "code"
+    ).join(F.broadcast(cand_pairs), "neighbor_id")
+    scored = cand_codes.join(F.broadcast(adc), ["query_id", "block", "code"])
+    shortlist = _adc_shortlist(scored, m, shortlist_k)
+    if rerank is None:
+        return shortlist
+    return _exact_rerank(embeddings, shortlist, query_ids, k)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,11 @@ BNLJ_ALLOWED = {
     # r09: the tfidf n_docs 1-row broadcast (same shape as text_tfidf)
     # plus the trained tier's intended tiny-x-data Lloyd shapes
     "cluster_topics",
+    # r11: the composed IVFxPQ tier routes each query by cross-joining
+    # the tiny query set against the <=KM_K_MAX-row persisted centroid
+    # table (tiny x tiny, the sim_topk_ivf_nprobe shape); the recall
+    # report additionally composes the allowed brute-force ground truth
+    "sim_topk_ivf_pq", "ivf_pq_recall_report",
 }
 
 

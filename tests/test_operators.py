@@ -2351,6 +2351,68 @@ def test_pq_auto_rerank_formula_and_modes(tables):
     assert key(bulk) == key(auto)
 
 
+def test_ivf_pq_candidates_come_from_probed_cells_only(tables):
+    """The composed IVFxPQ tier's cell pruning is real: every neighbor it
+    returns is a member (by the trained assignment) of one of its query's
+    nprobe routed cells — recomputed independently here with numpy using
+    the same int64 quantize/L2/tie-break contract."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    qids = [0, 1, 2]
+    cent = similarity.kmeans_fit_sampled(emb, sample_mod=4).select("cid", "cent")
+    out = similarity.ivf_pq_topk(emb, qids, nprobe=2, centroids=cent).collect()
+    asg = {
+        r.vec_id: r.cid
+        for r in similarity.kmeans_assign(emb, centroids=cent).collect()
+    }
+    cents = sorted(cent.collect(), key=lambda r: r.cid)
+    C = np.array([list(r.cent) for r in cents], dtype=np.float64)
+    cids = [r.cid for r in cents]
+    qvecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    probed = {}
+    for qid, vec in qvecs.items():
+        y = np.array(vec, dtype=np.float64) * 1000.0
+        qv = np.sign(y) * np.floor(np.abs(y) + 0.5)  # half away from zero
+        d2 = ((qv[None, :] - C) ** 2).sum(axis=1)
+        order = sorted(range(len(cids)), key=lambda i: (d2[i], cids[i]))[:2]
+        probed[qid] = {cids[i] for i in order}
+    assert out, "composed tier returned nothing"
+    for r in out:
+        assert asg[r.neighbor_id] in probed[r.query_id], (
+            f"neighbor {r.neighbor_id} (cell {asg[r.neighbor_id]}) leaked "
+            f"past query {r.query_id}'s probes {probed[r.query_id]}"
+        )
+
+
+def test_ivf_pq_persisted_equals_inline_and_recall_bounds(tables):
+    """Fit-once/serve-many parity: passing the persisted sampled-fit
+    centroid table is output-identical to the inline refit (the model is
+    a cache of a pure function). And the composition cannot lose to its
+    routing parent: with nprobe=2 the candidate set contains the single
+    stored-cell IVF parent's, and the exact rerank scores true cosines,
+    so recall@10 >= the trained single-cell tier's."""
+    emb = tables["embeddings"]
+    qids = [0, 1, 2, 3, 4]
+    key = lambda df: sorted(map(tuple, df.toPandas().to_numpy().tolist()))
+    cent = similarity.kmeans_fit_sampled(emb, sample_mod=4).select("cid", "cent")
+    served = similarity.ivf_pq_topk(emb, qids, centroids=cent)
+    inline = similarity.ivf_pq_topk(emb, qids)
+    assert key(served) == key(inline)
+
+    exact = similarity.cosine_topk_bruteforce(emb, qids)
+    asg = similarity.kmeans_assign(emb, centroids=cent).select(
+        "vec_id", F.col("cid").alias("label")
+    )
+    parent = similarity.cosine_topk_ivf(emb.drop("label").join(asg, "vec_id"), qids)
+    r_comp = similarity.recall_at_k(served, exact).agg(F.avg("recall")).first()[0]
+    r_parent = similarity.recall_at_k(parent, exact).agg(F.avg("recall")).first()[0]
+    assert r_comp >= r_parent
+
+
 # --- semdedup / dsir / zipf / split leakage (round-4 additions) ------------
 
 def test_semdedup_keeps_component_minimum_and_isolated_vectors(tables):

@@ -1335,6 +1335,59 @@ def q_sim_topk_ivf_pq(spark, sf):
     return similarity.ivf_pq_topk(emb, QUERY_IDS, centroids=cent)
 
 
+def q_a19_cjk_dictionary(spark, sf):
+    """A19 over REAL CJK text (VERDICT r10 task 2): the dictionary-BMM
+    segmenter tier driver-verified on actual Chinese strings — the
+    reference segments Chinese unconditionally (utils/KeywordUtil.java:
+    13-35, IK analyzer), while testdata's 'zh' docs are ASCII, so this
+    query DERIVES a deterministic CJK corpus inside the query: each
+    doc_id picks three words from the pinned sorted cjk.DEFAULT_LEXICON
+    by modular index plus one cjk.AMBIGUITY_PROBES string and
+    concatenates them WITHOUT delimiters. Random-word junctions alone
+    measured ZERO FMM/BMM divergence on this lexicon, so the probes pin
+    every disambiguation branch: backward wins (研究生命科学,
+    排行榜单), FORWARD wins (广大数据), junction merge into a longer
+    word (小米手机), and the empty probe (plain concatenation) —
+    2500/5000 sf0.1 docs diverge, 833 resolve forward. The registered
+    dictionary UDTF
+    (text.register_split_words(segmenter='dictionary'), the same LATERAL
+    shape as KeywordStatsApp.java:55-61) segments each phrase; the
+    output is the RAW per-document segmentation (doc_id, pos, word) —
+    the strongest checkable artifact — which the oracle replays with a
+    recursive-CTE BMM over the identical literal lexicon (FMM walk +
+    backward walk + the fewer-tokens/fewer-singletons/backward-wins
+    rule), both sides generated from the one Python constant."""
+    from flinkproject_spark.operators import cjk
+
+    session.configure(spark)
+    words = sorted(cjk.DEFAULT_LEXICON)
+    n = len(words)
+    pn = len(cjk.AMBIGUITY_PROBES)
+    text.register_split_words(spark, segmenter="dictionary")
+    arr = F.array(*[F.lit(w) for w in words])
+    parr = F.array(*[F.lit(p) for p in cjk.AMBIGUITY_PROBES])
+    docs = _t(spark, sf, "documents").select("doc_id")
+    phrases = docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(arr, (F.col("doc_id") % n + 1).cast("int")),
+            F.element_at(arr, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int")),
+            F.element_at(parr, (F.col("doc_id") % pn + 1).cast("int")),
+            F.element_at(arr, ((F.col("doc_id") * 13 + 5) % n + 1).cast("int")),
+        ).alias("phrase"),
+    )
+    phrases.createOrReplaceTempView("cjk_phrases_a19")
+    # same REPARTITION rationale as q_a19_udtf_lateral: the per-row Python
+    # UDTF must not run at file-count parallelism
+    nsp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.sql(f"""
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, word
+        FROM (SELECT /*+ REPARTITION({nsp}) */ doc_id, phrase
+              FROM cjk_phrases_a19) p,
+             LATERAL split_words(phrase)
+    """)
+
+
 def q_ivf_pq_recall_report(spark, sf):
     """Recall@10 of the composed IVF x PQ tier against the exact
     brute-force ground truth — the calibration row that certifies what
@@ -1373,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "sim_topk_ivf_pq": q_sim_topk_ivf_pq,
         "ivf_pq_recall_report": q_ivf_pq_recall_report,
+        "a19_cjk_dictionary": q_a19_cjk_dictionary,
         # -- the 37 rows whose last driver check was r07 (oldest evidence)
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
@@ -2526,6 +2580,106 @@ QUALIFY rank <= {k}
 """
 
 
+def _cjk_dict_sql() -> str:
+    """Oracle twin of q_a19_cjk_dictionary: bidirectional maximum matching
+    replayed in pure SQL. The derived phrase table is rebuilt from the
+    same sorted-lexicon literals and modular indices; then per character
+    position the longest dictionary word STARTING there (fmatch/stepf)
+    and ENDING there (bmatch/stepb) feed two recursive walks — the FMM
+    walk steps forward by the match length (singletons step 1), the BMM
+    walk steps backward — and the classical disambiguation picks backward
+    unless forward has strictly fewer tokens or equal tokens with fewer
+    unmatched singletons (operators/cjk.py segment_run, exact rule).
+    arg_max ties are impossible (one substring per (pos, length))."""
+    from flinkproject_spark.operators.cjk import AMBIGUITY_PROBES, DEFAULT_LEXICON
+
+    words = sorted(DEFAULT_LEXICON)
+    n = len(words)
+    pn = len(AMBIGUITY_PROBES)
+    idx_vals = ", ".join(f"({i + 1}, '{w}')" for i, w in enumerate(words))
+    probe_vals = ", ".join(
+        f"({i + 1}, '{p}')" for i, p in enumerate(AMBIGUITY_PROBES)
+    )
+    lex_vals = ", ".join(f"('{w}', {len(w)})" for w in words)
+    return f"""
+WITH RECURSIVE
+wl(i, w) AS (VALUES {idx_vals}),
+pr(i, s) AS (VALUES {probe_vals}),
+lex(w, wlen) AS (VALUES {lex_vals}),
+ph AS (
+  SELECT d.doc_id, w1.w || w2.w || p.s || w3.w AS phrase
+  FROM documents d
+  JOIN wl w1 ON w1.i = d.doc_id % {n} + 1
+  JOIN wl w2 ON w2.i = (d.doc_id * 7 + 3) % {n} + 1
+  JOIN pr p ON p.i = d.doc_id % {pn} + 1
+  JOIN wl w3 ON w3.i = (d.doc_id * 13 + 5) % {n} + 1),
+pos AS (
+  SELECT doc_id, phrase, len(phrase) AS plen, t.i AS p
+  FROM ph, unnest(generate_series(1, len(phrase))) AS t(i)),
+fmatch AS (
+  SELECT o.doc_id, o.p, l.w, l.wlen
+  FROM pos o JOIN lex l
+    ON l.wlen >= 2 AND substr(o.phrase, o.p, l.wlen) = l.w),
+stepf AS (
+  SELECT o.doc_id, o.p,
+         COALESCE(b.w, substr(o.phrase, o.p, 1)) AS tok,
+         COALESCE(b.step, 1) AS step
+  FROM pos o LEFT JOIN (
+    SELECT doc_id, p, arg_max(w, wlen) AS w, MAX(wlen) AS step
+    FROM fmatch GROUP BY 1, 2) b
+  ON b.doc_id = o.doc_id AND b.p = o.p),
+bmatch AS (
+  SELECT o.doc_id, o.p AS j, l.w, l.wlen
+  FROM pos o JOIN lex l
+    ON l.wlen >= 2 AND o.p >= l.wlen
+   AND substr(o.phrase, o.p - l.wlen + 1, l.wlen) = l.w),
+stepb AS (
+  SELECT o.doc_id, o.p AS j,
+         COALESCE(b.w, substr(o.phrase, o.p, 1)) AS tok,
+         COALESCE(b.step, 1) AS step
+  FROM pos o LEFT JOIN (
+    SELECT doc_id, j, arg_max(w, wlen) AS w, MAX(wlen) AS step
+    FROM bmatch GROUP BY 1, 2) b
+  ON b.doc_id = o.doc_id AND b.j = o.p),
+fwd(doc_id, p, ord) AS (
+  SELECT doc_id, 1, 0 FROM ph
+  UNION ALL
+  SELECT f.doc_id, f.p + s.step, f.ord + 1
+  FROM fwd f JOIN stepf s ON s.doc_id = f.doc_id AND s.p = f.p),
+bwd(doc_id, j, rord) AS (
+  SELECT doc_id, len(phrase), 0 FROM ph
+  UNION ALL
+  SELECT b.doc_id, b.j - s.step, b.rord + 1
+  FROM bwd b JOIN stepb s ON s.doc_id = b.doc_id AND s.j = b.j
+  WHERE b.j >= 1),
+ftoks AS (
+  SELECT f.doc_id, f.ord AS idx, s.tok
+  FROM fwd f JOIN stepf s ON s.doc_id = f.doc_id AND s.p = f.p),
+btoks AS (
+  SELECT b.doc_id, b.rord, s.tok
+  FROM bwd b JOIN stepb s ON s.doc_id = b.doc_id AND s.j = b.j),
+fstats AS (
+  SELECT doc_id, COUNT(*) AS nt,
+         SUM(CASE WHEN len(tok) = 1 THEN 1 ELSE 0 END) AS sg
+  FROM ftoks GROUP BY 1),
+bstats AS (
+  SELECT doc_id, COUNT(*) AS nt,
+         SUM(CASE WHEN len(tok) = 1 THEN 1 ELSE 0 END) AS sg
+  FROM btoks GROUP BY 1),
+pick AS (
+  SELECT f.doc_id,
+         CASE WHEN (b.nt < f.nt) OR (b.nt = f.nt AND b.sg <= f.sg)
+              THEN 'b' ELSE 'f' END AS side,
+         b.nt AS bn
+  FROM fstats f JOIN bstats b ON b.doc_id = f.doc_id)
+SELECT t.doc_id, CAST(t.idx AS BIGINT) AS pos, t.tok AS word
+FROM ftoks t JOIN pick p ON p.doc_id = t.doc_id AND p.side = 'f'
+UNION ALL
+SELECT t.doc_id, CAST(p.bn - 1 - t.rord AS BIGINT) AS pos, t.tok AS word
+FROM btoks t JOIN pick p ON p.doc_id = t.doc_id AND p.side = 'b'
+"""
+
+
 def _ivf_pq_recall_sql() -> str:
     """Oracle twin of q_ivf_pq_recall_report: the exact brute-force and
     the composed IVFxPQ pipelines as CTEs, then per-query
@@ -3465,6 +3619,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_report": _pq_recall_sql(),
         "sim_topk_ivf_pq": _ivf_pq_sql(),
         "ivf_pq_recall_report": _ivf_pq_recall_sql(),
+        "a19_cjk_dictionary": _cjk_dict_sql(),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
         "sim_topk_ivf_nprobe": _topk_nprobe_sql(),

@@ -52,8 +52,20 @@ DEFAULT_LEXICON: frozenset[str] = frozenset({
     # general glue words
     "今天", "明天", "可以", "没有", "我们", "他们", "什么", "怎么",
     "非常", "推荐", "喜欢", "研究", "研究生", "生命", "科学", "中国",
-    "北京", "上海", "广州", "深圳",
+    "北京", "上海", "广州", "深圳", "广大",
 })
+
+# Pinned ambiguity probes for the driver-surface CJK query: each string
+# exercises a DIFFERENT branch of the bidirectional-MM disambiguation
+# against DEFAULT_LEXICON — backward wins (研究生|命 vs 研究|生命;
+# 排行榜|单 vs 排行|榜单), FORWARD wins (广大|数据 vs 广|大数据: fewer
+# singletons forward), junction merge into one longer word (小米手机),
+# agreement on multiword parses, and the empty probe (plain
+# concatenation). Kept here so the Spark query and the DuckDB oracle
+# derive their literals from the ONE constant.
+AMBIGUITY_PROBES: tuple[str, ...] = (
+    "", "研究生命科学", "小米手机", "排行榜单", "广大数据", "优惠券商品",
+)
 
 MAX_WORD_LEN = max(len(w) for w in DEFAULT_LEXICON)
 

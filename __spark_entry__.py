@@ -879,6 +879,19 @@ def q_corpus_pipeline_v4(spark, sf):
     return corpus.build_training_corpus_v4(_t(spark, sf, "documents"))
 
 
+def q_corpus_pipeline_v5(spark, sf):
+    """The TRAINED-classifier corpus build (plans/corpus.py v5): span
+    scrub -> dedup -> Naive Bayes quality gate under the PERSISTED
+    `_nb_model` table (fit once on the raw corpus, applied to the
+    scrubbed text — OOV-sound) -> budget pack ranked by the exact-int64
+    classifier margin. v4's hand-weighted composite replaced by the
+    trained signal end to end."""
+    from flinkproject_spark.plans import corpus
+
+    docs, model = _nb_model(spark, sf)
+    return corpus.build_training_corpus_v5(docs, model)
+
+
 def q_text_chunks(spark, sf):
     """Sliding-window document chunking (40-token chunks, 10 overlap)."""
     return text.chunk_documents(_t(spark, sf, "documents"))
@@ -1263,6 +1276,59 @@ def _kmeans_model(spark, sf):
     return emb, spark.read.parquet(model_dir)
 
 
+def _nb_model(spark, sf):
+    """Fit-once/serve-many cache for the trained NB quality classifier —
+    the `_kmeans_model` shape applied to text: persist the deterministic
+    fit (gate labels -> vocab log-odds, a pure function of the corpus) as
+    a vocabulary-sized parquet model table on first use, reload
+    thereafter. Fingerprint = corpus path + (size, mtime_ns) + fit params
+    + text.NB_FIT_VERSION so both data and fit-arithmetic changes
+    invalidate stored models. Returns (documents, model)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    docs = _t(spark, sf, "documents")
+    src = _os.path.join(_os.path.normpath(sf), "documents.parquet")
+    stat = _os.stat(src)
+    fp = _hashlib.md5(
+        f"{_os.path.abspath(src)}:{stat.st_size}:{stat.st_mtime_ns}:gopher:"
+        f"fitv{text.NB_FIT_VERSION}".encode()
+    ).hexdigest()[:16]
+    tag = _os.path.basename(_os.path.normpath(sf))
+    model_dir = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "spark-warehouse", "models", f"nbq_{tag}_{fp}",
+    )
+    if not _os.path.exists(_os.path.join(model_dir, "_SUCCESS")):
+        text.nb_quality_fit(docs).write.mode("overwrite").parquet(model_dir)
+    return docs, spark.read.parquet(model_dir)
+
+
+def q_quality_nb_fit(spark, sf):
+    """TRAINED quality classifier, fit face (VERDICT r10 task 4): the
+    full NB model table — per-token positive/negative counts and
+    add-1-smoothed log-likelihood ratio in exact int64 ppm, plus the
+    prior row — distilled from the Gopher gate as weak supervision
+    (text.nb_quality_fit). The oracle replays gates -> labels -> vocab
+    counts -> smoothed ratios from first principles, so the FIT ITSELF
+    is value-verified, not just its use (the kmeans_fit discipline)."""
+    model = text.nb_quality_fit(_t(spark, sf, "documents"))
+    return model.select(
+        "token", "ct_pos", "ct_neg",
+        (F.col("lr") * 1000000).cast("bigint").alias("lr_ppm"),
+    )
+
+
+def q_quality_nb_scores(spark, sf):
+    """TRAINED quality classifier, serve face: per-doc NB log-odds score
+    from the PERSISTED model table (`_nb_model` cache — fit once, score
+    every batch), pure int64 sums, with the classifier verdict and the
+    teacher gate label side-by-side so their agreement is itself
+    oracle-audited (text.nb_quality_scores)."""
+    docs, model = _nb_model(spark, sf)
+    return text.nb_quality_scores(docs, model=model)
+
+
 def q_cluster_kmeans_serve(spark, sf):
     """Fit-once / SERVE-MANY — the 100 TB deployment shape of the trained
     tier (VERDICT r09 #2): the sampled fit is persisted as a k-row parquet
@@ -1427,6 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf_pq": q_sim_topk_ivf_pq,
         "ivf_pq_recall_report": q_ivf_pq_recall_report,
         "a19_cjk_dictionary": q_a19_cjk_dictionary,
+        "quality_nb_fit": q_quality_nb_fit,
+        "quality_nb_scores": q_quality_nb_scores,
+        "corpus_pipeline_v5": q_corpus_pipeline_v5,
         # -- the 37 rows whose last driver check was r07 (oldest evidence)
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
@@ -2580,6 +2649,136 @@ QUALIFY rank <= {k}
 """
 
 
+def _nb_ctes() -> str:
+    """Shared CTE chain for the NB quality classifier oracles: Gopher
+    gates -> weak labels -> per-token class counts -> smoothed log-odds
+    model in exact int64 ppm (round-6 then DECIMAL-scale, the dsir_vocab
+    contract) + the '' prior row. Replays text.nb_quality_fit exactly."""
+    return """
+d AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS x
+      FROM documents),
+gm AS (
+  SELECT doc_id,
+         CAST(len(x) AS BIGINT) AS n_tokens,
+         round(CAST(len(array_to_string(x, '')) AS DOUBLE)
+               / CAST(len(x) AS DOUBLE), 6) AS mean_word_len,
+         round((CAST(len(text) AS DOUBLE)
+                - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
+               / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / CAST(len(x) AS DOUBLE), 6) AS alpha_word_ratio,
+         CAST(len(list_intersect(list_distinct(x),
+              ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stopwords
+  FROM d),
+lab AS (
+  SELECT doc_id,
+         (n_tokens BETWEEN 10 AND 100000)
+         AND (mean_word_len BETWEEN 2.0 AND 12.0)
+         AND (symbol_ratio <= 0.1)
+         AND (alpha_word_ratio >= 0.8)
+         AND (distinct_stopwords >= 2) AS keep
+  FROM gm),
+tok AS (
+  SELECT d.doc_id, u.t
+  FROM d, unnest(x) AS u(t)
+  WHERE u.t <> ''),
+vocab AS (
+  SELECT tok.t,
+         CAST(SUM(CASE WHEN lab.keep THEN 1 ELSE 0 END) AS BIGINT) AS ct_pos,
+         CAST(SUM(CASE WHEN lab.keep THEN 0 ELSE 1 END) AS BIGINT) AS ct_neg
+  FROM tok JOIN lab USING (doc_id)
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(ct_pos) AS DOUBLE) AS tp,
+         CAST(SUM(ct_neg) AS DOUBLE) AS tn,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab),
+pri AS (
+  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM lab),
+model AS (
+  SELECT t AS token, ct_pos, ct_neg,
+         CAST(CAST(round(ln((ct_pos + 1) / (tp + v))
+                         - ln((ct_neg + 1) / (tn + v)), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lr_ppm
+  FROM vocab, tot
+  UNION ALL
+  SELECT '', np, nn,
+         CAST(CAST(round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+  FROM pri)"""
+
+
+def _nb_fit_sql() -> str:
+    return f"""
+            WITH {_nb_ctes()}
+            SELECT token, ct_pos, ct_neg, lr_ppm FROM model"""
+
+
+def _nb_scores_sql() -> str:
+    """q_quality_nb_scores twin: the persisted model is a cache of the
+    deterministic fit, so the oracle replays the fit CTEs and scores
+    every doc — prior + bigint sum of per-occurrence lr_ppm (all tokens
+    are in-vocab on the training corpus, so the left join degenerates
+    to inner exactly as the Spark side's coalesce does)."""
+    return f"""
+            WITH {_nb_ctes()},
+            per_doc AS (
+              SELECT tok.doc_id, CAST(SUM(m.lr_ppm) AS BIGINT) AS s
+              FROM tok JOIN model m ON m.token = tok.t
+              GROUP BY 1),
+            prior AS (SELECT lr_ppm AS prior_ppm FROM model WHERE token = '')
+            SELECT l.doc_id,
+                   CAST(COALESCE(p.s, 0) + r.prior_ppm AS BIGINT) AS nb_score_ppm,
+                   (COALESCE(p.s, 0) + r.prior_ppm) > 0 AS nb_keep,
+                   l.keep AS label
+            FROM lab l LEFT JOIN per_doc p ON p.doc_id = l.doc_id
+            CROSS JOIN prior r"""
+
+
+def _pipeline_v5_sql(budget_tokens: int = 10_000) -> str:
+    """q_corpus_pipeline_v5 twin: v4's scrub + keeper-dedup CTEs, the
+    full NB fit replay (_nb_ctes — the persisted model is a cache of
+    that pure function), then scoring of the SCRUBBED text and the
+    margin-ranked budget pack."""
+    return f"""
+            WITH scrub AS ({_SPANS_APPLY_SQL.strip()}),
+            keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM scrub GROUP BY md5(clean_text)),
+            {_nb_ctes().strip()},
+            feats AS (
+              SELECT s.doc_id,
+                     len(string_split_regex(clean_text, '\\s+'))::BIGINT AS n_tokens,
+                     s.n_tokens_dropped,
+                     string_split_regex(clean_text, '\\s+') AS cx
+              FROM scrub s JOIN keepers k ON s.doc_id = k.doc_id),
+            ctok AS (
+              SELECT f.doc_id, u.t
+              FROM feats f, unnest(cx) AS u(t)
+              WHERE u.t <> ''),
+            per_doc AS (
+              SELECT c.doc_id, CAST(SUM(COALESCE(m.lr_ppm, 0)) AS BIGINT) AS s
+              FROM ctok c LEFT JOIN (SELECT token, lr_ppm FROM model
+                                     WHERE token <> '') m
+                ON m.token = c.t
+              GROUP BY 1),
+            prior AS (SELECT lr_ppm AS prior_ppm FROM model WHERE token = ''),
+            gated AS (
+              SELECT f.doc_id, f.n_tokens, f.n_tokens_dropped,
+                     CAST(COALESCE(p.s, 0) + r.prior_ppm AS BIGINT) AS nb_score_ppm
+              FROM feats f
+              LEFT JOIN per_doc p ON p.doc_id = f.doc_id
+              CROSS JOIN prior r
+              WHERE COALESCE(p.s, 0) + r.prior_ppm > 0)
+            SELECT doc_id, n_tokens, n_tokens_dropped, nb_score_ppm,
+                   CAST(SUM(n_tokens) OVER (ORDER BY nb_score_ppm DESC, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_tokens
+            FROM gated
+            QUALIFY cum_tokens <= {budget_tokens}"""
+
+
 def _cjk_dict_sql() -> str:
     """Oracle twin of q_a19_cjk_dictionary: bidirectional maximum matching
     replayed in pure SQL. The derived phrase table is rebuilt from the
@@ -3620,6 +3819,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_ivf_pq": _ivf_pq_sql(),
         "ivf_pq_recall_report": _ivf_pq_recall_sql(),
         "a19_cjk_dictionary": _cjk_dict_sql(),
+        "quality_nb_fit": _nb_fit_sql(),
+        "quality_nb_scores": _nb_scores_sql(),
+        "corpus_pipeline_v5": _pipeline_v5_sql(),
         "sim_topk_vectorized": _topk_sql(cell_pruned=False),
         "sim_topk_ivf": _topk_sql(cell_pruned=True),
         "sim_topk_ivf_nprobe": _topk_nprobe_sql(),

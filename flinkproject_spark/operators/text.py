@@ -887,6 +887,168 @@ def score_against_vocab(documents: DataFrame, vocab_lr: DataFrame) -> DataFrame:
     )
 
 
+NB_PRIOR_TOKEN = ""  # real tokens are filtered != '', so '' is free
+# Fit-arithmetic version for persisted-model caches — bump whenever
+# nb_quality_fit changes its OUTPUT for the same corpus (smoothing, label
+# source, rounding); same contract as similarity.KMEANS_FIT_VERSION.
+NB_FIT_VERSION = 1
+
+
+def nb_quality_fit(documents: DataFrame) -> DataFrame:
+    """TRAINED quality classifier, fit half (VERDICT r10 task 4): Naive
+    Bayes token log-odds distilled from the Gopher rule gate as weak
+    supervision — the standard bootstrap when no hand-labeled quality set
+    exists (train a cheap generalizing model on heuristic labels, serve
+    the MODEL; cf. the fastText quality classifiers of GPT-3/CCNet-style
+    pipelines, Brown et al. 2020 §A). The hand-weighted heuristic
+    (quality_scores) stays as the label source; this turns its verdicts
+    into token-level knowledge a sink can apply to any batch.
+
+    Model = one row per vocabulary token: positive/negative occurrence
+    counts and the add-1-smoothed log-likelihood ratio
+    lr = ln((ct_pos+1)/(tot_pos+V)) - ln((ct_neg+1)/(tot_neg+V)),
+    rounded to 6 dp and cast DECIMAL(18,6) — the proven DSIR cross-engine
+    contract (dsir_vocab) — plus ONE prior row under NB_PRIOR_TOKEN ('',
+    impossible as a real token) carrying the class counts and
+    lr = round(ln(n_pos/n_neg), 6). Consumers convert to int64 ppm
+    (lr * 1e6 is exact in DECIMAL) so per-doc scoring is pure integer
+    sums — order-free, the kmeans_fit discipline. The fit is ONE
+    aggregation pass (no iterations), so the oracle replays it directly:
+    gates -> labels -> vocab counts -> smoothed ratios, bit-for-bit.
+
+    Misuse guard: a single-class corpus (every doc passes or every doc
+    fails the gate) cannot train a discriminator — ln(n_pos/n_neg)
+    degenerates — so it raises loudly instead of emitting a model of
+    NULLs (the whiten_embeddings discipline).
+
+    Plan shape: one explode -> (token, label) groupBy (the only
+    corpus-scale shuffle, map-side combined), totals read the
+    checkpointed Zipf-small vocab, never the corpus. The model table is
+    vocabulary-sized — persist it with write.parquet and serve forever
+    (the `_kmeans_model` cache shape).
+
+    Reference parity: no trainer in the reference; north-star surface
+    for the LLM-pipeline extension (SURVEY §2 text-analysis tier).
+    """
+    lab = gopher_quality_flags(documents).select("doc_id", "keep")
+    pri = lab.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("np"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("nn"),
+    ).first()
+    n_pos, n_neg = int(pri["np"] or 0), int(pri["nn"] or 0)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"nb_quality_fit: single-class corpus (pos={n_pos}, neg={n_neg}) "
+            "— the gate labels carry no signal to distill; loosen/tighten "
+            "the gopher thresholds or supply labeled data"
+        )
+    tok = (
+        with_tokens(documents)
+        .select("doc_id", F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+        .join(lab, "doc_id")
+    )
+    vocab = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("ct_pos"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("ct_neg"),
+    ).localCheckpoint(eager=False)  # totals + ratios both read it
+    totals = vocab.agg(
+        F.sum("ct_pos").cast("double").alias("tp"),
+        F.sum("ct_neg").cast("double").alias("tn"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lr = F.round(
+        F.log((F.col("ct_pos") + 1) / (F.col("tp") + F.col("v")))
+        - F.log((F.col("ct_neg") + 1) / (F.col("tn") + F.col("v"))),
+        6,
+    ).cast("decimal(18,6)")
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        F.col("t").alias("token"), "ct_pos", "ct_neg", lr.alias("lr")
+    )
+    prior = documents.sparkSession.createDataFrame(
+        [(NB_PRIOR_TOKEN, n_pos, n_neg)], "token string, ct_pos long, ct_neg long"
+    ).select(
+        "token",
+        "ct_pos",
+        "ct_neg",
+        F.round(F.log(F.col("ct_pos") / F.col("ct_neg")), 6)
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return model.unionByName(prior)
+
+
+def nb_model_score(
+    df: DataFrame, model: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Apply half of the NB classifier with NO label machinery: per-doc
+    log-odds score of `text_col` under a (persisted) nb_quality_fit model
+    — prior + bigint sum of per-occurrence lr_ppm (each DECIMAL lr * 1e6
+    is exact; the sum is pure int64, order-free). OOV tokens score 0 (the
+    score_against_vocab argument), so the model applies soundly to text
+    it never saw — new batches, or the SCRUBBED text of a cleaning
+    pipeline. Returns (doc_id, nb_score_ppm)."""
+    lr_ppm = (F.col("lr") * 1000000).cast("bigint")
+    m = model.select("token", lr_ppm.alias("lr_ppm"))
+    prior = m.filter(F.col("token") == NB_PRIOR_TOKEN).select(
+        F.col("lr_ppm").alias("prior_ppm")
+    )
+    vocab = m.filter(F.col("token") != NB_PRIOR_TOKEN)
+    tok = df.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("lr_ppm", F.lit(0))).cast("bigint").alias("s"))
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            (F.coalesce("s", F.lit(0)) + F.col("prior_ppm"))
+            .cast("bigint")
+            .alias("nb_score_ppm"),
+        )
+    )
+
+
+def nb_quality_scores(
+    documents: DataFrame, model: DataFrame | None = None
+) -> DataFrame:
+    """TRAINED quality classifier, serve half: per-document NB log-odds
+    score under a (possibly persisted) model table from
+    :func:`nb_quality_fit` — prior + sum over token OCCURRENCES of the
+    token's log-likelihood ratio, computed in int64 ppm (each DECIMAL
+    lr * 1e6 is an exact integer; the per-doc sum is a pure bigint
+    aggregation, order-free across engines and executors). `model=None`
+    refits inline (the self-contained oracle form); production passes
+    the persisted table — scoring then costs one broadcast-joinable
+    vocab lookup + one groupBy per batch, zero training.
+
+    Output (doc_id, nb_score_ppm, nb_keep, label): nb_keep is the
+    classifier's verdict (score > 0), label the doc's own weak label —
+    kept side-by-side so the standing agreement between classifier and
+    teacher gate is itself oracle-audited, not asserted. OOV tokens
+    score 0 (both smoothed LMs give an unseen token the same
+    1/(tot+V)-class mass — the score_against_vocab argument), which is
+    what makes the persisted model sound on NEW batches."""
+    if model is None:
+        model = nb_quality_fit(documents)
+    lab = gopher_quality_flags(documents).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    scored = nb_model_score(documents, model)
+    return lab.join(scored, "doc_id").select(
+        "doc_id",
+        "nb_score_ppm",
+        (F.col("nb_score_ppm") > 0).alias("nb_keep"),
+        "label",
+    )
+
+
 def corpus_zipf(documents: DataFrame, k: int = 50) -> DataFrame:
     """Vocabulary frequency audit: the top-k tokens with rank, corpus
     share, and cumulative share — the Zipf-curve head a data audit eyeballs

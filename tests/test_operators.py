@@ -2613,6 +2613,91 @@ def test_dsir_importance_separates_target_from_raw(tables):
     assert mismatch.count() == 0
 
 
+def test_nb_quality_fit_model_shape_and_signal(tables):
+    """The trained NB model must carry exactly one prior row, exact class
+    token counts, and log-odds whose SIGN tracks the class evidence: a
+    token seen proportionally more in kept docs scores positive, and
+    vice versa (add-1 smoothing keeps everything finite)."""
+    docs = tables["documents"]
+    model = text.nb_quality_fit(docs).toPandas()
+    prior = model[model.token == text.NB_PRIOR_TOKEN]
+    assert len(prior) == 1
+    n_pos, n_neg = int(prior.ct_pos.iloc[0]), int(prior.ct_neg.iloc[0])
+    assert n_pos > 0 and n_neg > 0, "weak labels must be two-class"
+    vocab = model[model.token != text.NB_PRIOR_TOKEN]
+    # exact totals: class token counts sum to the labeled explode
+    lab = text.gopher_quality_flags(docs).select("doc_id", "keep")
+    tok = (
+        text.with_tokens(docs)
+        .select("doc_id", F.explode("x").alias("t"))
+        .filter(F.col("t") != "")
+        .join(lab, "doc_id")
+    )
+    want_pos = tok.filter("keep").count()
+    assert int(vocab.ct_pos.sum()) == want_pos
+    # sign tracks smoothed evidence for at least the extreme tokens
+    import math
+
+    tp, tn, v = vocab.ct_pos.sum(), vocab.ct_neg.sum(), len(vocab)
+    for _, r in vocab.iterrows():
+        want = math.log((r.ct_pos + 1) / (tp + v)) - math.log(
+            (r.ct_neg + 1) / (tn + v)
+        )
+        assert abs(float(r.lr) - want) < 1e-5
+
+
+def test_nb_quality_fit_single_class_raises(spark):
+    """A corpus whose every doc fails the gate trains nothing — the fit
+    must refuse loudly (whiten_embeddings misuse-guard discipline), not
+    emit a degenerate model."""
+    bad = spark.createDataFrame(
+        [(i, "en", "s", "!!!! ####", 9) for i in range(8)],
+        "doc_id bigint, lang string, source string, text string, n_chars int",
+    )
+    with pytest.raises(ValueError, match="single-class"):
+        text.nb_quality_fit(bad)
+
+
+def test_nb_model_score_oov_is_prior_and_serve_matches_inline(tables):
+    """OOV soundness: a doc made ONLY of unseen tokens scores exactly the
+    prior (every token contributes 0). And the persisted-model path is
+    output-identical to the inline refit — the fit-once/serve-many
+    contract."""
+    docs = tables["documents"]
+    model = text.nb_quality_fit(docs)
+    prior_ppm = int(
+        model.filter(F.col("token") == text.NB_PRIOR_TOKEN)
+        .select((F.col("lr") * 1000000).cast("bigint"))
+        .first()[0]
+    )
+    oov = docs.sparkSession.createDataFrame(
+        [(1, "zzqx qvxw mmnnoo")], "doc_id bigint, text string"
+    )
+    got = text.nb_model_score(oov, model).first()
+    assert int(got.nb_score_ppm) == prior_ppm
+    key = lambda df: sorted(map(tuple, df.toPandas().to_numpy().tolist()))
+    assert key(text.nb_quality_scores(docs, model=model)) == key(
+        text.nb_quality_scores(docs)
+    )
+
+
+def test_pipeline_v5_margin_ranked_and_budgeted(tables):
+    """v5's pack must be the greedy highest-margin prefix: kept rows are
+    exactly the top of the margin ordering, every kept margin is
+    positive, and the running total respects the budget."""
+    from flinkproject_spark.plans import corpus
+
+    docs = tables["documents"]
+    model = text.nb_quality_fit(docs)
+    out = corpus.build_training_corpus_v5(docs, model).toPandas()
+    assert len(out), "v5 kept nothing"
+    assert (out.nb_score_ppm > 0).all()
+    s = out.sort_values(["nb_score_ppm", "doc_id"], ascending=[False, True])
+    assert (s.cum_tokens.diff().dropna() > 0).all()
+    assert int(s.cum_tokens.iloc[-1]) <= 10_000
+    assert (s.n_tokens.cumsum() == s.cum_tokens.to_numpy()).all()
+
+
 def test_corpus_zipf_head_is_ranked_and_cumulative(tables):
     out = text.corpus_zipf(tables["documents"], k=20).toPandas()
     assert list(out.sort_values("rank")["rank"]) == list(range(1, len(out) + 1))

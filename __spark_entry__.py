@@ -1230,6 +1230,16 @@ def q_event_transitions(spark, sf):
     return analytics.event_transitions(_t(spark, sf, "events"))
 
 
+def q_event_next_topk(spark, sf):
+    """Markov next-event recommendation over the transition matrix
+    (analytics.event_next_topk, VERDICT r10 task 8): per from-state the
+    top-3 next events by exact-ppm share, ties to to_type — the serving
+    consumer of event_transitions, and the aggregate-side view of the
+    reference's previous->current jump inspection
+    (UserJumpDetailApp.java:72-80)."""
+    return analytics.event_next_topk(_t(spark, sf, "events"))
+
+
 def q_skew_hot_join(spark, sf):
     """Skewed-key join on the driver surface: ~90% of orders deterministically
     remapped onto ONE hot customer, then a merge-hinted (never-broadcast)
@@ -1496,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_nb_fit": q_quality_nb_fit,
         "quality_nb_scores": q_quality_nb_scores,
         "corpus_pipeline_v5": q_corpus_pipeline_v5,
+        "event_next_topk": q_event_next_topk,
         # -- the 37 rows whose last driver check was r07 (oldest evidence)
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
@@ -2737,6 +2748,41 @@ def _nb_scores_sql() -> str:
             CROSS JOIN prior r"""
 
 
+# analytics.event_transitions twin — shared by the matrix query and its
+# top-k recommendation consumer (event_next_topk wraps it as a CTE)
+_TRANSITIONS_SQL = """
+            WITH sess AS (
+              SELECT user_id, event_id, ts, event_type,
+                     -- whole-second gap rule = state.sessionize's
+                     -- unix_timestamp convention (floor of epoch seconds)
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR (epoch_us(ts) // 1000000)
+                             - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                          THEN 1 ELSE 0 END AS sess_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (
+              SELECT *, SUM(sess_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM sess),
+            pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id, sess_id
+                       ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM s2),
+            counts AS (
+              SELECT from_type, to_type, COUNT(*) AS n
+              FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, SUM(n) AS total_from
+                    FROM counts GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n::BIGINT AS n,
+                   CAST((c.n * 1000000) // t.total_from AS BIGINT)
+                     AS share_ppm
+            FROM counts c JOIN tot t USING (from_type)"""
+
+
 def _pipeline_v5_sql(budget_tokens: int = 10_000) -> str:
     """q_corpus_pipeline_v5 twin: v4's scrub + keeper-dedup CTEs, the
     full NB fit replay (_nb_ctes — the persisted model is a cache of
@@ -3425,37 +3471,15 @@ def oracle_sql() -> dict[str, str]:
         "cluster_kmeans_assign": _kmeans_assign_sql(),
         "cluster_kmeans_sampled": _kmeans_sampled_sql(),
         "cluster_kmeans_serve": _kmeans_serve_sql(),
-        "event_transitions": """
-            WITH sess AS (
-              SELECT user_id, event_id, ts, event_type,
-                     -- whole-second gap rule = state.sessionize's
-                     -- unix_timestamp convention (floor of epoch seconds)
-                     CASE WHEN lag(ts) OVER w IS NULL
-                          OR (epoch_us(ts) // 1000000)
-                             - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
-                          THEN 1 ELSE 0 END AS sess_start
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-            s2 AS (
-              SELECT *, SUM(sess_start) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS sess_id
-              FROM sess),
-            pairs AS (
-              SELECT lag(event_type) OVER (
-                       PARTITION BY user_id, sess_id
-                       ORDER BY ts, event_id) AS from_type,
-                     event_type AS to_type
-              FROM s2),
-            counts AS (
-              SELECT from_type, to_type, COUNT(*) AS n
-              FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
-            tot AS (SELECT from_type, SUM(n) AS total_from
-                    FROM counts GROUP BY 1)
-            SELECT c.from_type, c.to_type, c.n::BIGINT AS n,
-                   CAST((c.n * 1000000) // t.total_from AS BIGINT)
-                     AS share_ppm
-            FROM counts c JOIN tot t USING (from_type)""",
+        "event_transitions": _TRANSITIONS_SQL,
+        "event_next_topk": f"""
+            WITH tm AS ({_TRANSITIONS_SQL.strip()})
+            SELECT from_type,
+                   CAST(row_number() OVER (PARTITION BY from_type
+                        ORDER BY share_ppm DESC, to_type) AS BIGINT) AS rk,
+                   to_type, n, share_ppm
+            FROM tm
+            QUALIFY rk <= 3""",
         "skew_hot_join": f"""
             WITH hot AS (
               SELECT CASE WHEN o_custkey % 10 != 0

@@ -495,3 +495,29 @@ def event_transitions(events: DataFrame, session_gap_min: int = 30) -> DataFrame
         "n",
         F.expr("__num div __tot").alias("share_ppm"),
     )
+
+
+def event_next_topk(
+    events: DataFrame, k: int = 3, session_gap_min: int = 30
+) -> DataFrame:
+    """Markov next-event recommendation — the serving CONSUMER of the
+    transition matrix (VERDICT r10 task 8): per from-state the top-k
+    next events by transition share (ppm-exact from event_transitions;
+    ties broken by to_type), ranked — the 'users who did X next did Y'
+    table a product surface reads directly, and the row shape an
+    anomaly monitor compares live paths against (a path outside its
+    from-state's top-k is the reference's jump-detail candidate,
+    UserJumpDetailApp.java:72-80, viewed from the aggregate side).
+
+    Plan: everything downstream of the matrix is a window over the
+    |event_type|^2-row aggregate — metadata-sized at any corpus scale;
+    the one data-scale shuffle is event_transitions' user_id pass."""
+    t = event_transitions(events, session_gap_min=session_gap_min)
+    w = Window.partitionBy("from_type").orderBy(
+        F.desc("share_ppm"), F.asc("to_type")
+    )
+    return (
+        t.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("from_type", "rk", "to_type", "n", "share_ppm")
+    )

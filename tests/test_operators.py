@@ -3533,3 +3533,25 @@ def test_event_transitions_hand_computed(spark):
         ("purchase", "view"): (1, 1000000),
     }
     assert ("view", "purchase") not in got  # the cross-session pair
+
+
+def test_event_next_topk_ranks_shares_with_tiebreak(tables):
+    """The recommendation consumer: ranks are dense 1..<=k per
+    from-state, ordered by (share desc, to_type asc), and every emitted
+    row is exactly its from-state's rank-r transition from the full
+    matrix — a pure window over event_transitions, no new arithmetic."""
+    from flinkproject_spark.operators import analytics
+
+    ev = tables["events"]
+    full = analytics.event_transitions(ev).toPandas()
+    got = analytics.event_next_topk(ev, k=3).toPandas()
+    for ft, g in got.groupby("from_type"):
+        g = g.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        want = (
+            full[full.from_type == ft]
+            .sort_values(["share_ppm", "to_type"], ascending=[False, True])
+            .head(3)
+        )
+        assert list(g.to_type) == list(want.to_type)
+        assert list(g.share_ppm) == list(want.share_ppm)

@@ -177,26 +177,80 @@ def frame_sample(assets: DataFrame, stride: int = 4) -> DataFrame:
     )
 
 
-def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """The oracle-tier feature vector: deterministic [0,1) doubles from
+    md5(payload || '|i') — exactly reproducible in SQL."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(bytes(payload) + f"|{i}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % 1000) / 1000.0)
+    return out
+
+
+def extract_features(
+    assets: DataFrame, dim: int = 8, extractor: str = "fake"
+) -> DataFrame:
     """Fixed-width feature rows per asset via mapInPandas (Arrow-batched).
 
-    STUB extractor (same contract note as _decode_batch): feature i is a
-    deterministic [0,1) double derived from md5(payload || '|i') — exactly
-    reproducible in SQL, so the full plumbing is oracle-checked. A real
-    model replaces the hash with an embedding forward pass, batch-at-a-time.
-    """
+    extractor="fake" (default, the oracle tier — same contract note as
+    _decode_batch): feature i is a deterministic [0,1) double derived
+    from md5(payload || '|i') — exactly reproducible in SQL, so the full
+    plumbing (schema, partitioning, UDF signature, batch shape) is
+    oracle-checked. A real model replaces the hash with an embedding
+    forward pass, batch-at-a-time.
+
+    extractor="pil" (r10 task 7 — the real-decode gate extended to
+    features): decodes each image payload with PIL and emits features
+    computed from REAL PIXELS — the mean grayscale intensity of `dim`
+    horizontal bands, scaled to [0,1) — a classical deterministic
+    descriptor standing where a model forward pass goes, under the
+    IDENTICAL mapInPandas contract (same output schema, same dim rows
+    per asset, same [0,1) range). Non-image kinds and corrupt payloads
+    fall back to the fake vector PER ROW (the `_decode_batch_pil`
+    policy: one bad blob must not fail a 10^5-row batch). Raises
+    ImportError eagerly on the driver when PIL is absent — plan-time
+    failure, never per-row."""
+    if extractor not in ("fake", "pil"):
+        raise ValueError(f"unknown extractor {extractor!r}")
+    if extractor == "pil":
+        import PIL  # noqa: F401 — eager driver-side availability check
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if extractor == "pil":
+            import io
+
+            from PIL import Image
         for pdf in batches:
             if not len(pdf):
                 continue
             ids, idxs, feats = [], [], []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                for i in range(dim):
-                    h = hashlib.md5(bytes(payload) + f"|{i}".encode()).hexdigest()
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                vec = None
+                if extractor == "pil" and kind == "image":
+                    try:
+                        with Image.open(io.BytesIO(payload)) as im:
+                            g = im.convert("L")
+                            w, h = g.size
+                            px = list(g.getdata())
+                        bands = []
+                        for i in range(dim):
+                            lo = (i * h) // dim
+                            hi = max(((i + 1) * h) // dim, lo + 1)
+                            rows = px[lo * w : hi * w]
+                            bands.append(
+                                (sum(rows) / len(rows)) / 256.0 if rows else 0.0
+                            )
+                        vec = bands
+                    except Exception:
+                        vec = None  # corrupt blob: fake fallback below
+                if vec is None:
+                    vec = _fake_features(payload, dim)
+                for i, f in enumerate(vec):
                     ids.append(aid)
                     idxs.append(i)
-                    feats.append((int(h[:8], 16) % 1000) / 1000.0)
+                    feats.append(f)
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),
@@ -205,7 +259,9 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = (

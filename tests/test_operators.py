@@ -228,6 +228,8 @@ def test_multimodal_decoder_arg_validated_and_pil_gated(tables):
         multimodal.decode_assets(assets, decoder="ffmpeg")
     with _pytest.raises(ValueError):
         multimodal.resize_assets(assets, resizer="ffmpeg")
+    with _pytest.raises(ValueError):
+        multimodal.extract_features(assets, extractor="onnx")
     try:
         import PIL  # noqa: F401
     except ImportError:
@@ -235,6 +237,8 @@ def test_multimodal_decoder_arg_validated_and_pil_gated(tables):
             multimodal.decode_assets(assets, decoder="pil")
         with _pytest.raises(ImportError):
             multimodal.resize_assets(assets, resizer="pil")
+        with _pytest.raises(ImportError):
+            multimodal.extract_features(assets, extractor="pil")
 
 
 def test_multimodal_pil_tier_real_decode(spark):
@@ -268,6 +272,47 @@ def test_multimodal_pil_tier_real_decode(spark):
     assert (rs[1].width, rs[1].height) == (16, 16)
     real = Image.open(io.BytesIO(png)).convert("RGB").resize((16, 16))
     assert rs[1].resized_md5 == hashlib.md5(real.tobytes()).hexdigest()
+
+
+def test_multimodal_pil_feature_extraction_real_pixels(spark):
+    """PIL-gated (r10 task 7): extract_features(extractor='pil') computes
+    features from REAL decoded pixels under the identical mapInPandas
+    contract — same schema, same dim rows per asset, same [0,1) range.
+    A half-black/half-white PNG must yield dark band means for the top
+    bands and bright for the bottom (hash features couldn't); a corrupt
+    payload falls back to the fake tier's exact values per row."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from flinkproject_spark.operators import multimodal
+
+    im = Image.new("L", (16, 16), 0)
+    im.paste(255, (0, 8, 16, 16))  # bottom half white
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    corrupt = b"definitely not an image"
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(corrupt))],
+        "asset_id bigint, kind string, payload binary",
+    )
+    out = multimodal.extract_features(assets, dim=4, extractor="pil").collect()
+    assert {f.name for f in multimodal.extract_features(
+        assets, dim=4, extractor="pil").schema.fields} == {
+        "asset_id", "feat_idx", "feature"}
+    by = {}
+    for r in out:
+        by.setdefault(r.asset_id, {})[r.feat_idx] = r.feature
+    assert sorted(by[1]) == [0, 1, 2, 3]  # dim rows per asset, dense idx
+    assert all(0.0 <= v < 1.0 for v in by[1].values())
+    assert by[1][0] == 0.0 and by[1][1] == 0.0          # black top bands
+    assert by[1][2] > 0.99 and by[1][3] > 0.99          # white bottom
+    fake = multimodal._fake_features(corrupt, 4)
+    assert [by[2][i] for i in range(4)] == fake         # per-row fallback
 
 
 def test_multimodal_feature_vectors_fixed_width(tables):

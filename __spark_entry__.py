@@ -1479,27 +1479,17 @@ def q_ivf_pq_recall_report(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles. Round-10 window (VERDICT r09
-    # task 1): first the two queries whose CODE changed this round (the
-    # histogram sketch's divide-first/null-filter/shared-tail rework and
-    # the sampled-fit k guard), then the two new round-10 queries
-    # (skewed-key AQE join, fit-once/serve-many trained tier), then ALL
-    # 37 rows whose last green driver check was r07 (the oldest
-    # evidence), back-filled to the window edge with the oldest r08
-    # rows. Everything r08/r09-verified and untouched holds the tail.
-    # Per-query recency is auto-audited in VERIFIED.md
-    # (tools/verified_rounds.py).
+    # entries against the DuckDB oracles. Round-11 window (VERDICT r10
+    # task 3 rotation): the 7 NEW queries, then the 7 whose CODE changed
+    # this round, then the entire oldest-evidence cohort (the 36 rows
+    # whose last green driver check was r08, save one that doesn't fit).
+    # Everything r09/r10-verified and untouched holds the tail. Per-query
+    # recency is auto-audited in VERIFIED.md (tools/verified_rounds.py).
     return {
-        # -- code changed this round (rotation rule: divide-first binning
-        #    + null filter + shared quantile tail; sampled-fit k guard)
-        "value_quantiles_hist": q_value_quantiles_hist,
-        "cluster_kmeans_sampled": q_cluster_kmeans_sampled,
-        # -- new this round (hot-key skew join; persisted-model serving:
-        #    the cell audit and a SECOND consumer of the same stored model)
-        "skew_hot_join": q_skew_hot_join,
-        "cluster_kmeans_serve": q_cluster_kmeans_serve,
-        "dedup_embedding_served": q_dedup_embedding_served,
-        "event_transitions": q_event_transitions,
+        # -- NEW this round (r11): the composed IVFxPQ serving tier +
+        #    recall row, the real-CJK dictionary-BMM query, the trained
+        #    NB quality classifier (fit + serve + pipeline v5), and the
+        #    transition-matrix recommendation consumer
         "sim_topk_ivf_pq": q_sim_topk_ivf_pq,
         "ivf_pq_recall_report": q_ivf_pq_recall_report,
         "a19_cjk_dictionary": q_a19_cjk_dictionary,
@@ -1507,7 +1497,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_nb_scores": q_quality_nb_scores,
         "corpus_pipeline_v5": q_corpus_pipeline_v5,
         "event_next_topk": q_event_next_topk,
-        # -- the 37 rows whose last driver check was r07 (oldest evidence)
+        # -- code CHANGED this round (rotation rule): histq null/NaN
+        #    filter order; kmeans_fit_sampled guard branch + model-cache
+        #    fingerprint (serve/sampled/served consumers); the pq_adc_topk
+        #    ADC-helper refactor (sim_topk_pq, pq_recall_report); the
+        #    extract_features extractor tier (mm_features)
+        "value_quantiles_hist": q_value_quantiles_hist,
+        "cluster_kmeans_sampled": q_cluster_kmeans_sampled,
+        "cluster_kmeans_serve": q_cluster_kmeans_serve,
+        "dedup_embedding_served": q_dedup_embedding_served,
+        "sim_topk_pq": q_sim_topk_pq,
+        "pq_recall_report": q_pq_recall_report,
+        "mm_features": q_mm_features,
+        # -- oldest-evidence cohort: the r08-verified block, rotated in
+        #    so no query's evidence ages past two rounds (text_fingerprint
+        #    is the one r08 row the window cannot fit — it fronts the r12
+        #    rotation)
+        "contamination_bloom": q_contamination_bloom,
+        "hybrid_search": q_hybrid_search,
+        "dedup_semantic_trained": q_dedup_semantic_trained,
+        "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
+        "urgent_revenue": q_urgent_revenue,
+        "events_zorder": q_events_zorder,
+        "cluster_kmeans": q_cluster_kmeans,
+        "cluster_kmeans_assign": q_cluster_kmeans_assign,
+        "dedup_embedding_trained": q_dedup_embedding_trained,
+        "product_stats_approx": q_product_stats_approx,
+        "dedup_minhash_xx": q_dedup_minhash_xx,
+        "product_stats": q_product_stats,
+        "dedup_exact": q_dedup_exact,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_vectorized": q_sim_topk_vectorized,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_corpus_summary": q_text_corpus_summary,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "session_stats": q_session_stats,
+        "mm_decode": q_mm_decode,
+        "asof_last_order": q_asof_last_order,
+        "gmv_rollup": q_gmv_rollup,
+        "funnel_windowed": q_funnel_windowed,
+        "daily_anomalies": q_daily_anomalies,
+        "daily_anomalies_dense": q_daily_anomalies_dense,
+        "order_value_percentiles_approx": q_order_value_percentiles_approx,
+        "ann_recall_report": q_ann_recall_report,
+        "minhash_pr_report": q_minhash_pr_report,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        # ---- end of the 50-query verified window ----
+        # -- r10/r09-verified (and the leftover r08 text_fingerprint),
+        #    untouched this round
+        "skew_hot_join": q_skew_hot_join,
+        "event_transitions": q_event_transitions,
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
         "a12_bounce": q_a12_bounce,
@@ -1545,7 +1591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "dedup_containment": q_dedup_containment,
         "quality_deciles": q_quality_deciles,
-        # -- back-fill to the window edge: oldest r08 evidence
         "dedup_embedding": q_dedup_embedding,
         "dedup_semantic": q_dedup_semantic,
         "dedup_srp": q_dedup_srp,
@@ -1553,49 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_apply": q_dedup_spans_apply,
         "dedup_spans_intradoc": q_dedup_spans_intradoc,
-        # ---- end of the 50-query verified window ----
-        # -- r08-verified, untouched
-        "contamination_bloom": q_contamination_bloom,
-        "hybrid_search": q_hybrid_search,
-        "dedup_semantic_trained": q_dedup_semantic_trained,
-        "sim_topk_ivf_trained": q_sim_topk_ivf_trained,
-        "urgent_revenue": q_urgent_revenue,
-        "events_zorder": q_events_zorder,
-        "cluster_kmeans": q_cluster_kmeans,
-        "cluster_kmeans_assign": q_cluster_kmeans_assign,
-        "dedup_embedding_trained": q_dedup_embedding_trained,
-        "sim_topk_pq": q_sim_topk_pq,
-        "pq_recall_report": q_pq_recall_report,
-        "product_stats_approx": q_product_stats_approx,
-        "dedup_minhash_xx": q_dedup_minhash_xx,
-        "product_stats": q_product_stats,
-        "dedup_exact": q_dedup_exact,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_vectorized": q_sim_topk_vectorized,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "text_token_stats": q_text_token_stats,
-        "text_corpus_summary": q_text_corpus_summary,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "session_stats": q_session_stats,
-        "mm_decode": q_mm_decode,
-        "asof_last_order": q_asof_last_order,
-        "gmv_rollup": q_gmv_rollup,
-        "funnel_windowed": q_funnel_windowed,
-        "daily_anomalies": q_daily_anomalies,
-        "daily_anomalies_dense": q_daily_anomalies_dense,
-        "order_value_percentiles_approx": q_order_value_percentiles_approx,
-        "ann_recall_report": q_ann_recall_report,
-        "minhash_pr_report": q_minhash_pr_report,
-        "mm_features": q_mm_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize": q_mm_resize,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "text_fingerprint": q_text_fingerprint,
-        # -- r09-verified, untouched
         "embedding_covariance": q_embedding_covariance,
         "events_distinct_hll": q_events_distinct_hll,
         "pagerank": q_pagerank,

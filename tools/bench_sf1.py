@@ -116,6 +116,17 @@ HEADLINE = [
     "cluster_kmeans_serve",
     "dedup_embedding_served",
     "event_transitions",
+    # round-11 additions: the composed IVFxPQ serving tier (cell-pruned
+    # ADC + exact rerank off the persisted quantizer), the trained NB
+    # quality classifier (fit + serve + the v5 pipeline consuming it),
+    # the real-CJK dictionary-BMM driver query, and the transition
+    # matrix's recommendation consumer
+    "sim_topk_ivf_pq",
+    "quality_nb_fit",
+    "quality_nb_scores",
+    "corpus_pipeline_v5",
+    "a19_cjk_dictionary",
+    "event_next_topk",
 ]
 
 K_OFF = {  # per-replica key offsets, shared by fact and dim columns

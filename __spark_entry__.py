@@ -2663,34 +2663,81 @@ QUALIFY rank <= {k}
 """
 
 
+def _gopher_metric_exprs(toks: str = "x") -> dict[str, str]:
+    """THE copy of the Gopher gate's five metric expressions (DuckDB
+    SQL, text.gopher_quality_flags parity) over rows carrying (text,
+    `toks` token array). Every oracle that replays the gate builds from
+    these — the r11 review found four drifting copies; a threshold or
+    stopword change now lands in one place (thresholds live in
+    _GOPHER_THRESH below)."""
+    return {
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "mean_word_len": (
+            f"round(CAST(len(array_to_string({toks}, '')) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE), 6)"
+        ),
+        "symbol_ratio": (
+            "round((CAST(len(text) AS DOUBLE)"
+            " - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))"
+            " / CAST(len(text) AS DOUBLE), 6)"
+        ),
+        "alpha_word_ratio": (
+            f"round(CAST(len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE), 6)"
+        ),
+        "distinct_stopwords": (
+            f"CAST(len(list_intersect(list_distinct({toks}),"
+            " ['the', 'a', 'of', 'and', 'to'])) AS BIGINT)"
+        ),
+    }
+
+
+_GOPHER_THRESH = {
+    "n_tokens": "{} BETWEEN 10 AND 100000",
+    "mean_word_len": "{} BETWEEN 2.0 AND 12.0",
+    "symbol_ratio": "{} <= 0.1",
+    "alpha_word_ratio": "{} >= 0.8",
+    "distinct_stopwords": "{} >= 2",
+}
+
+
+def _gopher_metrics(toks: str = "x") -> str:
+    """Select-list fragment: the five gate metrics AS their canonical
+    column names."""
+    return ",\n         ".join(
+        f"{e} AS {n}" for n, e in _gopher_metric_exprs(toks).items()
+    )
+
+
+def _gopher_keep(toks: str | None = None) -> str:
+    """The gate predicate. toks=None -> over the metric COLUMN names
+    (for a CTE built with _gopher_metrics); toks='x' -> fully inline
+    over the raw (text, x) row."""
+    src = (
+        _gopher_metric_exprs(toks)
+        if toks is not None
+        else {n: n for n in _GOPHER_THRESH}
+    )
+    return "\n         AND ".join(
+        "(" + t.format(src[n]) + ")" for n, t in _GOPHER_THRESH.items()
+    )
+
+
 def _nb_ctes() -> str:
     """Shared CTE chain for the NB quality classifier oracles: Gopher
     gates -> weak labels -> per-token class counts -> smoothed log-odds
     model in exact int64 ppm (round-6 then DECIMAL-scale, the dsir_vocab
     contract) + the '' prior row. Replays text.nb_quality_fit exactly."""
-    return """
+    return f"""
 d AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS x
       FROM documents),
 gm AS (
   SELECT doc_id,
-         CAST(len(x) AS BIGINT) AS n_tokens,
-         round(CAST(len(array_to_string(x, '')) AS DOUBLE)
-               / CAST(len(x) AS DOUBLE), 6) AS mean_word_len,
-         round((CAST(len(text) AS DOUBLE)
-                - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
-               / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
-         round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-               / CAST(len(x) AS DOUBLE), 6) AS alpha_word_ratio,
-         CAST(len(list_intersect(list_distinct(x),
-              ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stopwords
+         {_gopher_metrics()}
   FROM d),
 lab AS (
   SELECT doc_id,
-         (n_tokens BETWEEN 10 AND 100000)
-         AND (mean_word_len BETWEEN 2.0 AND 12.0)
-         AND (symbol_ratio <= 0.1)
-         AND (alpha_word_ratio >= 0.8)
-         AND (distinct_stopwords >= 2) AS keep
+         {_gopher_keep()} AS keep
   FROM gm),
 tok AS (
   SELECT d.doc_id, u.t
@@ -3765,21 +3812,9 @@ def oracle_sql() -> dict[str, str]:
                    least(len(x)::DOUBLE / 100.0, 1.0) * 0.5
                      + (len(list_distinct(x))::DOUBLE / len(x)::DOUBLE) * 0.5
                      AS quality_score,
-                   round(CAST(len(array_to_string(x, '')) AS DOUBLE)
-                         / CAST(len(x) AS DOUBLE), 6) AS mean_word_len,
-                   round((CAST(len(text) AS DOUBLE)
-                          - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
-                         / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
-                   (CAST(len(x) AS BIGINT) BETWEEN 10 AND 100000)
-                     AND (round(CAST(len(array_to_string(x, '')) AS DOUBLE)
-                                / CAST(len(x) AS DOUBLE), 6) BETWEEN 2.0 AND 12.0)
-                     AND (round((CAST(len(text) AS DOUBLE)
-                                 - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
-                                / CAST(len(text) AS DOUBLE), 6) <= 0.1)
-                     AND (round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                                / CAST(len(x) AS DOUBLE), 6) >= 0.8)
-                     AND (len(list_intersect(list_distinct(x),
-                              ['the', 'a', 'of', 'and', 'to'])) >= 2)
+                   {_gopher_metric_exprs()['mean_word_len']} AS mean_word_len,
+                   {_gopher_metric_exprs()['symbol_ratio']} AS symbol_ratio,
+                   {_gopher_keep('x')}
                      AS gopher_keep,
                    {_LANG_CASE} AS predicted_lang,
                    md5(list_aggregate(list_sort(list_distinct(x)),
@@ -4324,24 +4359,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             m AS (
               SELECT doc_id,
-                     CAST(len(x) AS BIGINT) AS n_tokens,
-                     round(CAST(len(array_to_string(x, '')) AS DOUBLE)
-                           / CAST(len(x) AS DOUBLE), 6) AS mean_word_len,
-                     round((CAST(len(text) AS DOUBLE)
-                            - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
-                           / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
-                     round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                           / CAST(len(x) AS DOUBLE), 6) AS alpha_word_ratio,
-                     CAST(len(list_intersect(list_distinct(x),
-                          ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stopwords
+                     {_gopher_metrics()}
               FROM d),
             f AS (
               SELECT *,
-                     n_tokens BETWEEN 10 AND 100000 AS ok_length,
-                     mean_word_len BETWEEN 2.0 AND 12.0 AS ok_word_len,
-                     symbol_ratio <= 0.1 AS ok_symbols,
-                     alpha_word_ratio >= 0.8 AS ok_alpha,
-                     distinct_stopwords >= 2 AS ok_stopwords
+                     {_GOPHER_THRESH['n_tokens'].format('n_tokens')} AS ok_length,
+                     {_GOPHER_THRESH['mean_word_len'].format('mean_word_len')} AS ok_word_len,
+                     {_GOPHER_THRESH['symbol_ratio'].format('symbol_ratio')} AS ok_symbols,
+                     {_GOPHER_THRESH['alpha_word_ratio'].format('alpha_word_ratio')} AS ok_alpha,
+                     {_GOPHER_THRESH['distinct_stopwords'].format('distinct_stopwords')} AS ok_stopwords
               FROM m)
             SELECT *, ok_length AND ok_word_len AND ok_symbols AND ok_alpha
                       AND ok_stopwords AS keep
@@ -4474,23 +4500,11 @@ def _corpus_pipeline_v2_sql() -> str:
           FROM seeded),
         gm AS (
           SELECT doc_id,
-                 CAST(len({toks}) AS BIGINT) AS n_tokens,
-                 round(CAST(len(array_to_string({toks}, '')) AS DOUBLE)
-                       / CAST(len({toks}) AS DOUBLE), 6) AS mean_word_len,
-                 round((CAST(len(text) AS DOUBLE)
-                        - CAST(len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE))
-                       / CAST(len(text) AS DOUBLE), 6) AS symbol_ratio,
-                 round(CAST(len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                       / CAST(len({toks}) AS DOUBLE), 6) AS alpha_word_ratio,
-                 CAST(len(list_intersect(list_distinct({toks}),
-                      ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS distinct_stopwords
+                 {_gopher_metrics(toks)}
           FROM red),
         gop AS (
           SELECT doc_id FROM gm
-          WHERE n_tokens BETWEEN 10 AND 100000
-            AND mean_word_len BETWEEN 2.0 AND 12.0
-            AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
-            AND distinct_stopwords >= 2),
+          WHERE {_gopher_keep()}),
         g1 AS (SELECT red.* FROM red JOIN gop USING (doc_id)),
         tsh AS (
           SELECT DISTINCT doc_id, unnest({sh}) AS s
@@ -4610,16 +4624,7 @@ def _corpus_pipeline_v3_sql(bands: int = 4, shards: int = 64) -> str:
                  md5(list_aggregate(list_sort(list_distinct(x)),
                                     'string_agg', ' ')) AS fp
           FROM d
-          WHERE (CAST(len(x) AS BIGINT) BETWEEN 10 AND 100000)
-            AND (round(CAST(len(array_to_string(x, '')) AS DOUBLE)
-                       / CAST(len(x) AS DOUBLE), 6) BETWEEN 2.0 AND 12.0)
-            AND (round((CAST(len(text) AS DOUBLE)
-                        - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE))
-                       / CAST(len(text) AS DOUBLE), 6) <= 0.1)
-            AND (round(CAST(len(list_filter(x, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-                       / CAST(len(x) AS DOUBLE), 6) >= 0.8)
-            AND (len(list_intersect(list_distinct(x),
-                     ['the', 'a', 'of', 'and', 'to'])) >= 2)
+          WHERE {_gopher_keep('x')}
             AND ({q}) >= 0.5),
         pool AS (
           SELECT doc_id, text, lang, source, quality_score FROM gated

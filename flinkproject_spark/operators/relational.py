@@ -671,12 +671,14 @@ def histogram_quantile_report(
     Binning is DIVIDE-FIRST — width = (hi-lo) div n_bins + 1, bin =
     (q-lo) div width — never (q-lo)*n_bins, whose product overflows
     int64 once the quantized span nears 2^55 (the same valve
-    zorder_layout uses for its bucket scaling). Null AND NaN values
-    are filtered on the RAW column BEFORE the quantize cast — the same
-    order as histq_bin_deltas and the DuckDB oracle; filtering the
-    already-cast q instead would keep NaN rows (Spark's non-ANSI cast
-    maps NaN to 0, silently poisoning lo), while DuckDB's BIGINT cast
-    errors on them (r10 review).
+    zorder_layout uses for its bucket scaling). Null AND NaN values are
+    filtered on the CAST double BEFORE the bigint quantize step — the
+    same rule as histq_bin_deltas and the DuckDB oracle; filtering the
+    already-quantized q instead would keep NaN rows (Spark's non-ANSI
+    bigint cast maps NaN to 0, silently poisoning lo, while DuckDB's
+    cast errors on them — r10 review), and filtering only the RAW column
+    would keep values the double cast nulls out (isnan(NULL) is false),
+    emitting a spurious NULL bin (r11 review).
 
     Scale posture: one 1-row (min, max) aggregate broadcast back (the
     bounded-metadata discipline), one narrow projection, ONE groupBy
@@ -685,10 +687,16 @@ def histogram_quantile_report(
     counter rows only. Two passes over the data (bounds, counts) is the
     textbook trade for data-independent edges; a streaming deployment
     pins edges from history and drops to one pass."""
-    q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
-    base = events.where(
-        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
-    ).select(F.col("event_type").alias("scope"), q.alias("q"))
+    vd = F.col("value").cast("double")
+    q = F.round(vd * F.lit(1000.0), 0).cast("bigint")
+    # filter the CAST value: vd.isNotNull() drops both raw NULLs and
+    # values the double cast nulls out (isnan(NULL) is false in Spark, so
+    # a failed cast would otherwise survive into a spurious NULL bin);
+    # NaN itself is dropped explicitly (non-ANSI cast maps it to 0 at the
+    # bigint step, silently poisoning lo, while DuckDB's cast errors)
+    base = events.where(vd.isNotNull() & ~F.isnan(vd)).select(
+        F.col("event_type").alias("scope"), q.alias("q")
+    )
     bounds = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
     binned = base.crossJoin(F.broadcast(bounds)).select(
         "scope",
@@ -764,11 +772,15 @@ def histq_bin_deltas(
     keeps streaming-vs-batch parity on dirty inputs by construction."""
     lo, hi = int(lo), int(hi)
     width = (hi - lo) // n_bins + 1
-    q = F.round(F.col("value").cast("double") * F.lit(1000.0), 0).cast("bigint")
+    vd = F.col("value").cast("double")
+    q = F.round(vd * F.lit(1000.0), 0).cast("bigint")
     clamped = F.greatest(F.lit(lo).cast("bigint"), F.least(F.lit(hi).cast("bigint"), q))
-    base = events.where(
-        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
-    ).select(F.col("event_type").alias("scope"), clamped.alias("q"))
+    # filter the CAST value, same rule as histogram_quantile_report: a
+    # value the double cast nulls out would otherwise clamp into the top
+    # bin (least skips NULLs), silently diverging from the batch report
+    base = events.where(vd.isNotNull() & ~F.isnan(vd)).select(
+        F.col("event_type").alias("scope"), clamped.alias("q")
+    )
     return (
         base.select(
             "scope",

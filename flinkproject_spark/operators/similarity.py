@@ -905,12 +905,24 @@ def kmeans_fit(
     return cent.join(pops, "cid")
 
 
+def kms_sample_member(sample_mod: int):
+    """The sampled trainer's membership predicate, factored once —
+    md5-hash64('kms:' || vec_id) mod sample_mod == 0 — so callers that
+    need their own corpus aggregate (ivf_pq_topk's auto path) can fold
+    the sample count into it instead of paying a second scan."""
+    from flinkproject_spark import functions as K
+
+    h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
+    return F.pmod(h, F.lit(sample_mod)) == 0
+
+
 def kmeans_fit_sampled(
     embeddings: DataFrame,
     sample_mod: int = 4,
     k: int | None = None,
     n_iter: int = 3,
     target_cell_rows: int = KM_TARGET_CELL_ROWS,
+    counts: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The 100 TB production shape of the trainer: fit on a DETERMINISTIC
     hash sample of the corpus with k derived from the FULL count, then
@@ -928,12 +940,15 @@ def kmeans_fit_sampled(
     table, where n counts SAMPLE members (the fit's own assignment);
     persist it with write.parquet and hand it to kmeans_assign.
 
+    `counts=(n, n_sample)` lets a caller that already aggregated the
+    corpus (full count and kms_sample_member count) hand both in, so
+    auto-k and the sample-size guard cost no scan here at all —
+    ivf_pq_topk's auto path shares ONE aggregate this way (r11 review).
+
     Reference parity: no trainer in the reference (its IVF analog uses
     precomputed labels); sampled Lloyd training per Jegou et al. 2011
     (IVFADC coarse quantizers are conventionally trained on a corpus
     subsample)."""
-    from flinkproject_spark import functions as K
-
     if sample_mod < 1:
         # pmod(h, 0) is null -> a silent EMPTY sample and an empty
         # centroid table; fail loudly instead (the whiten_embeddings
@@ -941,9 +956,12 @@ def kmeans_fit_sampled(
         raise ValueError(
             f"kmeans_fit_sampled: sample_mod must be >= 1, got {sample_mod}"
         )
-    h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
-    member = F.pmod(h, F.lit(sample_mod)) == 0
-    if k is None:
+    member = kms_sample_member(sample_mod)
+    if counts is not None:
+        n, n_sample = int(counts[0]), int(counts[1])
+        if k is None:
+            k = kmeans_auto_k(n, target_cell_rows)
+    elif k is None:
         # ONE aggregate serves both the auto-k full count and the
         # sample-size guard — not two separate scans (r10 review)
         row = embeddings.agg(
@@ -1048,7 +1066,23 @@ def ivf_pq_topk(
     applied to embedding search.
     """
     if centroids is None:
-        centroids = kmeans_fit_sampled(embeddings, sample_mod=sample_mod)
+        if rerank == "auto":
+            # inline fit + auto rerank each need a corpus count; fold
+            # both into ONE aggregate (the kmeans_fit_sampled r10
+            # discipline, applied across the composition — r11 review)
+            row = embeddings.agg(
+                F.count("*").alias("n"),
+                F.sum(kms_sample_member(sample_mod).cast("long")).alias("ns"),
+            ).first()
+            n = int(row["n"])
+            rerank = pq_auto_rerank(n)
+            centroids = kmeans_fit_sampled(
+                embeddings,
+                sample_mod=sample_mod,
+                counts=(n, int(row["ns"] or 0)),
+            )
+        else:
+            centroids = kmeans_fit_sampled(embeddings, sample_mod=sample_mod)
     cent = centroids.select("cid", "cent")
 
     # --- coarse routing: nprobe nearest trained cells per query ---------

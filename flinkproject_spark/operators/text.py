@@ -894,7 +894,9 @@ NB_PRIOR_TOKEN = ""  # real tokens are filtered != '', so '' is free
 NB_FIT_VERSION = 1
 
 
-def nb_quality_fit(documents: DataFrame) -> DataFrame:
+def nb_quality_fit(
+    documents: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
     """TRAINED quality classifier, fit half (VERDICT r10 task 4): Naive
     Bayes token log-odds distilled from the Gopher rule gate as weak
     supervision — the standard bootstrap when no hand-labeled quality set
@@ -927,10 +929,23 @@ def nb_quality_fit(documents: DataFrame) -> DataFrame:
     vocabulary-sized — persist it with write.parquet and serve forever
     (the `_kmeans_model` cache shape).
 
+    `labels` lets a caller that already computed the gate share the pass
+    (a (doc_id, keep) frame, e.g. nb_quality_scores' inline-refit path);
+    None runs gopher_quality_flags itself.
+
     Reference parity: no trainer in the reference; north-star surface
     for the LLM-pipeline extension (SURVEY §2 text-analysis tier).
     """
-    lab = gopher_quality_flags(documents).select("doc_id", "keep")
+    if labels is not None:
+        lab = labels.select("doc_id", "keep")
+    else:
+        # the prior aggregate and the token join BOTH read lab; without
+        # the checkpoint each re-runs the full corpus gate (r11 review)
+        lab = (
+            gopher_quality_flags(documents)
+            .select("doc_id", "keep")
+            .localCheckpoint(eager=False)
+        )
     pri = lab.agg(
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("np"),
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("nn"),
@@ -1035,11 +1050,15 @@ def nb_quality_scores(
     score 0 (both smoothed LMs give an unseen token the same
     1/(tot+V)-class mass — the score_against_vocab argument), which is
     what makes the persisted model sound on NEW batches."""
+    lab_keep = gopher_quality_flags(documents).select("doc_id", "keep")
     if model is None:
-        model = nb_quality_fit(documents)
-    lab = gopher_quality_flags(documents).select(
-        "doc_id", F.col("keep").alias("label")
-    )
+        # ONE gate pass shared between the fit's labels and the output
+        # label column — the inline-refit path otherwise tokenizes and
+        # gates the corpus twice in subplans Catalyst cannot dedupe
+        # (r11 review)
+        lab_keep = lab_keep.localCheckpoint(eager=False)
+        model = nb_quality_fit(documents, labels=lab_keep)
+    lab = lab_keep.select("doc_id", F.col("keep").alias("label"))
     scored = nb_model_score(documents, model)
     return lab.join(scored, "doc_id").select(
         "doc_id",

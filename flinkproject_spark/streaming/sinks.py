@@ -1652,8 +1652,14 @@ def compact_delta_log(spark, path: str, key_cols: list[str]) -> None:
         # a null wide sum over >0 non-null inputs = DECIMAL(38) overflow
         over_null = F.col(c).isNull() & (F.col(f"__cnt_{c}") > 0)
         if type(t) in _INT_MAX:
+            # two-sided compare, not abs(): integral ranges are
+            # asymmetric — abs(typeMin) is typeMax + 1, so an abs-based
+            # guard would reject a legitimate folded total of exactly
+            # typeMin (r11 review)
             hi = _INT_MAX[type(t)]
-            over_rng = F.abs(F.col(c)) > F.lit(str(hi)).cast(_T.DecimalType(38, 0))
+            over_rng = (
+                F.col(c) > F.lit(str(hi)).cast(_T.DecimalType(38, 0))
+            ) | (F.col(c) < F.lit(str(-hi - 1)).cast(_T.DecimalType(38, 0)))
         elif t.precision < 38:
             # decimal-vs-decimal compare — a double cast is imprecise near
             # the limit (r10 advice); 10^(p-s) fits DECIMAL(38,s) whenever

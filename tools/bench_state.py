@@ -7,9 +7,9 @@ the measured evidence that every stateful operator keeps WATERMARK-
 BOUNDED state rather than accumulating the stream:
 
 - interval join (payment_wide_stream, A8): state on both sides is
-  bounded by interval width (24 h) + watermark delay (1 day) behind the
-  max event time — the Flink interval-join state machine's horizon
-  (OrderWideApp.java:99-107).
+  bounded by interval width (24 h) + watermark delay (jobs.DEFAULT_DELAY
+  = 10 minutes) behind the max event time — the Flink interval-join
+  state machine's horizon (OrderWideApp.java:99-107).
 - CEP bounce (detect_bounces_stream, A12): <= 1 pending entry + last
   event time per user; timers evict on watermark.
 - unique visits + TTL (unique_visits_stream, A10+A14): one last_dt slot
@@ -87,9 +87,17 @@ def run_one(spark, maker, staged: str, provider_class: str) -> dict:
         ops = p.get("stateOperators") or []
         rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
         mem = sum(int(o.get("memoryUsedBytes") or 0) for o in ops)
+        # Spark 4.x names the RocksDB size metric rocksdbSstFileSize;
+        # keep the pre-4 name as a fallback (the r11 review caught the
+        # old-name-only read silently summing 0 on 4.1.2)
         sst = sum(
-            int((o.get("customMetrics") or {}).get("rocksdbTotalSSTFilesBytes")
-                or 0)
+            int(
+                (o.get("customMetrics") or {}).get("rocksdbSstFileSize")
+                or (o.get("customMetrics") or {}).get(
+                    "rocksdbTotalSSTFilesBytes"
+                )
+                or 0
+            )
             for o in ops
         )
         curve.append(
@@ -161,7 +169,8 @@ def main() -> None:
         "## Reading the table",
         "",
         "- **interval join**: peak state is the watermark horizon's rows "
-        "(interval width 24 h + delay 1 day behind max event time), a "
+        "(interval width 24 h + the job's 10-minute watermark delay "
+        "behind max event time), a "
         "small fraction of the 30-day input — the bounded-state contract "
         "of the A8 docstring (`OrderWideApp.java:99-107` parity). The "
         "final rows are what the horizon still covers when input ends "

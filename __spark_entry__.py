@@ -2692,6 +2692,10 @@ def _gopher_metric_exprs(toks: str = "x") -> dict[str, str]:
     }
 
 
+# the default-tokenization instance, for oracles that inline single
+# metric expressions (corpus_profile)
+_GOPHER_EXPRS = _gopher_metric_exprs()
+
 _GOPHER_THRESH = {
     "n_tokens": "{} BETWEEN 10 AND 100000",
     "mean_word_len": "{} BETWEEN 2.0 AND 12.0",
@@ -3812,8 +3816,8 @@ def oracle_sql() -> dict[str, str]:
                    least(len(x)::DOUBLE / 100.0, 1.0) * 0.5
                      + (len(list_distinct(x))::DOUBLE / len(x)::DOUBLE) * 0.5
                      AS quality_score,
-                   {_gopher_metric_exprs()['mean_word_len']} AS mean_word_len,
-                   {_gopher_metric_exprs()['symbol_ratio']} AS symbol_ratio,
+                   {_GOPHER_EXPRS['mean_word_len']} AS mean_word_len,
+                   {_GOPHER_EXPRS['symbol_ratio']} AS symbol_ratio,
                    {_gopher_keep('x')}
                      AS gopher_keep,
                    {_LANG_CASE} AS predicted_lang,

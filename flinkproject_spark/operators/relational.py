@@ -635,6 +635,26 @@ HISTQ_BINS = 256
 HISTQ_PCTS = (50, 90, 99)
 
 
+def _histq_clean(vd):
+    """The histogram sketch's dirty-input filter, ONE copy for the batch
+    report and the streaming deltas (their parity on dirty rows is the
+    contract): keep only FINITE doubles. vd must be the CAST double —
+    vd.isNotNull() then drops both raw NULLs and values the cast nulls
+    out (isnan(NULL) is false in Spark, so a failed cast would otherwise
+    survive into a spurious NULL bin / the deltas' top bin); ~isnan
+    drops NaN; the two comparisons drop +/-Infinity, which passes both
+    earlier checks and then blows up the bigint quantize cast under
+    ANSI (CAST_OVERFLOW — r11 review) or poisons hi under non-ANSI.
+    DuckDB's oracle cast errors on all of these, so dropping them is
+    also the cross-engine-parity move."""
+    return (
+        vd.isNotNull()
+        & ~F.isnan(vd)
+        & (vd > F.lit(float("-inf")))
+        & (vd < F.lit(float("inf")))
+    )
+
+
 def histogram_quantile_report(
     events: DataFrame,
     n_bins: int = HISTQ_BINS,
@@ -671,14 +691,11 @@ def histogram_quantile_report(
     Binning is DIVIDE-FIRST — width = (hi-lo) div n_bins + 1, bin =
     (q-lo) div width — never (q-lo)*n_bins, whose product overflows
     int64 once the quantized span nears 2^55 (the same valve
-    zorder_layout uses for its bucket scaling). Null AND NaN values are
-    filtered on the CAST double BEFORE the bigint quantize step — the
-    same rule as histq_bin_deltas and the DuckDB oracle; filtering the
-    already-quantized q instead would keep NaN rows (Spark's non-ANSI
-    bigint cast maps NaN to 0, silently poisoning lo, while DuckDB's
-    cast errors on them — r10 review), and filtering only the RAW column
-    would keep values the double cast nulls out (isnan(NULL) is false),
-    emitting a spurious NULL bin (r11 review).
+    zorder_layout uses for its bucket scaling). Dirty values (NULL,
+    failed casts, NaN, +/-Infinity) are dropped by :func:`_histq_clean`
+    on the CAST double BEFORE the bigint quantize step — one copy of
+    the filter shared with histq_bin_deltas, matching the DuckDB
+    oracle's cast-error behavior (r10/r11 reviews).
 
     Scale posture: one 1-row (min, max) aggregate broadcast back (the
     bounded-metadata discipline), one narrow projection, ONE groupBy
@@ -689,12 +706,7 @@ def histogram_quantile_report(
     pins edges from history and drops to one pass."""
     vd = F.col("value").cast("double")
     q = F.round(vd * F.lit(1000.0), 0).cast("bigint")
-    # filter the CAST value: vd.isNotNull() drops both raw NULLs and
-    # values the double cast nulls out (isnan(NULL) is false in Spark, so
-    # a failed cast would otherwise survive into a spurious NULL bin);
-    # NaN itself is dropped explicitly (non-ANSI cast maps it to 0 at the
-    # bigint step, silently poisoning lo, while DuckDB's cast errors)
-    base = events.where(vd.isNotNull() & ~F.isnan(vd)).select(
+    base = events.where(_histq_clean(vd)).select(
         F.col("event_type").alias("scope"), q.alias("q")
     )
     bounds = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
@@ -765,20 +777,17 @@ def histq_bin_deltas(
     Values outside [lo, hi] clamp into the edge bins (a pinned-edge
     sketch can only report where mass FELL relative to its domain;
     re-pin and rebuild when the domain drifts — the same re-train
-    discipline as the k-means centroids). Null and NaN values are
-    dropped BEFORE the clamp — greatest/least skip NULLs, so an
-    unfiltered null would silently land in the top bin (and a NaN cast
-    to 0) while the batch report filters both out; the explicit filter
+    discipline as the k-means centroids). Dirty values are dropped by
+    :func:`_histq_clean` BEFORE the clamp — greatest/least skip NULLs,
+    so an unfiltered null would silently land in the top bin while the
+    batch report filters it out; sharing the report's exact filter
     keeps streaming-vs-batch parity on dirty inputs by construction."""
     lo, hi = int(lo), int(hi)
     width = (hi - lo) // n_bins + 1
     vd = F.col("value").cast("double")
     q = F.round(vd * F.lit(1000.0), 0).cast("bigint")
     clamped = F.greatest(F.lit(lo).cast("bigint"), F.least(F.lit(hi).cast("bigint"), q))
-    # filter the CAST value, same rule as histogram_quantile_report: a
-    # value the double cast nulls out would otherwise clamp into the top
-    # bin (least skips NULLs), silently diverging from the batch report
-    base = events.where(vd.isNotNull() & ~F.isnan(vd)).select(
+    base = events.where(_histq_clean(vd)).select(
         F.col("event_type").alias("scope"), clamped.alias("q")
     )
     return (

@@ -909,9 +909,18 @@ def kms_sample_member(sample_mod: int):
     """The sampled trainer's membership predicate, factored once —
     md5-hash64('kms:' || vec_id) mod sample_mod == 0 — so callers that
     need their own corpus aggregate (ivf_pq_topk's auto path) can fold
-    the sample count into it instead of paying a second scan."""
+    the sample count into it instead of paying a second scan.
+
+    The sample_mod >= 1 guard lives HERE so every consumer fails loudly
+    before any job runs — pmod(h, 0) is a DIVIDE_BY_ZERO under ANSI and
+    a silent empty sample otherwise (r11 review: the factored helper
+    initially left ivf_pq_topk's aggregate unguarded)."""
     from flinkproject_spark import functions as K
 
+    if sample_mod < 1:
+        raise ValueError(
+            f"kms_sample_member: sample_mod must be >= 1, got {sample_mod}"
+        )
     h = K.hash64(F.concat(F.lit("kms:"), F.col("vec_id").cast("string")))
     return F.pmod(h, F.lit(sample_mod)) == 0
 
@@ -949,14 +958,7 @@ def kmeans_fit_sampled(
     precomputed labels); sampled Lloyd training per Jegou et al. 2011
     (IVFADC coarse quantizers are conventionally trained on a corpus
     subsample)."""
-    if sample_mod < 1:
-        # pmod(h, 0) is null -> a silent EMPTY sample and an empty
-        # centroid table; fail loudly instead (the whiten_embeddings
-        # misuse-guard discipline)
-        raise ValueError(
-            f"kmeans_fit_sampled: sample_mod must be >= 1, got {sample_mod}"
-        )
-    member = kms_sample_member(sample_mod)
+    member = kms_sample_member(sample_mod)  # raises on sample_mod < 1
     if counts is not None:
         n, n_sample = int(counts[0]), int(counts[1])
         if k is None:

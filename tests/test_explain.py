@@ -67,6 +67,12 @@ BNLJ_ALLOWED = {
     # table (tiny x tiny, the sim_topk_ivf_nprobe shape); the recall
     # report additionally composes the allowed brute-force ground truth
     "sim_topk_ivf_pq", "ivf_pq_recall_report",
+    # r11: the NB classifier broadcasts two 1-ROW frames — the vocab
+    # totals (tp, tn, V) into the smoothed-ratio projection and the
+    # class-prior row into per-doc scoring — scalar x data, the
+    # value_quantiles_hist bin-edge shape; pipeline v5 inherits the
+    # scoring half
+    "quality_nb_fit", "quality_nb_scores", "corpus_pipeline_v5",
 }
 
 

@@ -3600,3 +3600,59 @@ def test_event_next_topk_ranks_shares_with_tiebreak(tables):
         )
         assert list(g.to_type) == list(want.to_type)
         assert list(g.share_ppm) == list(want.share_ppm)
+
+
+def test_kmeans_fit_sampled_counts_param_is_output_identical(tables):
+    """The counts=(n, n_sample) fast path (r11: ivf_pq_topk shares one
+    corpus aggregate) must be a pure scan-saver: centroids identical to
+    the self-counting form, and a lying n_sample still trips the
+    sample-size guard."""
+    emb = tables["embeddings"]
+    n = emb.count()
+    ns = emb.where(similarity.kms_sample_member(4)).count()
+    a = sorted(
+        (r.cid, tuple(r.cent), r.n)
+        for r in similarity.kmeans_fit_sampled(emb, sample_mod=4).collect()
+    )
+    b = sorted(
+        (r.cid, tuple(r.cent), r.n)
+        for r in similarity.kmeans_fit_sampled(
+            emb, sample_mod=4, counts=(n, ns)
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="sample holds"):
+        similarity.kmeans_fit_sampled(emb, sample_mod=4, counts=(n, 2), k=5)
+
+
+def test_nb_quality_fit_labels_param_is_output_identical(tables):
+    """The labels= fast path (r11: nb_quality_scores shares its gate
+    pass with the inline refit) must not change the model: explicit
+    gopher labels produce the exact table the self-labeling form does."""
+    from flinkproject_spark.operators import text as T
+
+    docs = tables["documents"]
+    lab = T.gopher_quality_flags(docs).select("doc_id", "keep")
+    a = sorted(map(tuple, T.nb_quality_fit(docs).collect()))
+    b = sorted(map(tuple, T.nb_quality_fit(docs, labels=lab).collect()))
+    assert a == b
+
+
+def test_histq_dirty_values_filtered_identically(spark):
+    """The shared dirty-input filter (r11 review): NULL, NaN and
+    +/-Infinity rows must vanish from BOTH the batch report and the
+    streaming deltas — inf would otherwise blow up the ANSI bigint cast
+    (batch) or clamp into the top bin (deltas), and the counts of the
+    surviving rows must agree between the two faces."""
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", None),
+        ("a", float("nan")), ("a", float("inf")), ("a", float("-inf")),
+        ("b", 3.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    rep = relational.histogram_quantile_report(ev).collect()
+    by_scope = {r.scope: r.n for r in rep}
+    assert by_scope == {"a": 2, "b": 1, "__all__": 3}
+    deltas = relational.histq_bin_deltas(ev, lo=1000, hi=3000).collect()
+    assert sum(r.c for r in deltas) == 3  # same three clean rows
+    assert all(r.bin >= 0 for r in deltas)

@@ -2626,3 +2626,29 @@ def test_compact_delta_log_keeps_delta_schema_and_guards_overflow(
     out4 = spark.read.parquet(path4)
     assert dict(out4.dtypes)["lval"] == "bigint"
     assert out4.first().lval == 8_000_000_000_000_000_000
+
+
+def test_compact_delta_log_accepts_exact_type_min(spark, tmp_path):
+    """Integral ranges are asymmetric: abs(typeMin) is typeMax + 1, so
+    the r11 abs()-based guard rejected a legitimate folded total of
+    exactly typeMin — pin the two-sided check on both int and long
+    (reverting to abs() fails this), and that one-below still raises."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "dlmin")
+    spark.createDataFrame(
+        [(0, "a", -2_000_000_000, -4_611_686_018_427_387_904),
+         (1, "a", -147_483_648, -4_611_686_018_427_387_904)],
+        "batch_id int, k string, ival int, lval long",
+    ).write.mode("append").parquet(path)
+    sinks.compact_delta_log(spark, path, key_cols=["k"])
+    row = spark.read.parquet(path).first()
+    assert row.ival == -(2**31)  # exactly int min, accepted
+    assert row.lval == -(2**63)  # exactly long min, accepted
+    path2 = str(tmp_path / "dlmin2")
+    spark.createDataFrame(
+        [(0, "a", -2_000_000_000), (1, "a", -147_483_649)],
+        "batch_id int, k string, ival int",
+    ).write.mode("append").parquet(path2)
+    with _pytest.raises(ValueError, match="type range"):
+        sinks.compact_delta_log(spark, path2, key_cols=["k"])

@@ -1480,11 +1480,13 @@ def q_ivf_pq_recall_report(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
     # entries against the DuckDB oracles. Round-11 window (VERDICT r10
-    # task 3 rotation): the 7 NEW queries, then the 7 whose CODE changed
-    # this round, then the entire oldest-evidence cohort (the 36 rows
-    # whose last green driver check was r08, save one that doesn't fit).
-    # Everything r09/r10-verified and untouched holds the tail. Per-query
-    # recency is auto-audited in VERIFIED.md (tools/verified_rounds.py).
+    # task 3 rotation): the 7 NEW queries, then the 11 whose code or
+    # oracle text changed this round, then the oldest-evidence cohort
+    # (32 of the 36 rows whose last green driver check was r08 — the
+    # five that don't fit, text_fingerprint plus the displaced tail
+    # four, front the r12 rotation). Everything r09/r10-verified and
+    # untouched holds the tail. Per-query recency is auto-audited in
+    # VERIFIED.md (tools/verified_rounds.py).
     return {
         # -- NEW this round (r11): the composed IVFxPQ serving tier +
         #    recall row, the real-CJK dictionary-BMM query, the trained
@@ -1509,10 +1511,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq": q_sim_topk_pq,
         "pq_recall_report": q_pq_recall_report,
         "mm_features": q_mm_features,
+        #    second-pass rotation: the Gopher-gate SQL consolidation
+        #    rewrote these four oracles' text (values identical), so
+        #    they re-enter the window; the r08 cohort's tail four defer
+        #    one round to make room
+        "text_gopher": q_text_gopher,
+        "corpus_pipeline_v2": q_corpus_pipeline_v2,
+        "corpus_profile": q_corpus_profile,
+        "corpus_pipeline_v3": q_corpus_pipeline_v3,
         # -- oldest-evidence cohort: the r08-verified block, rotated in
         #    so no query's evidence ages past two rounds (text_fingerprint
-        #    is the one r08 row the window cannot fit — it fronts the r12
-        #    rotation)
+        #    and the displaced tail four are the r08 rows the window
+        #    cannot fit — they front the r12 rotation)
         "contamination_bloom": q_contamination_bloom,
         "hybrid_search": q_hybrid_search,
         "dedup_semantic_trained": q_dedup_semantic_trained,
@@ -1545,14 +1555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomalies_dense": q_daily_anomalies_dense,
         "order_value_percentiles_approx": q_order_value_percentiles_approx,
         "ann_recall_report": q_ann_recall_report,
-        "minhash_pr_report": q_minhash_pr_report,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize": q_mm_resize,
-        "text_bpe_tokens": q_text_bpe_tokens,
         # ---- end of the 50-query verified window ----
         # -- r10/r09-verified (and the leftover r08 text_fingerprint),
         #    untouched this round
         "skew_hot_join": q_skew_hot_join,
+        # displaced window tail (r08 evidence, defers to r12 with
+        # text_fingerprint)
+        "minhash_pr_report": q_minhash_pr_report,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "event_transitions": q_event_transitions,
         "a10_unique_visits": q_a10_unique_visits,
         "a11_is_new_flag": q_a11_is_new_flag,
@@ -1573,17 +1585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_mix": q_corpus_mix,
-        "text_gopher": q_text_gopher,
         "text_logprob": q_text_logprob,
         "dedup_chunks": q_dedup_chunks,
-        "corpus_pipeline_v2": q_corpus_pipeline_v2,
         "dedup_chunks_apply": q_dedup_chunks_apply,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "text_bigram_logprob": q_text_bigram_logprob,
-        "corpus_profile": q_corpus_profile,
         "cep_followedby": q_cep_followedby,
         "corpus_curriculum": q_corpus_curriculum,
-        "corpus_pipeline_v3": q_corpus_pipeline_v3,
         "text_dsir": q_text_dsir,
         "corpus_zipf": q_corpus_zipf,
         "split_leakage": q_split_leakage,

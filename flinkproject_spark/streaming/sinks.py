@@ -1410,6 +1410,41 @@ def dsir_selecting_writer(
     )
 
 
+def nb_gating_writer(
+    corpus_path: str, model_path: str, threshold_ppm: int = 0
+) -> Callable[[DataFrame, int], None]:
+    """Classifier-gate-on-ingest: the streaming serve face of the TRAINED
+    NB quality tier (r11) — each micro-batch of documents is scored under
+    the PERSISTED model table (text.nb_model_score: class prior + exact
+    int64 ppm sum of per-occurrence log-odds), docs with nb_score_ppm >
+    `threshold_ppm` append to the corpus and the rest — scores attached —
+    to a `<corpus>_rejected` side channel (the dirty-side-output
+    discipline, BaseLogApp.java:62-66 parity). Streaming twin of the
+    batch pipeline's v5 gate (plans/corpus.build_training_corpus_v5).
+
+    The model is re-read INSIDE each batch (dim_enriching_writer's
+    freshness rule), so a re-fit landing between triggers gates the very
+    next batch; the table is vocabulary-sized, so the per-trigger read is
+    one broadcast-scale scan. OOV tokens score 0 under both smoothed LMs
+    (nb_model_score's contract), so a drifting stream degrades toward
+    the prior, never a crash.
+    """
+
+    def score(batch: DataFrame) -> DataFrame:
+        from flinkproject_spark.operators.text import nb_model_score
+
+        model = batch.sparkSession.read.parquet(model_path)
+        return batch.join(nb_model_score(batch, model), "doc_id")
+
+    return _scoring_split_writer(
+        corpus_path,
+        "_rejected",
+        score,
+        F.col("nb_score_ppm") > threshold_ppm,
+        clean_drop=("nb_score_ppm",),
+    )
+
+
 def start_console_sink(df: DataFrame, rows: int = 20) -> StreamingQuery:
     """B11 — the `.print()` debug sink (BaseLogApp.java:132-134)."""
     return df.writeStream.format("console").option("numRows", rows).start()

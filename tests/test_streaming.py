@@ -2069,6 +2069,57 @@ def test_dsir_selecting_sink_matches_batch_scores(spark, sf_dir, tmp_path):
     assert admitted2 == admitted
 
 
+def test_nb_gating_sink_matches_batch_scores(spark, sf_dir, tmp_path):
+    """[S] Documents replayed through the NB classifier gate against a
+    persisted model table: corpus + rejected must partition the input
+    exactly as batch nb_model_score would at the same threshold, with
+    per-doc scores carried on the reject channel, nothing dropped, and
+    the partition independent of batch shape (fit-once/serve-many — the
+    streaming twin of pipeline v5's gate)."""
+    from flinkproject_spark.operators import text as text_ops
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    model_path = str(tmp_path / "nb_model")
+    text_ops.nb_quality_fit(docs).write.parquet(model_path)
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.nb_gating_writer(corpus, model_path, threshold_ppm=0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    model = spark.read.parquet(model_path)
+    want = {
+        r.doc_id: r.nb_score_ppm
+        for r in text_ops.nb_model_score(docs, model).collect()
+    }
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    rejected = {
+        r.doc_id: r.nb_score_ppm
+        for r in spark.read.parquet(f"{corpus}_rejected").collect()
+    }
+    assert admitted == {d for d, s in want.items() if s > 0}
+    assert rejected == {d: s for d, s in want.items() if s <= 0}  # scores carried
+    assert admitted | set(rejected) == set(want)
+    # batch-boundary independence: one-shot re-ingest gives the same
+    # partition (int64 ppm sums are order- and batch-shape-free)
+    corpus2 = str(tmp_path / "corpus2")
+    sinks.nb_gating_writer(corpus2, model_path, threshold_ppm=0)(docs, 0)
+    admitted2 = {r.doc_id for r in spark.read.parquet(corpus2).select("doc_id").collect()}
+    assert admitted2 == admitted
+
+
 def test_cep_followedby_stream_matches_batch(spark, events, staged):
     """[S] Relaxed-contiguity (followedBy) streaming/batch parity: the
     repeat-purchase pattern replayed through applyInPandasWithState must

@@ -421,11 +421,13 @@ def q_dedup_ngram_blocked(spark, sf):
 def q_dedup_embedding(spark, sf):
     """Within-cell cosine near-dups with the cell-size cap WIRED IN
     (VERDICT r07 task 1a): max_cell_rows=2000 never binds at sf0.01/0.1
-    (max cell 59 / 218 rows — output identical, oracle untouched, pinned
-    by test) but bounds per-cell O(m^2) work at scale, where the
-    testdata's fixed 10-label quantizer otherwise makes cell population
-    linear in corpus size (BENCH_SF10.md: exponent 2.15 uncapped, 0.36
-    with this cap)."""
+    (max cell 59 / 218 rows) but bounds per-cell O(m^2) work at scale,
+    where the testdata's fixed 10-label quantizer otherwise makes cell
+    population linear in corpus size (BENCH_SF10.md: exponent 2.15
+    uncapped, 0.36 with this cap). The oracle replays the cap ITSELF
+    (r11: _srp_sub_ctes regenerates the 20-bit SRP sub-bucket split), so
+    the query is bit-exact even where the cap binds — verified at sf1
+    (5k-row cells, xb=2)."""
     return dedup.embedding_near_dups(_t(spark, sf, "embeddings"), max_cell_rows=2000)
 
 
@@ -968,10 +970,13 @@ def q_dedup_semantic(spark, sf):
     form of the paper's greedy; dedup.semdedup).
 
     Cell-size cap WIRED IN (VERDICT r07 task 1a): max_cell_rows=2000
-    never binds at sf0.01/0.1 (output identical, oracle untouched,
-    pinned by test) but caps per-cell matmul work at scale — the paper's
-    own scaling move (k grows with the corpus) as a knob
-    (BENCH_SF10.md: exponent 1.93 uncapped, 0.28 with this cap)."""
+    never binds at sf0.01/0.1 but caps per-cell matmul work at scale —
+    the paper's own scaling move (k grows with the corpus) as a knob
+    (BENCH_SF10.md: exponent 1.93 uncapped, 0.28 with this cap). The
+    oracle replays the cap ITSELF (r11: _semdedup_sql(cap=2000) groups
+    centroid, cent_cos, pairs and dominance by the refined (label, SRP
+    sub-bucket) cell), so the query is bit-exact even where the cap
+    binds — verified at sf1."""
     return dedup.semdedup(_t(spark, sf, "embeddings"), max_cell_rows=2000)
 
 
@@ -2247,29 +2252,93 @@ def _topk_trained_sql(k: int = 10) -> str:
             QUALIFY rank <= {k}"""
 
 
-def _semdedup_sql(src: str = "embeddings", extra: str = "") -> str:
+def _srp_sub_ctes(cap: int, src: str = "embeddings") -> str:
+    """CTE chain replaying dedup._refine_oversized_cells — the cell-size
+    cap's deterministic SRP sub-bucket split — ending in
+    `subc(vec_id, label, sub)`. Cells at or under `cap` rows get sub=0;
+    oversized cells split by the TOP ceil(log2(n/cap)) bits of the same
+    20-bit single-band SRP signature `_srp_sql` regenerates (md5-derived
+    integer projection, exact int64 dots), read via integer shift
+    (floor-div by 2^(20-xb), the exact twin of Spark's double-pow floor
+    on sub-2^20 values). Makes the capped driver forms of
+    dedup_embedding / dedup_semantic bit-exact at ANY corpus size — the
+    r11 sf1 full gate caught the oracles replaying only the uncapped
+    grouping (identical below the cap, divergent once it binds)."""
+    return f"""sxb AS (
+              SELECT label,
+                     CASE WHEN COUNT(*) > {cap}
+                          THEN CAST(ceil(log2(COUNT(*) / {cap}.0)) AS INT)
+                          ELSE 0 END AS xb
+              FROM {src} GROUP BY label),
+            ssq AS (
+              SELECT vec_id,
+                     list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(round(embedding[i] * 1000) AS BIGINT)) AS qv
+              FROM {src}),
+            ssproj AS (
+              SELECT d.i AS dim, b.j AS bit,
+                     (('0x' || substr(md5('srp:' || d.i || ':' || b.j), 1, 15))::BIGINT
+                      % 2001) - 1000 AS p
+              FROM range(0, 64) d(i), range(0, 20) b(j)),
+            ssdots AS (
+              SELECT ssq.vec_id, pr.bit, SUM(ssq.qv[pr.dim + 1] * pr.p) AS s
+              FROM ssq, ssproj pr GROUP BY 1, 2),
+            sssig AS (
+              SELECT vec_id,
+                     SUM(CASE WHEN s >= 0 THEN 1 << bit ELSE 0 END) AS sig
+              FROM ssdots GROUP BY 1),
+            subc AS (
+              SELECT e.vec_id, e.label,
+                     (g.sig // (1 << (20 - x.xb)))::BIGINT AS sub
+              FROM {src} e
+              JOIN sssig g ON e.vec_id = g.vec_id
+              JOIN sxb x ON e.label = x.label)"""
+
+
+def _semdedup_sql(
+    src: str = "embeddings", extra: str = "", cap: int | None = None
+) -> str:
     """SemDeDup oracle body, parameterized on the labeled source relation
     so the TRAINED-quantizer variant reuses the identical dominance
     logic over kmeans-assigned cells (src='emb2' + the unrolled fit
-    CTEs) — one body, two verified parameterizations."""
+    CTEs) — one body, two verified parameterizations. `cap` replays the
+    driver form's max_cell_rows SRP sub-bucket split (_srp_sub_ctes):
+    the effective cell becomes (label, sub) — centroid, cent_cos, pairs
+    and dominance all computed inside the refined cell, exactly the
+    grouping Spark's capped applyInPandas sees — while cap=None pins
+    sub=0 everywhere, which reduces to plain per-label grouping."""
+    if cap is not None:
+        sub_src = (
+            _srp_sub_ctes(cap, src)
+            + f""",
+            sx AS (
+              SELECT e.vec_id, e.embedding, e.label, s.sub
+              FROM {src} e JOIN subc s ON e.vec_id = s.vec_id
+            ), """
+        )
+    else:
+        sub_src = f"""sx AS (
+              SELECT vec_id, embedding, label, 0 AS sub FROM {src}
+            ), """
     return f"""
-            WITH {extra}dims AS (
-              SELECT label, t.i AS dim, (embedding[t.i])::DOUBLE AS v
-              FROM {src}, unnest(generate_series(1, len(embedding))) AS t(i)
+            WITH {extra}{sub_src}dims AS (
+              SELECT label, sub, t.i AS dim, (embedding[t.i])::DOUBLE AS v
+              FROM sx, unnest(generate_series(1, len(embedding))) AS t(i)
             ), cent AS (
-              SELECT label, array_agg(m ORDER BY dim) AS cent FROM (
-                SELECT label, dim, SUM(v) / COUNT(*) AS m FROM dims GROUP BY 1, 2)
-              GROUP BY label
+              SELECT label, sub, array_agg(m ORDER BY dim) AS cent FROM (
+                SELECT label, sub, dim, SUM(v) / COUNT(*) AS m
+                FROM dims GROUP BY 1, 2, 3)
+              GROUP BY label, sub
             ), cc AS (
               SELECT e.vec_id, e.label::BIGINT AS label,
                      round(({_DOT.format(a='e.embedding', b='c.cent')})
                            / (({_NORM.format(a='e.embedding')})
                               * ({_NORM.format(a='c.cent')})), 6) AS cent_cos
-              FROM {src} e JOIN cent c ON e.label = c.label
+              FROM sx e JOIN cent c ON e.label = c.label AND e.sub = c.sub
             ), pairs AS (
               SELECT a.vec_id AS va, b.vec_id AS vb
-              FROM {src} a JOIN {src} b
-                ON a.label = b.label AND a.vec_id < b.vec_id
+              FROM sx a JOIN sx b
+                ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
               WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
                           / (({_NORM.format(a='a.embedding')})
                              * ({_NORM.format(a='b.embedding')})), 6) >= 0.35
@@ -3677,12 +3746,15 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.4""",
         "dedup_embedding": f"""
+            WITH {_srp_sub_ctes(2000)}
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(({_DOT.format(a='a.embedding', b='b.embedding')})
                          / (({_NORM.format(a='a.embedding')})
                             * ({_NORM.format(a='b.embedding')})), 6) AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM embeddings a
+            JOIN subc sa ON a.vec_id = sa.vec_id
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            JOIN subc sb ON b.vec_id = sb.vec_id AND sa.sub = sb.sub
             WHERE round(({_DOT.format(a='a.embedding', b='b.embedding')})
                         / (({_NORM.format(a='a.embedding')})
                            * ({_NORM.format(a='b.embedding')})), 6) >= 0.35""",
@@ -3730,7 +3802,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_rank::BIGINT AS vec_rank, cosine, rrf
             FROM rr
             QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 10""",
-        "dedup_semantic": _semdedup_sql(),
+        "dedup_semantic": _semdedup_sql(cap=2000),
         "dedup_semantic_trained": _semdedup_trained_sql(),
         "text_dsir": """
             WITH tok AS (

@@ -27,6 +27,11 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # an in-memory connection has no spill location, so a big oracle
+    # (pagerank's unrolled Jacobi at sf1) dies with an allocator OOM
+    # instead of going out-of-core; point temp_directory at disk so the
+    # harness degrades to spilling, like any real engine would
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark-written table dir (e.g. derived sf1)

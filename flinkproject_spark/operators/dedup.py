@@ -1716,16 +1716,29 @@ def duplicated_spans(
     windows, and the worst multiplicity inside the span (distinct
     documents by default, occurrences with include_intra_doc).
     """
+    # ONE pass over the gram rows: the multiplicity is computed as window
+    # aggregates over the gh partition instead of a groupBy(gh) aggregate
+    # joined back against a SECOND execution of the gram subplan (the r10
+    # form tokenized + windowed the corpus twice and shuffled the gram
+    # rows twice — guide-§2.4's "two operations keyed the same way share
+    # one exchange"). Exact-distinct-per-partition uses the standard
+    # dense_rank/max identity (countDistinct is not a window function).
     gh = span_gram_rows(documents, w)
-    mult = (
-        F.count("*") if include_intra_doc else F.countDistinct("doc_id")
-    )
-    dup = (
-        gh.groupBy("gh")
-        .agg(mult.alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-    )
-    marked = gh.join(dup, "gh").select("doc_id", "pos", "nd")
+    wgh = Window.partitionBy("gh")
+    if include_intra_doc:
+        marked = gh.select("doc_id", "pos", F.count("*").over(wgh).alias("nd"))
+    else:
+        whole = wgh.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        marked = (
+            gh.withColumn(
+                "rk", F.dense_rank().over(wgh.orderBy("doc_id"))
+            )
+            .withColumn("nd", F.max("rk").over(whole).cast("bigint"))
+            .select("doc_id", "pos", "nd")
+        )
+    marked = marked.filter(F.col("nd") >= min_docs)
     return merge_marked_spans(marked, w)
 
 
@@ -1808,14 +1821,28 @@ def span_dedup_apply(documents: DataFrame, w: int = 8) -> DataFrame:
     document length (array_sort over (t, token) structs, never a
     window). Returns (doc_id, clean_text, n_tokens_kept,
     n_tokens_dropped)."""
+    # ONE pass over the gram rows (same rewrite as duplicated_spans): the
+    # per-gram distinct-doc count and keeper owner are window aggregates
+    # over the gh partition — dense_rank/max for the exact distinct count,
+    # min(doc_id) for the owner — instead of a groupBy(gh) aggregate
+    # joined back against a second execution of the gram subplan. One
+    # shuffle + one sort of the gram rows replaces two gram passes and
+    # two gram-row shuffles (r11 optimization).
     gh = span_gram_rows(documents, w)
-    own = (
-        gh.groupBy("gh")
-        .agg(F.min("doc_id").alias("min_owner"), F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+    wgh = Window.partitionBy("gh")
+    whole = wgh.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    marked = gh.join(own, "gh").select(
-        "doc_id", "pos", (F.col("doc_id") == F.col("min_owner")).alias("is_keeper")
+    marked = (
+        gh.withColumn("rk", F.dense_rank().over(wgh.orderBy("doc_id")))
+        .withColumn("nd", F.max("rk").over(whole))
+        .withColumn("min_owner", F.min("doc_id").over(whole))
+        .filter(F.col("nd") >= 2)
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("doc_id") == F.col("min_owner")).alias("is_keeper"),
+        )
     )
     cov = marked.select(
         "doc_id",

@@ -1115,19 +1115,32 @@ def _tfidf_topk(docs: DataFrame, group_col: str, k: int) -> DataFrame:
     token tiebreak. One convention, one implementation — the oracle
     twins replay this exact arithmetic for both consumers.
 
-    `docs` must carry (doc_id, group_col, text)."""
+    `docs` must carry (doc_id, group_col, text).
+
+    Plan: ONE tokenize+explode pass feeds a (doc_id, group, token)
+    occurrence-count aggregate that is materialized (lazy checkpoint) and
+    then serves BOTH grains — tf = sum of per-doc counts within the
+    group, df = number of per-doc rows per token. The r10 form ran the
+    explode twice (tf pass, then a distinct doc-token pass for df),
+    re-executing the whole upstream subplan per aggregate — for
+    cluster_topics that subplan includes the corpus-wide trained
+    assignment (r11 optimization: 2 corpus token passes -> 1, and the
+    per-doc vocab intermediate is Zipf-much-smaller than the token
+    stream it replaces)."""
     tok = (
         docs.withColumn("x", tokens("text"))
         .select("doc_id", group_col, F.explode("x").alias("t"))
         .filter(F.col("t") != "")
     )
-    tf = tok.groupBy(group_col, "t").agg(F.count("*").cast("bigint").alias("tf"))
-    df_ = (
-        tok.select("doc_id", "t")
-        .distinct()
-        .groupBy("t")
-        .agg(F.count("*").cast("bigint").alias("df"))
+    per_doc = (
+        tok.groupBy("doc_id", group_col, "t")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=False)  # tf + df both read it
     )
+    tf = per_doc.groupBy(group_col, "t").agg(
+        F.sum("ct").cast("bigint").alias("tf")
+    )
+    df_ = per_doc.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(df_, "t")
@@ -1248,7 +1261,13 @@ def cluster_topics(
     from flinkproject_spark.operators.similarity import kmeans_assign
 
     asg = kmeans_assign(embeddings).select("vec_id", "cid")
-    docs = documents.join(
-        asg, documents.doc_id == asg.vec_id
-    ).select("doc_id", "cid", "text")
+    # materialize the labeled corpus once (lazy): _tfidf_topk reads its
+    # input twice (token aggregate + n_docs), and without this each read
+    # re-runs the full corpus-wide assignment pass (r11 optimization —
+    # the before-plan carried THREE assign kernels and six scans)
+    docs = (
+        documents.join(asg, documents.doc_id == asg.vec_id)
+        .select("doc_id", "cid", "text")
+        .localCheckpoint(eager=False)
+    )
     return _tfidf_topk(docs, "cid", k)

@@ -359,6 +359,11 @@ def build_training_corpus_v5(
         scrubbed.withColumn("__rn", F.row_number().over(wdup))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # feats AND the NB scorer both read the scrubbed+deduped corpus;
+        # materialize it once (lazy) or each reference re-runs the whole
+        # span-scrub pipeline — the same measured stage-reuse fix v2/v3
+        # carry (r11 optimization: the before-plan held 14 scans)
+        .localCheckpoint(eager=False)
     )
     x = F.split("clean_text", r"\s+")
     feats = base.select(

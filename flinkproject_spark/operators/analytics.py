@@ -378,16 +378,22 @@ def pagerank(
     ).unionByName(
         pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
+    # the items self-join lineage behind `edges` feeds THREE consumers
+    # (deg, esrc, and through them every iteration); materialize the edge
+    # list ONCE — the r10 form checkpointed deg and esrc separately and
+    # each of those two eager jobs re-ran the whole pair-mining subplan
+    # (r11 optimization: one pairs execution instead of two)
+    edges = edges.localCheckpoint(eager=True)
     # deg is node-sized and referenced every iteration AND in the final
-    # join — checkpoint it once, or each reference re-runs the whole
-    # items self-join lineage (the very cost the basket gate bounds)
+    # join — checkpoint it (lazily: its one shuffle over the cached edge
+    # list folds into the first job that reads it)
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("degree"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # edges carry their source degree so the loop joins ONCE per step
-    esrc = edges.join(deg, "src").localCheckpoint(eager=True)
+    esrc = edges.join(deg, "src").localCheckpoint(eager=False)
     # Join strategy, MEASURED: broadcasting the node-sized rank table
     # into each step was tried (kills the edge-side shuffle) and LOST —
     # 58 s vs 47 s at sf1 and an executor OOM in a shared session: each
@@ -422,7 +428,11 @@ def pagerank(
                     ).cast("bigint")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the plan is truncated immediately (constant-size per
+            # iteration) while materialization folds into the next
+            # iteration's job instead of a per-iteration driver sync
+            # barrier — 5 fewer job launches per query (r11 optimization)
+            .localCheckpoint(eager=False)
         )
     return (
         deg.select(F.col("src").alias("part_id"), "degree")

@@ -807,6 +807,17 @@ def _km_assign(q: DataFrame, cent) -> DataFrame:
     C = np.array([list(r[1]) for r in rows], dtype=np.float64)
     c2 = (C * C).sum(axis=1)
 
+    from pyspark.sql import types as T
+
+    in_fields = list(q.schema.fields)
+    out_schema = T.StructType(
+        in_fields
+        + [
+            T.StructField("cid", T.LongType()),
+            T.StructField("d2", T.LongType()),
+        ]
+    )
+
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
@@ -814,18 +825,12 @@ def _km_assign(q: DataFrame, cent) -> DataFrame:
             X = np.array(pdf["qv"].tolist(), dtype=np.float64)
             d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
             j = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "qv": pdf["qv"],
-                    "cid": cids[j],
-                    "d2": d[np.arange(len(j)), j].astype(np.int64),
-                }
-            )
+            out = pdf.copy()
+            out["cid"] = cids[j]
+            out["d2"] = d[np.arange(len(j)), j].astype(np.int64)
+            yield out
 
-    return q.mapInPandas(
-        assign, "vec_id bigint, qv array<bigint>, cid bigint, d2 bigint"
-    )
+    return q.mapInPandas(assign, out_schema)
 
 
 def _km_iterate(q: DataFrame, cent_rows: list) -> DataFrame:
@@ -1061,18 +1066,32 @@ def kmeans_fit_sampled(
 
 
 def kmeans_assign(
-    embeddings: DataFrame, centroids: DataFrame | None = None, **fit_kwargs
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
+    **fit_kwargs,
 ) -> DataFrame:
     """Assign every vector to its trained cell: the one-pass serving step
     (collected k-row centroid closure + exact numpy argmin per Arrow
     batch, no shuffle at all). `centroids` is the persisted (cid, cent)
     table from :func:`kmeans_fit`; None trains in-line (testdata path).
-    Returns (vec_id, cid, d2)."""
+    Returns (vec_id, *carry, cid, d2).
+
+    `carry` names embedding columns ridden THROUGH the assignment kernel
+    unchanged (Arrow round-trips them bit-exactly), so a consumer that
+    needs the original vector next to its trained label — near-dup,
+    SemDeDup, IVF probing — gets both from the single pass instead of
+    joining the assignment back against the collection. That join was
+    2 corpus-scale exchanges (both sides hashed on vec_id) spent
+    attaching a label the kernel already held (r11 optimization, the
+    guide-§8 'attach without re-shuffling the payload' rule)."""
     if centroids is None:
         centroids = kmeans_fit(embeddings, **fit_kwargs)
-    q = _km_parallelize(embeddings.select("vec_id", _km_quantize().alias("qv")))
+    q = _km_parallelize(
+        embeddings.select("vec_id", *carry, _km_quantize().alias("qv"))
+    )
     return _km_assign(q, centroids.select("cid", "cent")).select(
-        "vec_id", "cid", "d2"
+        "vec_id", *carry, "cid", "d2"
     )
 
 

@@ -236,7 +236,14 @@ def _gated_items(lineitem: DataFrame, max_basket: int) -> DataFrame:
     """Distinct (order, part) items with pathological baskets dropped
     OUTRIGHT — the shared first stage of every market-basket consumer
     (copurchase_pairs' lift table, pagerank's edge build): capping
-    baskets bounds downstream pair volume at O(rows * max_basket)."""
+    baskets bounds downstream pair volume at O(rows * max_basket).
+
+    The result is materialized lazily: its consumers read it up to FIVE
+    times in one query (both self-join sides, the part-count table, the
+    order count), and each read otherwise re-runs the distinct + basket
+    window over the full fact table (r11 optimization; the gated item
+    set is the distinct (order, part) table — already far smaller than
+    the line items it summarizes)."""
     return (
         lineitem.select("l_orderkey", "l_partkey")
         .distinct()
@@ -245,6 +252,7 @@ def _gated_items(lineitem: DataFrame, max_basket: int) -> DataFrame:
         )
         .filter(F.col("basket") <= max_basket)
         .drop("basket")
+        .localCheckpoint(eager=False)
     )
 
 

@@ -2004,6 +2004,11 @@ def connected_components(
     for it in range(max_iter):
         neighbor_min = _neighbor_min(edges, labels, use_broadcast=small_graph)
         nmin_side = F.broadcast(neighbor_min) if small_graph else neighbor_min
+        # start_label rides along so the round-end convergence check is a
+        # column comparison on the new label table instead of a join back
+        # against the previous one — with the lazy checkpoints below, each
+        # round costs ONE job (the changed-count), not three (r11
+        # optimization: stepped/new_labels materialize inside that job)
         stepped = (
             labels.join(nmin_side, labels.id == neighbor_min.src, "left")
             .select(
@@ -2011,8 +2016,9 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("start_label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # pointer jump: label := min(label, label(label)) — shortcuts
         # label-chain depth so converged subtrees flatten in one round.
@@ -2032,12 +2038,14 @@ def connected_components(
             F.lit(0).alias("kind"),
             F.col("id").alias("payload"),
             F.col("label").alias("old_label"),
+            "start_label",
         ).unionByName(
             stepped.select(
                 F.col("id").alias("key"),
                 F.lit(1).alias("kind"),
                 F.col("label").alias("payload"),
                 F.lit(None).cast(lbl_t).alias("old_label"),
+                F.lit(None).cast(lbl_t).alias("start_label"),
             )
         )
         wj = Window.partitionBy("key")
@@ -2050,16 +2058,17 @@ def connected_components(
                 F.least(
                     F.col("old_label"), F.coalesce(F.col("ans"), F.col("old_label"))
                 ).alias("label"),
+                "start_label",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # the count IS the round's one driver sync: it materializes both
+        # lazy checkpoints and answers convergence from the carried
+        # start_label — same comparison the r10 join computed
+        changed = new_labels.filter(
+            F.col("label") != F.col("start_label")
+        ).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             if stats is not None:
                 stats["rounds"] = it + 1

@@ -356,11 +356,23 @@ def cms_frequency_report(
         K.hash64(F.concat(F.lit("cms:"), i_col.cast("string"), F.lit(":"), key_col)),
         F.lit(w),
     )
-    hashed = keys.withColumn(
-        "i", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
-    ).withColumn("bucket", bucket(F.col("key"), F.col("i")))
-    counters = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
-    exact = keys.groupBy("key").agg(F.count("*").alias("exact_ct"))
+    # ONE corpus pass: the per-key exact counts (needed for calibration
+    # anyway) also build the counters — each bucket's count is the SUM of
+    # its colliding keys' counts, so exploding the key-cardinality
+    # aggregate d ways is bit-identical to exploding the raw event stream
+    # and far smaller (r11 optimization; the r10 form scanned events
+    # twice and exploded every event row x d)
+    exact = (
+        keys.groupBy("key")
+        .agg(F.count("*").alias("exact_ct"))
+        .localCheckpoint(eager=False)  # counters + top-k both read it
+    )
+    counters = (
+        exact.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d - 1))))
+        .withColumn("bucket", bucket(F.col("key"), F.col("i")))
+        .groupBy("i", "bucket")
+        .agg(F.sum("exact_ct").alias("c"))
+    )
     top = exact.orderBy(F.desc("exact_ct"), F.asc("key")).limit(k)
     probes = top.withColumn(
         "i", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
@@ -422,7 +434,14 @@ def hll_registers(events: DataFrame) -> DataFrame:
     any partition of the input (executor, micro-batch, day) equals the
     max over the whole, so the streaming writer appends batch-local
     registers and the reader folds them with the same MAX."""
-    keys = _hll_keys(events)
+    return _hll_registers_from_keys(_hll_keys(events))
+
+
+def _hll_registers_from_keys(keys: DataFrame) -> DataFrame:
+    """Register build over a (scope, key) frame — factored so the report
+    can feed it the DISTINCT key table it already needs for calibration
+    (max(rho) is duplicate-invariant, so registers from the distinct set
+    are bit-identical to registers from the raw stream)."""
     x = K.hash64(F.concat(F.lit("hll:"), F.col("key")))
     # shiftright is exact integer x // 2^HLL_P; floor(x / HLL_M) would
     # round the 60-bit hash through float64 first (lossy above 2^53),
@@ -500,13 +519,19 @@ def hll_distinct_report(events: DataFrame) -> DataFrame:
     CALIBRATE the sketch (cf. cms_frequency_report, minhash_pr_report);
     production reads estimates alone and skips those aggregations.
     """
-    keys = _hll_keys(events)
-    sketch = hll_estimates(hll_registers(events))
-    exact_type = keys.groupBy("scope").agg(
-        F.countDistinct("key").alias("exact_u")
-    )
-    exact_all = keys.agg(F.countDistinct("key").alias("exact_u")).select(
-        F.lit("__all__").alias("scope"), "exact_u"
+    # ONE corpus pass: the distinct (scope, key) table serves the register
+    # build (max(rho) is duplicate-invariant) AND both exact calibration
+    # counts — the r10 form scanned events four times (registers, per-day
+    # countDistinct, global countDistinct), each pass shuffling its own
+    # distinct-rewrite of the same keys (r11 optimization)
+    d = _hll_keys(events).distinct().localCheckpoint(eager=False)
+    sketch = hll_estimates(_hll_registers_from_keys(d))
+    exact_type = d.groupBy("scope").agg(F.count("*").alias("exact_u"))
+    exact_all = (
+        d.select("key")
+        .distinct()
+        .agg(F.count("*").alias("exact_u"))
+        .select(F.lit("__all__").alias("scope"), "exact_u")
     )
     exact = exact_type.unionByName(exact_all)
     return sketch.join(exact, "scope").select(

@@ -1062,7 +1062,7 @@ def q_dedup_semantic_trained(spark, sf):
     # label + vector from ONE assignment pass (carry=) — no relabel join
     relabeled = similarity.kmeans_assign(emb, carry=("embedding",)).select(
         "vec_id", "embedding", F.col("cid").alias("label")
-    )
+    ).localCheckpoint(eager=False)  # consumers read it twice; one assign pass
     return dedup.semdedup(relabeled, max_cell_rows=2000)
 
 
@@ -1117,7 +1117,7 @@ def q_sim_topk_ivf_trained(spark, sf):
     # label + vector from ONE assignment pass (carry=) — no relabel join
     relabeled = similarity.kmeans_assign(emb, carry=("embedding",)).select(
         "vec_id", "embedding", F.col("cid").alias("label")
-    )
+    ).localCheckpoint(eager=False)  # consumers read it twice; one assign pass
     out = similarity.cosine_topk_ivf(relabeled, QUERY_IDS)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -1353,7 +1353,9 @@ def q_dedup_embedding_served(spark, sf):
     # label + vector from ONE assignment pass (carry=) — no relabel join
     relabeled = similarity.kmeans_assign(
         emb, centroids=cent, carry=("embedding",)
-    ).select("vec_id", "embedding", F.col("cid").alias("label"))
+    ).select("vec_id", "embedding", F.col("cid").alias("label")).localCheckpoint(
+        eager=False
+    )  # near-dup reads it twice (cell-split decision + pairs); one assign pass
     return dedup.embedding_near_dups(relabeled, threshold=0.35, max_cell_rows=2000)
 
 
@@ -1371,7 +1373,7 @@ def q_dedup_embedding_trained(spark, sf):
     # label + vector from ONE assignment pass (carry=) — no relabel join
     relabeled = similarity.kmeans_assign(emb, carry=("embedding",)).select(
         "vec_id", "embedding", F.col("cid").alias("label")
-    )
+    ).localCheckpoint(eager=False)  # consumers read it twice; one assign pass
     return dedup.embedding_near_dups(relabeled, threshold=0.35, max_cell_rows=2000)
 
 

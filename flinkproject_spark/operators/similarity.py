@@ -697,7 +697,7 @@ def pq_adc_topk(
     # executor storage for the session lifetime the way an unpaired
     # .persist() does. Eager: one materialization job here, then every
     # branch reads the stored blocks — same total work as the persist.
-    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=True)
+    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=False)
     adc = _adc_table(enc, query_ids)
     cands = enc.select(F.col("vec_id").alias("neighbor_id"), "block", "code")
     adc_side = F.broadcast(adc) if broadcast_adc else adc
@@ -1212,7 +1212,7 @@ def ivf_pq_topk(
             )
         rerank = pq_auto_rerank(embeddings.count())
     shortlist_k = rerank if rerank is not None else k
-    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=True)
+    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=False)
     adc = _adc_table(enc, query_ids)
     cand_codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "block", "code"

@@ -54,8 +54,14 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows via posexplode + lead() windows.
+def _shingle_rows(
+    documents: DataFrame, n: int = 3, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, shingle) rows via posexplode + lead() windows.
+    `extra` names per-document columns ridden through the explode so a
+    blocked consumer doesn't need a corpus-scale metadata join afterwards
+    (r11 — blocked_ngram_jaccard previously re-scanned documents and
+    joined (lang, len_band) back onto the shingle rows on doc_id).
 
     Deliberately NOT the higher-order-function form
     (`transform(sequence(...), i -> concat_ws(x[i], ...))`): lambda
@@ -66,12 +72,18 @@ def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
     codegen'd, and the single doc_id window shuffle is reused by every
     downstream per-doc aggregation.
     """
-    tok = documents.select("doc_id", F.posexplode("x").alias("pos", "w0"))
+    tok = documents.select(
+        "doc_id", *extra, F.posexplode("x").alias("pos", "w0")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("w0", k).over(w).alias(f"w{k}") for k in range(1, n)]
-    grams = tok.select("doc_id", "w0", *leads).filter(F.col(f"w{n-1}").isNotNull())
+    grams = tok.select("doc_id", *extra, "w0", *leads).filter(
+        F.col(f"w{n-1}").isNotNull()
+    )
     return grams.select(
-        "doc_id", F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("sh")
+        "doc_id",
+        *extra,
+        F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("sh"),
     )
 
 
@@ -700,14 +712,17 @@ def blocked_ngram_jaccard(
     # shuffle on the near-uniform shingle key, no sort. Posting-list length
     # is bounded by block size; at open-domain 100 TB add the standard
     # stop-shingle cap (drop lists over ~1k docs) as a recall-neutral valve.
-    meta = documents.select(
-        "doc_id", "lang", (F.floor(F.col("n_chars") / block_chars)).alias("len_band")
-    )
-    rows = (
-        _shingle_rows(documents.withColumn("x", tokens("text")), n)
-        .distinct()
-        .join(meta, "doc_id")  # per-doc metadata: same cardinality as docs, not broadcastable at scale
-    )
+    # block keys ride the shingle explode (extra=) instead of a second
+    # documents scan + corpus-scale metadata join on doc_id; the distinct
+    # covers (doc_id, lang, len_band, sh) — identical cardinality since
+    # the block keys are functions of doc_id (r11 optimization)
+    rows = _shingle_rows(
+        documents.withColumn("x", tokens("text")).withColumn(
+            "len_band", F.floor(F.col("n_chars") / block_chars)
+        ),
+        n,
+        extra=("lang", "len_band"),
+    ).distinct()
     # shared machinery with exact_jaccard_pairs (r05): struct postings
     # carry the set sizes, the exact size-ratio prune fires pre-shuffle,
     # and the n_sh joins disappear — blocks ride along as posting keys
@@ -2195,7 +2210,10 @@ def connected_components_star(
     for it in range(max_iter):
         # bidirectional view for large-star (it needs every incident edge at u)
         bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        edges = _small_star(_large_star(bidir)).distinct().localCheckpoint(eager=True)
+        # lazy: the signature aggregate right below is the round's one
+        # driver sync and materializes the checkpoint — eager=True spent
+        # a second full job per round on the same work (r11 optimization)
+        edges = _small_star(_large_star(bidir)).distinct().localCheckpoint(eager=False)
         new_sig = _sig(edges)
         if new_sig == sig:
             converged = True

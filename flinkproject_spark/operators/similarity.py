@@ -943,39 +943,63 @@ def kmeans_fit(
     formulation per Lloyd 1982 / Jegou et al. 2011 (coarse quantizer of
     IVFADC).
     """
-    from flinkproject_spark import functions as K
-
+    q = _km_quantized_input(embeddings)
     if k is None:
-        k = kmeans_auto_k(embeddings.count(), target_cell_rows)
-    # the n_iter Lloyd passes re-read the SAME quantized training rows;
-    # materialize them once (lazy — the seed job below pays it) instead of
-    # re-running scan+quantize+repartition per iteration. At 100 TB the
-    # production entry point is kmeans_fit_sampled, so what's pinned here
-    # is the n/sample_mod training sample, not the corpus.
-    q = _km_parallelize(
+        # the corpus count (for auto-k) and the seed top-k are independent
+        # jobs; run them concurrently (guide §2.6) with the seed fetch
+        # overfetched to KM_K_MAX — auto-k can never exceed it, so slicing
+        # the first k of the SAME (h, vec_id) total order is identical to
+        # a limit(k) issued after the count came back
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_n = pool.submit(embeddings.count)
+            f_seeds = pool.submit(_km_seed_rows, q, KM_K_MAX)
+            n, seed_rows = f_n.result(), f_seeds.result()
+        k = kmeans_auto_k(n, target_cell_rows)
+    else:
+        seed_rows = _km_seed_rows(q, k)
+    return _km_lloyd(embeddings.sparkSession, q, seed_rows, k, n_iter)
+
+
+def _km_quantized_input(embeddings: DataFrame) -> DataFrame:
+    """The trainer's quantized input, materialized once (lazy — the seed
+    job pays it): the n_iter Lloyd passes re-read the SAME rows, and
+    without the checkpoint each pass re-runs scan+quantize+repartition.
+    At 100 TB the production entry point is kmeans_fit_sampled, so what
+    is pinned is the n/sample_mod training sample, not the corpus."""
+    return _km_parallelize(
         embeddings.select("vec_id", _km_quantize().alias("qv"))
     ).localCheckpoint(eager=False)
+
+
+def _km_seed_rows(q: DataFrame, limit: int) -> list:
+    """Hash-rank seed fetch: the `limit` rows with smallest
+    (md5-hash64('km:' || vec_id), vec_id), returned IN that order
+    (orderBy+limit compiles to TakeOrdered — per-partition top-k, no
+    global sort — and the collected result preserves the order, so the
+    caller's slice-plus-enumerate reproduces the row_number cid
+    assignment exactly)."""
+    from flinkproject_spark import functions as K
+
     h = K.hash64(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
-    seeds = q.withColumn("h", h).orderBy("h", "vec_id").limit(k)
-    cent = seeds.select(
-        (
-            F.row_number().over(Window.orderBy("h", "vec_id")).cast("bigint") - 1
-        ).alias("cid"),
-        F.col("qv").alias("cent"),
-    )
-    # one collect per iteration: the fused assign+partial-update job's
-    # k-row result seeds the next round driver-side (bounded metadata —
-    # the same k-row closure _km_assign already collects)
+    return q.withColumn("h", h).orderBy("h", "vec_id").limit(limit).collect()
+
+
+def _km_lloyd(spark, q: DataFrame, seed_rows: list, k: int, n_iter: int) -> DataFrame:
+    """The Lloyd loop over a quantized input and pre-fetched seed rows:
+    one collect per iteration — the fused assign+partial-update job's
+    k-row result seeds the next round driver-side (bounded metadata,
+    the same k-row closure _km_assign already collects)."""
     cent_rows = [
-        (int(r["cid"]), list(r["cent"]), 0)
-        for r in cent.select("cid", "cent").collect()
+        (i, list(r["qv"]), 0) for i, r in enumerate(seed_rows[:k])
     ]
     for _ in range(n_iter):
         cent_rows = [
             (int(r["cid"]), list(r["cent"]), int(r["n"]))
             for r in _km_iterate(q, cent_rows).collect()
         ]
-    return embeddings.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         sorted(cent_rows), "cid bigint, cent array<bigint>, n bigint"
     )
 
@@ -1034,17 +1058,30 @@ def kmeans_fit_sampled(
     (IVFADC coarse quantizers are conventionally trained on a corpus
     subsample)."""
     member = kms_sample_member(sample_mod)  # raises on sample_mod < 1
+    seed_rows = None
+    q = _km_quantized_input(embeddings.where(member))
     if counts is not None:
         n, n_sample = int(counts[0]), int(counts[1])
         if k is None:
             k = kmeans_auto_k(n, target_cell_rows)
     elif k is None:
         # ONE aggregate serves both the auto-k full count and the
-        # sample-size guard — not two separate scans (r10 review)
-        row = embeddings.agg(
-            F.count("*").alias("n"),
-            F.sum(member.cast("long")).alias("ns"),
-        ).first()
+        # sample-size guard (not two separate scans — r10 review), and it
+        # runs CONCURRENTLY with the KM_K_MAX-overfetched seed fetch over
+        # the sample — the two jobs are independent, auto-k can never
+        # exceed KM_K_MAX, and slicing the first k of the same (h, vec_id)
+        # total order reproduces a limit(k) exactly (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_agg = pool.submit(
+                lambda: embeddings.agg(
+                    F.count("*").alias("n"),
+                    F.sum(member.cast("long")).alias("ns"),
+                ).first()
+            )
+            f_seeds = pool.submit(_km_seed_rows, q, KM_K_MAX)
+            row, seed_rows = f_agg.result(), f_seeds.result()
         n, n_sample = int(row["n"]), int(row["ns"] or 0)
         k = kmeans_auto_k(n, target_cell_rows)
     else:
@@ -1062,7 +1099,9 @@ def kmeans_fit_sampled(
             f"(sample_mod={sample_mod} too coarse for this corpus); lower "
             "sample_mod or pass an explicit k <= the sample size"
         )
-    return kmeans_fit(embeddings.where(member), k=k, n_iter=n_iter)
+    if seed_rows is None:
+        seed_rows = _km_seed_rows(q, k)
+    return _km_lloyd(embeddings.sparkSession, q, seed_rows, k, n_iter)
 
 
 def kmeans_assign(

@@ -3656,3 +3656,104 @@ def test_histq_dirty_values_filtered_identically(spark):
     deltas = relational.histq_bin_deltas(ev, lo=1000, hi=3000).collect()
     assert sum(r.c for r in deltas) == 3  # same three clean rows
     assert all(r.bin >= 0 for r in deltas)
+
+
+def test_kmeans_fused_iterate_matches_pure_python_lloyd(spark):
+    """The r11 fused assign+partial-update kernel (one job per Lloyd
+    iteration, per-task int64 partial sums instead of an n*dim posexplode
+    shuffle) must reproduce textbook Lloyd bit-for-bit: hash-rank seeds,
+    exact integer squared-L2 with smallest-cid tie-break, floor(sum/count)
+    updates, member counts from the producing assignment — checked here
+    against an independent pure-Python reference on adversarial values
+    (negatives, duplicate vectors, ties, single-member cells)."""
+    import hashlib
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flinkproject_spark import functions as K
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [
+            (i, [random.randint(-9999, 9999) / 1000.0 for _ in range(8)])
+            for i in range(57)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = {
+        r.vec_id: [int(x) for x in r.qv]
+        for r in emb.select(
+            "vec_id", similarity._km_quantize().alias("qv")
+        ).collect()
+    }
+    hs = {
+        r.vec_id: r.h
+        for r in emb.select(
+            "vec_id",
+            K.hash64(
+                F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        ).collect()
+    }
+    for k in (2, 5, 13):
+        seeds = sorted(q, key=lambda v: (hs[v], v))[:k]
+        cent = {i: list(q[v]) for i, v in enumerate(seeds)}
+        asg = {}
+        for _ in range(3):
+            asg = {}
+            for vid, vec in q.items():
+                best = None
+                for cid in sorted(cent):
+                    d = sum((a - b) * (a - b) for a, b in zip(vec, cent[cid]))
+                    if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                        best = (d, cid)
+                asg.setdefault(best[1], []).append(vec)
+            cent = {
+                cid: [math.floor(sum(col) / len(vs)) for col in zip(*vs)]
+                for cid, vs in asg.items()
+            }
+        expected = sorted(
+            (cid, tuple(c), len(asg[cid])) for cid, c in cent.items()
+        )
+        got = sorted(
+            (r.cid, tuple(r.cent), r.n)
+            for r in similarity.kmeans_fit(emb, k=k).collect()
+        )
+        assert got == expected
+
+
+def test_span_window_multiplicity_matches_groupby_join_form(spark):
+    """The r11 single-pass gram marking (dense_rank/max window for the
+    exact distinct-doc count, min window for the keeper owner) must agree
+    with the r10 groupBy+join form it replaced — pinned on a frame with
+    intra-doc repeats (the case where distinct-doc and occurrence counts
+    diverge) for both mark rules."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h x y"),
+            (3, "a b c d e f g h a b c d e f g h z z"),
+        ],
+        "doc_id bigint, text string",
+    )
+    for intra in (False, True):
+        got = {
+            tuple(r)
+            for r in dedup.duplicated_spans(
+                docs, w=8, include_intra_doc=intra
+            ).collect()
+        }
+        gh = dedup.span_gram_rows(docs, 8)
+        mult = F.count("*") if intra else F.countDistinct("doc_id")
+        dup = gh.groupBy("gh").agg(mult.alias("nd")).filter(F.col("nd") >= 2)
+        ref = {
+            tuple(r)
+            for r in dedup.merge_marked_spans(
+                gh.join(dup, "gh").select("doc_id", "pos", "nd"), 8
+            ).collect()
+        }
+        assert got == ref and got  # non-empty: spans actually fired

@@ -734,18 +734,28 @@ def histogram_quantile_report(
     base = events.where(_histq_clean(vd)).select(
         F.col("event_type").alias("scope"), q.alias("q")
     )
-    bounds = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
-    binned = base.crossJoin(F.broadcast(bounds)).select(
+    # the (min, max) bounds are 2 int64s of metadata consumed by TWO
+    # downstream subplans (the binning pass and the edge report); collect
+    # them once instead of broadcasting the 1-row aggregate into both —
+    # the r10 form re-executed the bounds aggregate (and its corpus scan)
+    # per consumer (r11 optimization; bounded-metadata collect, same
+    # discipline as the centroid closures)
+    b = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi")).first()
+    # empty clean input: lo/hi are NULL, but `base` is then empty too, so
+    # every downstream frame is empty whatever the literals hold
+    lo, hi = int(b["lo"] or 0), int(b["hi"] or 0)
+    width = (hi - lo) // n_bins + 1
+    binned = base.select(
         "scope",
-        F.expr(f"(q - lo) div ((hi - lo) div {n_bins} + 1)").alias("bin"),
+        F.expr(f"(q - {lo}) div {width}").alias("bin"),
     )
     per_type = binned.groupBy("scope", "bin").agg(F.count("*").alias("c"))
     sel = _histq_quantile_select(per_type, pcts)
-    out = sel.crossJoin(F.broadcast(bounds)).select(
+    out = sel.select(
         "scope",
         "n",
         *[
-            F.expr(f"lo + b{p} * ((hi - lo) div {n_bins} + 1)")
+            F.expr(f"{lo} + b{p} * {width}")
             .cast("bigint")
             .alias(f"q{p}_edge")
             for p in pcts

@@ -1134,6 +1134,73 @@ def kmeans_assign(
     )
 
 
+def _km_assign_pq_encode(
+    emb_in: DataFrame, cent_rows: list, m: int, bits: int
+) -> DataFrame:
+    """Fused serving pass for the IVF x PQ composition: ONE corpus
+    crossing computes both the trained-cell assignment (the _km_assign
+    arithmetic: exact int64 squared L2, first-min argmin over
+    cid-sorted centroids) and the PQ codes (the pq_encode arithmetic:
+    per-subspace integer hyperplane signs) from the same quantized
+    matrix — the two tiers share the round(v*1000) int64 contract, so
+    quantization happens once and the corpus crosses the Python
+    boundary once instead of twice (r11 optimization; at 100 TB this
+    also removes one full-corpus scan + repartition). Emits pq_encode's
+    long form with the cell id alongside: (vec_id, cid, block, code,
+    qsub) — block-0 rows are the assignment table."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def run(batches):
+        P = None
+        sub = None
+        w = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Y = X * PQ_SCALE
+            Q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            if P is None:
+                if Q.shape[1] % m != 0:
+                    raise ValueError(
+                        f"pq_encode: embedding dim {Q.shape[1]} is not "
+                        f"divisible by m={m} subspaces — trailing dims "
+                        "would be silently dropped from codes (ADVICE "
+                        "r07); pick m | d or pad the vectors"
+                    )
+                sub = Q.shape[1] // m
+                P = _pq_projection(m, sub, bits)
+            # assignment: same exact integer arithmetic as _km_assign
+            # (KM_SCALE == PQ_SCALE, same half-away-from-zero rounding)
+            Xq = Q.astype(np.float64)
+            d = (Xq * Xq).sum(axis=1)[:, None] - 2.0 * (Xq @ C.T) + c2[None, :]
+            j = d.argmin(axis=1)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int64)
+            for b in range(m):
+                S = Q[:, b * sub : (b + 1) * sub]
+                codes[:, b] = ((S @ P[b]) >= 0) @ w
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cid": np.repeat(cids[j], m),
+                    "block": np.tile(np.arange(m, dtype=np.int64), n),
+                    "code": codes.reshape(-1),
+                    "qsub": list(Q.reshape(n * m, sub)),
+                }
+            )
+
+    return emb_in.mapInPandas(
+        run, "vec_id bigint, cid bigint, block bigint, code bigint, qsub array<bigint>"
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1233,8 +1300,16 @@ def ivf_pq_topk(
         .select("query_id", "cid")
     )
 
-    # --- candidate set: members of the probed cells ---------------------
-    asg = kmeans_assign(embeddings, centroids=cent)
+    # --- fused corpus pass: assignment + PQ codes in ONE crossing -------
+    # (the r10 form ran kmeans_assign and pq_encode as two separate
+    # full-corpus mapInPandas passes over the same quantized vectors)
+    fused = _km_assign_pq_encode(
+        _km_parallelize(embeddings.select("vec_id", "embedding")),
+        cent.select("cid", "cent").collect(),
+        m,
+        bits,
+    ).localCheckpoint(eager=False)  # codebook + queries + candidates read it
+    asg = fused.filter(F.col("block") == 0).select("vec_id", "cid")
     cand_pairs = (
         asg.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1251,7 +1326,7 @@ def ivf_pq_topk(
             )
         rerank = pq_auto_rerank(embeddings.count())
     shortlist_k = rerank if rerank is not None else k
-    enc = pq_encode(embeddings, m, bits).localCheckpoint(eager=False)
+    enc = fused.select("vec_id", "block", "code", "qsub")
     adc = _adc_table(enc, query_ids)
     cand_codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "block", "code"

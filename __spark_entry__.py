@@ -438,8 +438,13 @@ def q_ann_recall_report(spark, sf):
     parameter, oracle-checked end-to-end because both the exact and the
     IVF pipelines are themselves DuckDB-reproducible."""
     emb = _t(spark, sf, "embeddings")
-    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
-    approx = similarity.cosine_topk_ivf_nprobe(emb, QUERY_IDS)
+    # ONE normalized intermediate feeds the exact and the approximate arm
+    # (r12, VERDICT r11 task 3): without the shared checkpoint each arm's
+    # query+candidate subtrees re-ran scan+norm — 4 corpus scans for one
+    # report
+    e = similarity.with_norm(emb).localCheckpoint(eager=False)
+    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS, normed=e)
+    approx = similarity.cosine_topk_ivf_nprobe(emb, QUERY_IDS, normed=e)
     out = similarity.recall_at_k(approx, exact, k=10)
     return out.select("query_id", F.round("recall", 6).alias("recall"))
 
@@ -466,8 +471,11 @@ def q_pq_recall_report(spark, sf):
     shortlist) knobs, oracle-checked because both pipelines are
     DuckDB-reproducible."""
     emb = _t(spark, sf, "embeddings")
-    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
-    approx = similarity.pq_adc_topk(emb, QUERY_IDS, rerank="auto")
+    # shared normalized intermediate across the exact arm and the PQ
+    # rerank stage (r12, VERDICT r11 task 3) — one scan+norm, not four
+    e = similarity.with_norm(emb).localCheckpoint(eager=False)
+    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS, normed=e)
+    approx = similarity.pq_adc_topk(emb, QUERY_IDS, rerank="auto", normed=e)
     out = similarity.recall_at_k(approx, exact, k=10)
     return out.select("query_id", F.round("recall", 6).alias("recall"))
 
@@ -1268,9 +1276,14 @@ def _kmeans_model(spark, sf):
     persisted state. Production deployments persist the same table with
     write.parquet and serve it through kmeans_assign(centroids=) /
     kmeans_assigning_writer — that path is library surface, exercised by
-    tests, not by the bench. Returns (embeddings, centroids)."""
+    tests, not by the bench. Returns (embeddings, centroids) where
+    centroids is the k-row model as a driver-side (cid, cent, n) list
+    (r12): the fit loop already holds those rows, and every consumer
+    here feeds them straight into an assignment kernel closure —
+    kmeans_assign accepts the list, skipping a createDataFrame+collect
+    round-trip per serving query."""
     emb = _t(spark, sf, "embeddings")
-    cent = similarity.kmeans_fit_sampled(emb, sample_mod=4).select("cid", "cent")
+    cent = similarity._kmeans_fit_sampled_rows(emb, sample_mod=4)
     return emb, cent
 
 
@@ -1382,10 +1395,13 @@ def q_sim_topk_ivf_pq(spark, sf):
     IVFADC proper: trained k-means cells route each query to nprobe=2
     cells, the broadcast ADC table scores ONLY those cells' members from
     their m=16 6-bit PQ codes, and the corpus-sized shortlist
-    (pq_auto_rerank) is re-scored exact (similarity.ivf_pq_topk). A THIRD
-    consumer of the persisted `_kmeans_model` table — fit once, serve the
-    cell audit, near-dup, AND ANN — while the oracle replays fit +
-    routing + codes + ADC + rerank from first principles."""
+    (pq_auto_rerank) is re-scored exact (similarity.ivf_pq_topk) — while
+    the oracle replays fit + routing + codes + ADC + rerank from first
+    principles. Self-contained: the r11 round removed the cross-run
+    model cache, so the quantizer is fit INLINE from one shared corpus
+    aggregate (see the centroids=None note below); the fit parameters
+    match the other trained-tier queries, so the model is the same one
+    they compute."""
     # centroids=None: ivf_pq_topk's self-contained path folds the auto-k
     # full count, the sample-guard count and the auto-rerank sizing into
     # ONE corpus aggregate; handing in a pre-fit table would re-count the
@@ -1454,11 +1470,28 @@ def q_ivf_pq_recall_report(spark, sf):
     the composition trades for its cell-pruned compressed scan (the
     same report shape as ann_recall_report / pq_recall_report, both
     pipelines DuckDB-reproducible)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _t(spark, sf, "embeddings")
-    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS)
-    # centroids=None for the same single-aggregate reason as
-    # q_sim_topk_ivf_pq; identical fit parameters, identical output
-    approx = similarity.ivf_pq_topk(emb, QUERY_IDS)
+    # shared normalized intermediate across the exact arm and the IVFxPQ
+    # rerank stage (r12, VERDICT r11 task 3) — one scan+norm, not four
+    e = similarity.with_norm(emb).localCheckpoint(eager=False)
+    # Overlap the independent arms (guide §2.6): the exact ground truth
+    # does not depend on the fit, but ivf_pq_topk's inline fit blocks the
+    # driver for its aggregate + seed + n_iter Lloyd collects — so the
+    # exact arm is materialized (lazily checkpointed, then counted) from
+    # a side thread while those fit jobs run, instead of serializing a
+    # full brute-force pass after them. Values are unchanged: the final
+    # plan reads the checkpointed exact result.
+    exact = similarity.cosine_topk_bruteforce(
+        emb, QUERY_IDS, normed=e
+    ).localCheckpoint(eager=False)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_exact = pool.submit(exact.count)
+        # centroids=None for the same single-aggregate reason as
+        # q_sim_topk_ivf_pq; identical fit parameters, identical output
+        approx = similarity.ivf_pq_topk(emb, QUERY_IDS, normed=e)
+        f_exact.result()  # surface any exact-arm failure loudly
     out = similarity.recall_at_k(approx, exact, k=10)
     return out.select("query_id", F.round("recall", 6).alias("recall"))
 

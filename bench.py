@@ -288,6 +288,22 @@ def main() -> None:
         "vs_prev": vs_prev_summary(timings, spread_pct, retime=_retimer(spark, qs)),
     }
     print(json.dumps(out))
+    # Additions-only artifact (VERDICT r11 task 2): the round driver
+    # archives only the LAST ~2000 chars of stdout, which has repeatedly
+    # left the NEXT round's vs-prev comparison without full per-query
+    # data (BENCH_r10's archive parsed to null). Persist the complete
+    # JSON next to the script so round-over-round comparisons never
+    # depend on the stdout tail. Stdout line and timing are unchanged
+    # (this runs after every measurement).
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_FULL.json"
+        )
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

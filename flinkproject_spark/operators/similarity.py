@@ -19,6 +19,8 @@ decimals to absorb any engine-side summation-order differences.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,15 +46,24 @@ def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
 
 
 def cosine_topk_bruteforce(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     The query side is tiny -> broadcast nested-loop join against the full
     collection (one scan, no shuffle of the big side); ranking is a
     per-query window over k rows. Ties break by neighbor id.
+
+    `normed` (r12): a caller that runs SEVERAL pipelines over the same
+    collection (the recall reports score an exact and an approximate arm)
+    passes ONE shared `with_norm(embeddings)` frame — typically lazily
+    checkpointed — so the scan+norm subtree executes once instead of once
+    per arm; values are identical by construction.
     """
-    e = with_norm(embeddings)
+    e = normed if normed is not None else with_norm(embeddings)
     queries = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -312,6 +323,7 @@ def cosine_topk_ivf_nprobe(
     k: int = 10,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the `nprobe` nearest cells by query->centroid
     cosine — the real IVF search loop (cosine_topk_ivf's single stored
@@ -326,8 +338,9 @@ def cosine_topk_ivf_nprobe(
     `centroids`: pass the persisted quantizer table (label_centroids
     output, trained once on a sample) — the production shape; when None
     the quantizer is recomputed from the collection, the self-contained
-    oracle form."""
-    e = with_norm(embeddings)
+    oracle form. `normed`: a shared with_norm(embeddings) frame (see
+    cosine_topk_bruteforce — the recall-report scan-sharing hook, r12)."""
+    e = normed if normed is not None else with_norm(embeddings)
     cents = (centroids if centroids is not None else label_centroids(embeddings)
              ).select("label", F.col("centroid").alias("cent"))
     cents = cents.withColumn("cent_norm", F.sqrt(_dot("cent", "cent")))
@@ -586,13 +599,18 @@ def _adc_shortlist(scored: DataFrame, m: int, shortlist_k: int) -> DataFrame:
 
 
 def _exact_rerank(
-    embeddings: DataFrame, shortlist: DataFrame, query_ids: list[int], k: int
+    embeddings: DataFrame,
+    shortlist: DataFrame,
+    query_ids: list[int],
+    k: int,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Refine stage shared by the compressed tiers: exact cosine on the
     Q x R shortlist only (broadcast the tiny id list against the
     collection — full vectors never shuffle), reusing the brute-force
-    tier's rounded-cosine ranking contract."""
-    e = with_norm(embeddings)
+    tier's rounded-cosine ranking contract. `normed`: shared
+    with_norm(embeddings) frame (recall-report scan sharing, r12)."""
+    e = normed if normed is not None else with_norm(embeddings)
     qvecs = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -628,6 +646,7 @@ def pq_adc_topk(
     bits: int = 6,
     rerank: int | str | None = None,
     broadcast_adc: bool = True,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """Compressed top-k via Asymmetric Distance Computation (Jegou et al.
     2011, the IVFADC search half): each candidate is scored from its m
@@ -707,7 +726,7 @@ def pq_adc_topk(
     shortlist = _adc_shortlist(scored, m, shortlist_k)
     if rerank is None:
         return shortlist
-    return _exact_rerank(embeddings, shortlist, query_ids, k)
+    return _exact_rerank(embeddings, shortlist, query_ids, k, normed=normed)
 
 
 # ---------------------------------------------------------------------------
@@ -760,17 +779,51 @@ def kmeans_auto_k(
     return min(k_max, max(2, math.ceil(n_vectors / target_cell_rows)))
 
 
+# Bytes of source input that justify ONE Python-crossing assignment task.
+# Guide §4/§6: Arrow tasks must carry enough rows to amortize the worker
+# round-trip, and task count should derive from INPUT SIZE, not the core
+# count — a constant-per-core fan-out turns a kilobyte collection into
+# dozens of near-empty Python calls per Lloyd pass (r12 measurement:
+# 3 iterations x 32 near-empty tasks at test SFs), while at 100 TB the
+# split count exceeds the cluster and this path never fires at all.
+KM_TASK_TARGET_BYTES = 4 << 20
+
+
 def _km_parallelize(q: DataFrame) -> DataFrame:
     """Minimum-parallelism guard for the assignment passes: a small
     parquet collection can arrive as ONE input split (the sf10 screen
     caught the whole n*k*d fold running on a single task), while at real
     scale the file count already exceeds the cluster — so the repartition
     fires only when input splits < defaultParallelism and is a no-op
-    decision (not a shuffle) otherwise."""
+    decision (not a shuffle) otherwise.
+
+    The fan-out target is INPUT-SIZE-derived (r12): ceil(source bytes /
+    KM_TASK_TARGET_BYTES), clamped to [splits, defaultParallelism] — a
+    tiny collection keeps its one split (no repartition, no per-iteration
+    32-way Python fan-out), a large under-split input still spreads to
+    the full parallelism. Partitioning never changes results here: the
+    Lloyd partials are order-free int64 sums and assignment is per-row."""
     sc = q.sparkSession.sparkContext
-    if q.rdd.getNumPartitions() < sc.defaultParallelism:
-        return q.repartition(sc.defaultParallelism)
-    return q
+    splits = q.rdd.getNumPartitions()
+    par = sc.defaultParallelism
+    if splits >= par:
+        return q
+    try:
+        nbytes = sum(
+            os.path.getsize(p[7:] if p.startswith("file://") else p)
+            for p in q.inputFiles()
+        )
+    except (OSError, ValueError):  # non-local / unsizable source
+        nbytes = 0
+    if nbytes > 0:
+        import math
+
+        want = min(par, max(splits, math.ceil(nbytes / KM_TASK_TARGET_BYTES)))
+    else:
+        want = par
+    if want <= splits:
+        return q
+    return q.repartition(want)
 
 
 def _km_assign(q: DataFrame, cent) -> DataFrame:
@@ -851,7 +904,16 @@ def _km_iterate(q: DataFrame, cent_rows: list) -> DataFrame:
     divides the identical totals in the identical double division —
     exact because the true quotient is >= 1/count away from the nearest
     other integer. Clusters that lose every member drop out, identically
-    in the SQL twin. Returns k rows of (cid, cent array<bigint>, n)."""
+    in the SQL twin.
+
+    Returns the per-DIMENSION update frame (cid, pos, m, n) — <= k*dim
+    rows (bounded metadata: k <= KM_K_MAX, dim fixed) behind a SINGLE
+    (cid, pos) exchange; the caller (:func:`_km_lloyd_rows`) assembles
+    the centroid arrays driver-side from the collected rows. The r11
+    form added a second groupBy(cid) exchange + array_sort/collect_list
+    just to build arrays the driver immediately collected and unpacked
+    again — one whole shuffle stage per iteration spent re-shaping
+    metadata (r12, guide §2.4)."""
     import numpy as np
     import pandas as pd
 
@@ -887,15 +949,9 @@ def _km_iterate(q: DataFrame, cent_rows: list) -> DataFrame:
         assign_partials, "cid bigint, n bigint, sums array<bigint>"
     )
     dims = partials.select("cid", "n", F.posexplode("sums").alias("pos", "v"))
-    cm = dims.groupBy("cid", "pos").agg(
+    return dims.groupBy("cid", "pos").agg(
         F.floor(F.sum("v") / F.sum("n")).cast("bigint").alias("m"),
-        F.sum("n").cast("bigint").alias("_n"),
-    )
-    return cm.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cent"),
-        F.max("_n").cast("bigint").alias("n"),
+        F.sum("n").cast("bigint").alias("n"),
     )
 
 
@@ -943,6 +999,22 @@ def kmeans_fit(
     formulation per Lloyd 1982 / Jegou et al. 2011 (coarse quantizer of
     IVFADC).
     """
+    return embeddings.sparkSession.createDataFrame(
+        _kmeans_fit_rows(embeddings, k, n_iter, target_cell_rows),
+        "cid bigint, cent array<bigint>, n bigint",
+    )
+
+
+def _kmeans_fit_rows(
+    embeddings: DataFrame,
+    k: int | None = None,
+    n_iter: int = 3,
+    target_cell_rows: int = KM_TARGET_CELL_ROWS,
+) -> list:
+    """kmeans_fit's core, returning the (cid, cent, n) tuples the loop
+    already holds driver-side — in-repo consumers that immediately hand
+    the centroids to an assignment kernel closure (kmeans_assign's
+    inline-fit path) skip the createDataFrame+collect round-trip (r12)."""
     q = _km_quantized_input(embeddings)
     if k is None:
         # the corpus count (for auto-k) and the seed top-k are independent
@@ -959,7 +1031,7 @@ def kmeans_fit(
         k = kmeans_auto_k(n, target_cell_rows)
     else:
         seed_rows = _km_seed_rows(q, k)
-    return _km_lloyd(embeddings.sparkSession, q, seed_rows, k, n_iter)
+    return _km_lloyd_rows(q, seed_rows, k, n_iter)
 
 
 def _km_quantized_input(embeddings: DataFrame) -> DataFrame:
@@ -986,21 +1058,37 @@ def _km_seed_rows(q: DataFrame, limit: int) -> list:
     return q.withColumn("h", h).orderBy("h", "vec_id").limit(limit).collect()
 
 
-def _km_lloyd(spark, q: DataFrame, seed_rows: list, k: int, n_iter: int) -> DataFrame:
+def _km_lloyd_rows(q: DataFrame, seed_rows: list, k: int, n_iter: int) -> list:
     """The Lloyd loop over a quantized input and pre-fetched seed rows:
     one collect per iteration — the fused assign+partial-update job's
-    k-row result seeds the next round driver-side (bounded metadata,
-    the same k-row closure _km_assign already collects)."""
+    <= k*dim (cid, pos, m, n) result is assembled into centroid arrays
+    HERE (bounded metadata, the same k-row closure _km_assign already
+    collects), seeding the next round. Returns the sorted
+    (cid, cent list, n) tuples so in-repo consumers (kmeans_assign's
+    inline-fit path, ivf_pq_topk's fused kernel) can hand the closure
+    straight to the next kernel without a createDataFrame+collect
+    round-trip per fit (r12)."""
     cent_rows = [
         (i, list(r["qv"]), 0) for i, r in enumerate(seed_rows[:k])
     ]
     for _ in range(n_iter):
+        acc: dict[int, list] = {}
+        for r in _km_iterate(q, cent_rows).collect():
+            acc.setdefault(int(r["cid"]), []).append(
+                (int(r["pos"]), int(r["m"]), int(r["n"]))
+            )
         cent_rows = [
-            (int(r["cid"]), list(r["cent"]), int(r["n"]))
-            for r in _km_iterate(q, cent_rows).collect()
+            # every pos row of a cell carries the same member count
+            (cid, [m for _, m, _ in sorted(dims)], dims[0][2])
+            for cid, dims in acc.items()
         ]
+    return sorted(cent_rows)
+
+
+def _km_lloyd(spark, q: DataFrame, seed_rows: list, k: int, n_iter: int) -> DataFrame:
     return spark.createDataFrame(
-        sorted(cent_rows), "cid bigint, cent array<bigint>, n bigint"
+        _km_lloyd_rows(q, seed_rows, k, n_iter),
+        "cid bigint, cent array<bigint>, n bigint",
     )
 
 
@@ -1057,6 +1145,24 @@ def kmeans_fit_sampled(
     precomputed labels); sampled Lloyd training per Jegou et al. 2011
     (IVFADC coarse quantizers are conventionally trained on a corpus
     subsample)."""
+    return embeddings.sparkSession.createDataFrame(
+        _kmeans_fit_sampled_rows(
+            embeddings, sample_mod, k, n_iter, target_cell_rows, counts
+        ),
+        "cid bigint, cent array<bigint>, n bigint",
+    )
+
+
+def _kmeans_fit_sampled_rows(
+    embeddings: DataFrame,
+    sample_mod: int = 4,
+    k: int | None = None,
+    n_iter: int = 3,
+    target_cell_rows: int = KM_TARGET_CELL_ROWS,
+    counts: tuple[int, int] | None = None,
+) -> list:
+    """kmeans_fit_sampled's core, returning the driver-side (cid, cent,
+    n) tuples — same rationale as :func:`_kmeans_fit_rows` (r12)."""
     member = kms_sample_member(sample_mod)  # raises on sample_mod < 1
     seed_rows = None
     q = _km_quantized_input(embeddings.where(member))
@@ -1101,12 +1207,12 @@ def kmeans_fit_sampled(
         )
     if seed_rows is None:
         seed_rows = _km_seed_rows(q, k)
-    return _km_lloyd(embeddings.sparkSession, q, seed_rows, k, n_iter)
+    return _km_lloyd_rows(q, seed_rows, k, n_iter)
 
 
 def kmeans_assign(
     embeddings: DataFrame,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
     carry: tuple[str, ...] = (),
     **fit_kwargs,
 ) -> DataFrame:
@@ -1123,13 +1229,20 @@ def kmeans_assign(
     joining the assignment back against the collection. That join was
     2 corpus-scale exchanges (both sides hashed on vec_id) spent
     attaching a label the kernel already held (r11 optimization, the
-    guide-§8 'attach without re-shuffling the payload' rule)."""
+    guide-§8 'attach without re-shuffling the payload' rule).
+
+    `centroids` also accepts a pre-collected list of (cid, cent) rows
+    (what the fit loop holds driver-side) — the inline-fit path and
+    in-repo serving compositions hand the closure straight through,
+    skipping a createDataFrame+collect round-trip per query (r12)."""
     if centroids is None:
-        centroids = kmeans_fit(embeddings, **fit_kwargs)
+        centroids = _kmeans_fit_rows(embeddings, **fit_kwargs)
+    elif isinstance(centroids, DataFrame):
+        centroids = centroids.select("cid", "cent")
     q = _km_parallelize(
         embeddings.select("vec_id", *carry, _km_quantize().alias("qv"))
     )
-    return _km_assign(q, centroids.select("cid", "cent")).select(
+    return _km_assign(q, centroids).select(
         "vec_id", *carry, "cid", "d2"
     )
 
@@ -1211,6 +1324,7 @@ def ivf_pq_topk(
     rerank: int | str | None = "auto",
     centroids: DataFrame | None = None,
     sample_mod: int = 4,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """The COMPOSED 100 TB ANN serving tier — IVFADC proper (Jegou et al.
     2011, both halves together): trained coarse cells route each query to
@@ -1262,6 +1376,7 @@ def ivf_pq_topk(
     — hot-path lookup against a persisted store) plays for warehouse rows,
     applied to embedding search.
     """
+    cent_rows = None
     if centroids is None:
         if rerank == "auto":
             # inline fit + auto rerank each need a corpus count; fold
@@ -1273,14 +1388,22 @@ def ivf_pq_topk(
             ).first()
             n = int(row["n"])
             rerank = pq_auto_rerank(n)
-            centroids = kmeans_fit_sampled(
+            cent_rows = _kmeans_fit_sampled_rows(
                 embeddings,
                 sample_mod=sample_mod,
                 counts=(n, int(row["ns"] or 0)),
             )
         else:
-            centroids = kmeans_fit_sampled(embeddings, sample_mod=sample_mod)
-    cent = centroids.select("cid", "cent")
+            cent_rows = _kmeans_fit_sampled_rows(embeddings, sample_mod=sample_mod)
+        # the fit already holds the k-row model driver-side: route queries
+        # through a local relation and hand the SAME rows to the fused
+        # corpus kernel — no createDataFrame+collect round-trip (r12)
+        cent = embeddings.sparkSession.createDataFrame(
+            [(c, list(v)) for c, v, _ in cent_rows],
+            "cid bigint, cent array<bigint>",
+        )
+    else:
+        cent = centroids.select("cid", "cent")
 
     # --- coarse routing: nprobe nearest trained cells per query ---------
     qz = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
@@ -1305,7 +1428,7 @@ def ivf_pq_topk(
     # full-corpus mapInPandas passes over the same quantized vectors)
     fused = _km_assign_pq_encode(
         _km_parallelize(embeddings.select("vec_id", "embedding")),
-        cent.select("cid", "cent").collect(),
+        cent_rows if cent_rows is not None else cent.collect(),
         m,
         bits,
     ).localCheckpoint(eager=False)  # codebook + queries + candidates read it
@@ -1335,7 +1458,7 @@ def ivf_pq_topk(
     shortlist = _adc_shortlist(scored, m, shortlist_k)
     if rerank is None:
         return shortlist
-    return _exact_rerank(embeddings, shortlist, query_ids, k)
+    return _exact_rerank(embeddings, shortlist, query_ids, k, normed=normed)
 
 
 # ---------------------------------------------------------------------------

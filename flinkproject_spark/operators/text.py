@@ -921,7 +921,11 @@ def nb_quality_fit(
     Misuse guard: a single-class corpus (every doc passes or every doc
     fails the gate) cannot train a discriminator — ln(n_pos/n_neg)
     degenerates — so it raises loudly instead of emitting a model of
-    NULLs (the whiten_embeddings discipline).
+    NULLs (the whiten_embeddings discipline). The guard is IN-PLAN
+    (raise_error riding the prior row, r12): it fires when the model
+    executes, before any row is emitted — the r11 form paid an eager
+    .first() job at plan-construction time for the same check, which
+    put a full corpus gate pass in front of every consumer's real work.
 
     Plan shape: one explode -> (token, label) groupBy (the only
     corpus-scale shuffle, map-side combined), totals read the
@@ -947,16 +951,28 @@ def nb_quality_fit(
             .localCheckpoint(eager=False)
         )
     pri = lab.agg(
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("np"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("nn"),
-    ).first()
-    n_pos, n_neg = int(pri["np"] or 0), int(pri["nn"] or 0)
-    if n_pos == 0 or n_neg == 0:
-        raise ValueError(
-            f"nb_quality_fit: single-class corpus (pos={n_pos}, neg={n_neg}) "
-            "— the gate labels carry no signal to distill; loosen/tighten "
-            "the gopher thresholds or supply labeled data"
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint"), F.lit(0)
+        ).alias("np"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint"), F.lit(0)
+        ).alias("nn"),
+    )
+    bad = (F.col("np") == 0) | (F.col("nn") == 0)
+    err = F.raise_error(
+        F.format_string(
+            "nb_quality_fit: single-class corpus (pos=%s, neg=%s) — the "
+            "gate labels carry no signal to distill; loosen/tighten the "
+            "gopher thresholds or supply labeled data",
+            F.col("np"),
+            F.col("nn"),
         )
+    )
+
+    def _guard(col):
+        # rides EVERY prior column so column pruning can't drop the check
+        return F.when(bad, err).otherwise(col)
+
     tok = (
         with_tokens(documents)
         .select("doc_id", F.explode("x").alias("t"))
@@ -980,13 +996,11 @@ def nb_quality_fit(
     model = vocab.crossJoin(F.broadcast(totals)).select(
         F.col("t").alias("token"), "ct_pos", "ct_neg", lr.alias("lr")
     )
-    prior = documents.sparkSession.createDataFrame(
-        [(NB_PRIOR_TOKEN, n_pos, n_neg)], "token string, ct_pos long, ct_neg long"
-    ).select(
-        "token",
-        "ct_pos",
-        "ct_neg",
-        F.round(F.log(F.col("ct_pos") / F.col("ct_neg")), 6)
+    prior = pri.select(
+        F.lit(NB_PRIOR_TOKEN).alias("token"),
+        _guard(F.col("np")).cast("bigint").alias("ct_pos"),
+        _guard(F.col("nn")).cast("bigint").alias("ct_neg"),
+        _guard(F.round(F.log(F.col("np") / F.col("nn")), 6))
         .cast("decimal(18,6)")
         .alias("lr"),
     )

@@ -2694,13 +2694,23 @@ def test_nb_quality_fit_model_shape_and_signal(tables):
 def test_nb_quality_fit_single_class_raises(spark):
     """A corpus whose every doc fails the gate trains nothing — the fit
     must refuse loudly (whiten_embeddings misuse-guard discipline), not
-    emit a degenerate model."""
+    emit a degenerate model. The guard is IN-PLAN since r12 (raise_error
+    riding the prior row — the fit no longer pays an eager job at
+    construction), so it fires when the model executes: still before any
+    row is emitted, and pruning-proof because every prior column carries
+    it."""
     bad = spark.createDataFrame(
         [(i, "en", "s", "!!!! ####", 9) for i in range(8)],
         "doc_id bigint, lang string, source string, text string, n_chars int",
     )
-    with pytest.raises(ValueError, match="single-class"):
-        text.nb_quality_fit(bad)
+    model = text.nb_quality_fit(bad)  # plan construction: no job, no raise
+    with pytest.raises(Exception, match="single-class"):
+        model.collect()
+    # column pruning must not drop the guard: any single prior column
+    # still raises
+    for col in ("ct_pos", "ct_neg", "lr"):
+        with pytest.raises(Exception, match="single-class"):
+            model.select(col).collect()
 
 
 def test_nb_model_score_oov_is_prior_and_serve_matches_inline(tables):

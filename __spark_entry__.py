@@ -438,12 +438,15 @@ def q_ann_recall_report(spark, sf):
     parameter, oracle-checked end-to-end because both the exact and the
     IVF pipelines are themselves DuckDB-reproducible."""
     emb = _t(spark, sf, "embeddings")
-    # ONE normalized intermediate feeds the exact and the approximate arm
-    # (r12, VERDICT r11 task 3): without the shared checkpoint each arm's
-    # query+candidate subtrees re-ran scan+norm — 4 corpus scans for one
-    # report
+    # ONE normalized intermediate feeds the approximate arm's query and
+    # candidate subtrees (r12, VERDICT r11 task 3: shared scan)
     e = similarity.with_norm(emb).localCheckpoint(eager=False)
-    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS, normed=e)
+    # exact arm: the VECTORIZED exact kernel (guide §4.2) — same output
+    # contract and the SAME oracle SQL as the brute-force twin (both are
+    # driver-green against _topk_sql(cell_pruned=False)), so the report
+    # is unchanged; the interpreted zip_with fold stays declared as the
+    # standalone sim_topk_bruteforce twin (r12)
+    exact = similarity.cosine_topk_vectorized(emb, QUERY_IDS)
     approx = similarity.cosine_topk_ivf_nprobe(emb, QUERY_IDS, normed=e)
     out = similarity.recall_at_k(approx, exact, k=10)
     return out.select("query_id", F.round("recall", 6).alias("recall"))
@@ -471,10 +474,12 @@ def q_pq_recall_report(spark, sf):
     shortlist) knobs, oracle-checked because both pipelines are
     DuckDB-reproducible."""
     emb = _t(spark, sf, "embeddings")
-    # shared normalized intermediate across the exact arm and the PQ
-    # rerank stage (r12, VERDICT r11 task 3) — one scan+norm, not four
+    # exact arm: vectorized exact kernel — same output and the same
+    # oracle SQL as the brute-force twin (see q_ann_recall_report, r12)
+    exact = similarity.cosine_topk_vectorized(emb, QUERY_IDS)
+    # the rerank stage reads with_norm(emb) for its query AND candidate
+    # subtrees — one checkpointed computation instead of two (r12)
     e = similarity.with_norm(emb).localCheckpoint(eager=False)
-    exact = similarity.cosine_topk_bruteforce(emb, QUERY_IDS, normed=e)
     approx = similarity.pq_adc_topk(emb, QUERY_IDS, rerank="auto", normed=e)
     out = similarity.recall_at_k(approx, exact, k=10)
     return out.select("query_id", F.round("recall", 6).alias("recall"))
@@ -1216,8 +1221,11 @@ def q_cluster_kmeans_sampled(spark, sf):
     so the sampled FIT and the full ASSIGN are both value-verified
     (similarity.kmeans_fit_sampled + kmeans_assign)."""
     emb = _t(spark, sf, "embeddings")
-    fit = similarity.kmeans_fit_sampled(emb, sample_mod=4)
-    asg = similarity.kmeans_assign(emb, centroids=fit)
+    # the fit loop's driver-side rows feed the assign kernel closure AND
+    # the digest relation — no createDataFrame+collect round-trip (r12)
+    rows = similarity._kmeans_fit_sampled_rows(emb, sample_mod=4)
+    fit = spark.createDataFrame(rows, "cid bigint, cent array<bigint>, n bigint")
+    asg = similarity.kmeans_assign(emb, centroids=rows)
     cells = asg.groupBy("cid").agg(
         F.count("*").alias("n"), F.sum("d2").alias("d2_sum")
     )
@@ -1473,18 +1481,20 @@ def q_ivf_pq_recall_report(spark, sf):
     from concurrent.futures import ThreadPoolExecutor
 
     emb = _t(spark, sf, "embeddings")
-    # shared normalized intermediate across the exact arm and the IVFxPQ
-    # rerank stage (r12, VERDICT r11 task 3) — one scan+norm, not four
+    # shared normalized intermediate for the IVFxPQ rerank stage's query
+    # and candidate subtrees (r12, VERDICT r11 task 3)
     e = similarity.with_norm(emb).localCheckpoint(eager=False)
+    # Exact arm: the vectorized exact kernel — same output and the same
+    # oracle SQL as the brute-force twin (see q_ann_recall_report, r12).
     # Overlap the independent arms (guide §2.6): the exact ground truth
     # does not depend on the fit, but ivf_pq_topk's inline fit blocks the
     # driver for its aggregate + seed + n_iter Lloyd collects — so the
     # exact arm is materialized (lazily checkpointed, then counted) from
     # a side thread while those fit jobs run, instead of serializing a
-    # full brute-force pass after them. Values are unchanged: the final
-    # plan reads the checkpointed exact result.
-    exact = similarity.cosine_topk_bruteforce(
-        emb, QUERY_IDS, normed=e
+    # full exact pass after them. Values are unchanged: the final plan
+    # reads the checkpointed exact result.
+    exact = similarity.cosine_topk_vectorized(
+        emb, QUERY_IDS
     ).localCheckpoint(eager=False)
     with ThreadPoolExecutor(max_workers=1) as pool:
         f_exact = pool.submit(exact.count)

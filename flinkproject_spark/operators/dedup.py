@@ -447,14 +447,26 @@ def minhash_precision_recall(
     )
     sigs = based.groupBy("doc_id").agg(*_sig_aggs(num_hashes))
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
-    t = truth.select("doc_a", "doc_b", F.lit(1).alias("is_true"))
-    c = cands.select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
-    joined = t.join(c, ["doc_a", "doc_b"], "full_outer")
-    report = joined.agg(
+    # Pair overlap as union + one pair-keyed aggregate (r12): both sides
+    # are distinct-by-construction (truth is a pair groupBy, candidates
+    # end in .distinct()), so max-flags per pair reproduce the old
+    # full_outer join exactly — minus its two sort legs and one exchange
+    # (SortMergeJoin FullOuter sorted BOTH pair tables just to line up
+    # rows a hash aggregate groups anyway; guide §2.4).
+    t = truth.select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true"), F.lit(0).alias("is_cand")
+    )
+    c = cands.select(
+        "doc_a", "doc_b", F.lit(0).alias("is_true"), F.lit(1).alias("is_cand")
+    )
+    per_pair = t.unionByName(c).groupBy("doc_a", "doc_b").agg(
+        F.max("is_true").alias("is_true"), F.max("is_cand").alias("is_cand")
+    )
+    report = per_pair.agg(
         F.sum("is_true").cast("bigint").alias("n_true"),
         F.sum("is_cand").cast("bigint").alias("n_cand"),
         F.sum(
-            F.when(F.col("is_true").isNotNull() & F.col("is_cand").isNotNull(), 1)
+            F.when((F.col("is_true") == 1) & (F.col("is_cand") == 1), 1)
         ).cast("bigint").alias("n_hit"),
     ).select(
         "n_true",

@@ -1023,9 +1023,15 @@ def nb_model_score(
         F.col("lr_ppm").alias("prior_ppm")
     )
     vocab = m.filter(F.col("token") != NB_PRIOR_TOKEN)
-    tok = df.select(
-        "doc_id", F.explode(tokens(text_col)).alias("token")
-    ).filter(F.col("token") != "")
+    # explode_OUTER and no empty-token filter (r12): every document —
+    # including one with no scoreable token — emits at least one row
+    # ('' or NULL, which never matches the vocab and scores the sound 0),
+    # so the per-doc aggregate is COMPLETE by construction and the old
+    # df.select('doc_id') completeness join is gone: that join re-scanned
+    # the corpus and sort-merge-shuffled BOTH sides on doc_id just to
+    # re-attach docs the explode had dropped (guide §2.4). Assumes df is
+    # keyed by doc_id (the module-wide documents contract).
+    tok = df.select("doc_id", F.explode_outer(tokens(text_col)).alias("token"))
     per_doc = (
         # explicit broadcast: the model is vocabulary-sized (Zipf-small)
         # by contract, but it arrives as a checkpointed RDD or an
@@ -1037,16 +1043,9 @@ def nb_model_score(
         .groupBy("doc_id")
         .agg(F.sum(F.coalesce("lr_ppm", F.lit(0))).cast("bigint").alias("s"))
     )
-    return (
-        df.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .crossJoin(F.broadcast(prior))
-        .select(
-            "doc_id",
-            (F.coalesce("s", F.lit(0)) + F.col("prior_ppm"))
-            .cast("bigint")
-            .alias("nb_score_ppm"),
-        )
+    return per_doc.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        (F.col("s") + F.col("prior_ppm")).cast("bigint").alias("nb_score_ppm"),
     )
 
 

@@ -1441,26 +1441,9 @@ def q_a19_cjk_dictionary(spark, sf):
     recursive-CTE BMM over the identical literal lexicon (FMM walk +
     backward walk + the fewer-tokens/fewer-singletons/backward-wins
     rule), both sides generated from the one Python constant."""
-    from flinkproject_spark.operators import cjk
-
     session.configure(spark)
-    words = sorted(cjk.DEFAULT_LEXICON)
-    n = len(words)
-    pn = len(cjk.AMBIGUITY_PROBES)
     text.register_split_words(spark, segmenter="dictionary")
-    arr = F.array(*[F.lit(w) for w in words])
-    parr = F.array(*[F.lit(p) for p in cjk.AMBIGUITY_PROBES])
-    docs = _t(spark, sf, "documents").select("doc_id")
-    phrases = docs.select(
-        "doc_id",
-        F.concat(
-            F.element_at(arr, (F.col("doc_id") % n + 1).cast("int")),
-            F.element_at(arr, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int")),
-            F.element_at(parr, (F.col("doc_id") % pn + 1).cast("int")),
-            F.element_at(arr, ((F.col("doc_id") * 13 + 5) % n + 1).cast("int")),
-        ).alias("phrase"),
-    )
-    phrases.createOrReplaceTempView("cjk_phrases_a19")
+    _cjk_phrases(spark, sf).createOrReplaceTempView("cjk_phrases_a19")
     # same REPARTITION rationale as q_a19_udtf_lateral: the per-row Python
     # UDTF must not run at file-count parallelism
     nsp = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -1470,6 +1453,76 @@ def q_a19_cjk_dictionary(spark, sf):
               FROM cjk_phrases_a19) p,
              LATERAL split_words(phrase)
     """)
+
+
+def _cjk_phrases(spark, sf):
+    """The derived deterministic CJK corpus shared by the segmenter twins
+    (see q_a19_cjk_dictionary for the construction rationale)."""
+    from flinkproject_spark.operators import cjk
+
+    words = sorted(cjk.DEFAULT_LEXICON)
+    n = len(words)
+    pn = len(cjk.AMBIGUITY_PROBES)
+    arr = F.array(*[F.lit(w) for w in words])
+    parr = F.array(*[F.lit(p) for p in cjk.AMBIGUITY_PROBES])
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(arr, (F.col("doc_id") % n + 1).cast("int")),
+            F.element_at(arr, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int")),
+            F.element_at(parr, (F.col("doc_id") % pn + 1).cast("int")),
+            F.element_at(arr, ((F.col("doc_id") * 13 + 5) % n + 1).cast("int")),
+        ).alias("phrase"),
+    )
+
+
+def q_a19_cjk_dictionary_arrow(spark, sf):
+    """The Arrow-path twin of q_a19_cjk_dictionary (VERDICT r11 task 6):
+    the SAME derived CJK corpus and the SAME dictionary-BMM segmentation
+    (cjk.segment), but the Python boundary is ONE mapInArrow over the
+    phrase batches instead of a per-row LATERAL UDTF — the guide-§4 form
+    whose cost the UDTF tier deliberately declines (its pickled-vs-Arrow
+    A/B is recorded in text.register_split_words). Identical output
+    (doc_id, pos, word); the oracle replays the same recursive-CTE BMM.
+    Keeping BOTH queries green prices the boundary both ways at the
+    driver surface: the UDTF row path is the declared reference-parity
+    shape, this is the throughput shape."""
+    session.configure(spark)
+    nsp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    phrases = _cjk_phrases(spark, sf).repartition(nsp)
+
+    def seg_batches(batches):
+        import pyarrow as pa
+
+        from flinkproject_spark.operators.cjk import segment
+
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("pos", pa.int64()), ("word", pa.string())]
+        )
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            phs = batch.column("phrase").to_pylist()
+            out_id, out_pos, out_w = [], [], []
+            for did, ph in zip(ids, phs):
+                if not ph:
+                    continue
+                toks = segment(ph)
+                out_id.extend([did] * len(toks))
+                out_pos.extend(range(len(toks)))
+                out_w.extend(toks)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_pos, type=pa.int64()),
+                    pa.array(out_w, type=pa.string()),
+                ],
+                schema=schema,
+            )
+
+    return phrases.mapInArrow(
+        seg_batches, "doc_id bigint, pos bigint, word string"
+    )
 
 
 def q_ivf_pq_recall_report(spark, sf):
@@ -1524,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf_pq": q_sim_topk_ivf_pq,
         "ivf_pq_recall_report": q_ivf_pq_recall_report,
         "a19_cjk_dictionary": q_a19_cjk_dictionary,
+        "a19_cjk_dictionary_arrow": q_a19_cjk_dictionary_arrow,
         "quality_nb_fit": q_quality_nb_fit,
         "quality_nb_scores": q_quality_nb_scores,
         "corpus_pipeline_v5": q_corpus_pipeline_v5,
@@ -3989,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_ivf_pq": _ivf_pq_sql(),
         "ivf_pq_recall_report": _ivf_pq_recall_sql(),
         "a19_cjk_dictionary": _cjk_dict_sql(),
+        "a19_cjk_dictionary_arrow": _cjk_dict_sql(),
         "quality_nb_fit": _nb_fit_sql(),
         "quality_nb_scores": _nb_scores_sql(),
         "corpus_pipeline_v5": _pipeline_v5_sql(),

@@ -523,8 +523,17 @@ def hll_distinct_report(events: DataFrame) -> DataFrame:
     # build (max(rho) is duplicate-invariant) AND both exact calibration
     # counts — the r10 form scanned events four times (registers, per-day
     # countDistinct, global countDistinct), each pass shuffling its own
-    # distinct-rewrite of the same keys (r11 optimization)
-    d = _hll_keys(events).distinct().localCheckpoint(eager=False)
+    # distinct-rewrite of the same keys (r11 optimization). NULL keys are
+    # dropped BEFORE the distinct (r12, ADVICE r11): countDistinct — the
+    # r10 exact calibration — excludes NULLs, while count(*) over the
+    # distinct table would count a NULL key as one extra distinct value
+    # per scope if user_id were ever NULL.
+    d = (
+        _hll_keys(events)
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sketch = hll_estimates(_hll_registers_from_keys(d))
     exact_type = d.groupBy("scope").agg(F.count("*").alias("exact_u"))
     exact_all = (
@@ -728,7 +737,15 @@ def histogram_quantile_report(
     rows ever shuffle; the quantile selection is a window over those
     counter rows only. Two passes over the data (bounds, counts) is the
     textbook trade for data-independent edges; a streaming deployment
-    pins edges from history and drops to one pass."""
+    pins edges from history and drops to one pass.
+
+    LAZINESS CAVEAT (ADVICE r11): unlike every other plan builder in
+    this module, calling this function runs ONE eager job — the 2-int
+    (min, max) bounds collect — so the lo/hi literals are frozen at
+    call time (rebuild the plan if the input changes before execution),
+    and anything that merely constructs or explains the plan still pays
+    that bounds scan. The r11 measurement keeps it: inlining the two
+    ints removed three corpus scans from the executed plan."""
     vd = F.col("value").cast("double")
     q = F.round(vd * F.lit(1000.0), 0).cast("bigint")
     base = events.where(_histq_clean(vd)).select(

@@ -1258,9 +1258,19 @@ def _km_assign_pq_encode(
     matrix — the two tiers share the round(v*1000) int64 contract, so
     quantization happens once and the corpus crosses the Python
     boundary once instead of twice (r11 optimization; at 100 TB this
-    also removes one full-corpus scan + repartition). Emits pq_encode's
-    long form with the cell id alongside: (vec_id, cid, block, code,
-    qsub) — block-0 rows are the assignment table."""
+    also removes one full-corpus scan + repartition).
+
+    `emb_in` must carry the ALREADY-QUANTIZED vectors as `qv`
+    (the _km_quantize output — r12, ADVICE r11): quantization happens in
+    exactly ONE kernel, Spark's F.round (BigDecimal HALF_UP), the same
+    rounding the trainer, the query routing, kmeans_assign and the SQL
+    oracle use. The r11 form re-quantized inside this kernel with
+    numpy sign(Y)*floor(abs(Y)+0.5), which disagrees with F.round on
+    IEEE .5-edge doubles (the 0.49999999999999994 class), so a corpus
+    vector could in principle land in a different cell than the trained
+    quantizer would give. Emits pq_encode's long form with the cell id
+    alongside: (vec_id, cid, block, code, qsub) — block-0 rows are the
+    assignment table."""
     import numpy as np
     import pandas as pd
 
@@ -1276,9 +1286,7 @@ def _km_assign_pq_encode(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Y = X * PQ_SCALE
-            Q = (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
             if P is None:
                 if Q.shape[1] % m != 0:
                     raise ValueError(
@@ -1290,7 +1298,6 @@ def _km_assign_pq_encode(
                 sub = Q.shape[1] // m
                 P = _pq_projection(m, sub, bits)
             # assignment: same exact integer arithmetic as _km_assign
-            # (KM_SCALE == PQ_SCALE, same half-away-from-zero rounding)
             Xq = Q.astype(np.float64)
             d = (Xq * Xq).sum(axis=1)[:, None] - 2.0 * (Xq @ C.T) + c2[None, :]
             j = d.argmin(axis=1)
@@ -1427,7 +1434,10 @@ def ivf_pq_topk(
     # (the r10 form ran kmeans_assign and pq_encode as two separate
     # full-corpus mapInPandas passes over the same quantized vectors)
     fused = _km_assign_pq_encode(
-        _km_parallelize(embeddings.select("vec_id", "embedding")),
+        # quantize in SQL (F.round) BEFORE the kernel so routing, training
+        # and the corpus pass share one rounding implementation (r12,
+        # ADVICE r11 — see _km_assign_pq_encode)
+        _km_parallelize(embeddings.select("vec_id", _km_quantize().alias("qv"))),
         cent_rows if cent_rows is not None else cent.collect(),
         m,
         bits,

@@ -1016,7 +1016,15 @@ def nb_model_score(
     is exact; the sum is pure int64, order-free). OOV tokens score 0 (the
     score_against_vocab argument), so the model applies soundly to text
     it never saw — new batches, or the SCRUBBED text of a cleaning
-    pipeline. Returns (doc_id, nb_score_ppm)."""
+    pipeline. Returns (doc_id, nb_score_ppm).
+
+    BROADCAST CONTRACT (ADVICE r11): `model` is unconditionally
+    F.broadcast()-hinted — it must be a VOCABULARY-sized table
+    (Zipf-small: the nb_quality_fit output, typically well under the
+    8 GB broadcast cap). Handing in an open-vocabulary model of
+    collection scale will OOM the driver/executors where an unhinted
+    plan would have degraded to a shuffle join; strip the hint (join
+    without this helper) for that shape."""
     lr_ppm = (F.col("lr") * 1000000).cast("bigint")
     m = model.select("token", lr_ppm.alias("lr_ppm"))
     prior = m.filter(F.col("token") == NB_PRIOR_TOKEN).select(

@@ -390,8 +390,11 @@ def pagerank(
     # (deg, esrc, and through them every iteration); materialize the edge
     # list ONCE — the r10 form checkpointed deg and esrc separately and
     # each of those two eager jobs re-ran the whole pair-mining subplan
-    # (r11 optimization: one pairs execution instead of two)
-    edges = edges.localCheckpoint(eager=True)
+    # (r11 optimization: one pairs execution instead of two). Lazy since
+    # r12: the first iteration's job materializes the esrc -> deg ->
+    # edges checkpoint chain (each RDD computed once, cache-locked), so
+    # the construction-time driver sync the eager form paid is gone.
+    edges = edges.localCheckpoint(eager=False)
     # deg is node-sized and referenced every iteration AND in the final
     # join — checkpoint it (lazily: its one shuffle over the cached edge
     # list folds into the first job that reads it)

@@ -2007,18 +2007,21 @@ def connected_components(
     # not reuse common subplans across union branches, so an uncached union
     # would execute the whole upstream pair pipeline (e.g. MinHash) twice —
     # and every propagation round would re-execute it again. The pair list
-    # itself is tiny (O(matches)).
+    # itself is tiny (O(matches)). Both checkpoints are LAZY since r12:
+    # the strategy-gate count right below materializes the edges RDD —
+    # which computes (and caches) the pairs RDD once inside the same job —
+    # so the two construction-time eager sync jobs are gone.
     pairs = pairs.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     edges = (
         pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # one count on the materialized checkpoint decides the join strategy
-    # for every round; neighbor_min is bounded by the touched-vertex count
-    # (<= 2*edges), so the same gate covers both hints
+    # one count decides the join strategy for every round (and pays the
+    # checkpoint materialization); neighbor_min is bounded by the
+    # touched-vertex count (<= 2*edges), so the same gate covers both hints
     n_edges = edges.count()
     small_graph = n_edges <= broadcast_max_edges
     if stats is not None:
@@ -2187,16 +2190,20 @@ def connected_components_star(
     propagation form stays the default for edge lists measured small
     because its broadcast rounds are cheaper at bench scale.
     """
+    # lazy (r12): the first fixpoint signature below is the action that
+    # materializes the edge checkpoint; the vertex set is read once (the
+    # final center anti-join) and pins the original edge RDD reference
+    # while the loop reassigns `edges`
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vertices = (
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # fixpoint detection: (row count, order-free checksum) of the oriented
     # distinct edge set — one cheap agg per round off the checkpoint
@@ -2274,7 +2281,8 @@ def dedup_clusters(
     if pairs is None:
         pairs = minhash_lsh_dedup(documents)
     if algorithm == "auto":
-        pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        # lazy: the crossover count below materializes the checkpoint (r12)
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
         algorithm = "star" if pairs.count() > STAR_MIN_EDGES else "propagation"
     cc = connected_components_star if algorithm == "star" else connected_components
     comp = cc(pairs)

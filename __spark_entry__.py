@@ -1559,17 +1559,76 @@ def q_ivf_pq_recall_report(spark, sf):
     return out.select("query_id", F.round("recall", 6).alias("recall"))
 
 
+# Round-12 correctness window (the rotation rule documented in VERIFIED.md:
+# queries whose implementation or oracle text changed this round rotate IN,
+# then the oldest-evidence cohort). First: the new Arrow CJK twin and the 24
+# queries the r12 optimization touched (k-means fit core, recall-report
+# arms, NB fit/score, fused IVFxPQ quantization, HLL null filter, minhash
+# report join, CC/pagerank checkpointing). Then: rotated-out consumers of
+# operators the r11 round changed (spans family, CMS/tf-idf/blocked-ngram/
+# copurchase), then the oldest-evidence cohort from the r11 rotation's
+# out-list. Everything else holds the tail in its r11 order.
+_R12_WINDOW = [
+    "a19_cjk_dictionary_arrow",
+    "sim_topk_ivf_pq",
+    "ivf_pq_recall_report",
+    "a19_cjk_dictionary",
+    "quality_nb_fit",
+    "quality_nb_scores",
+    "corpus_pipeline_v5",
+    "cluster_kmeans",
+    "cluster_kmeans_assign",
+    "cluster_kmeans_sampled",
+    "cluster_kmeans_serve",
+    "dedup_embedding_trained",
+    "dedup_embedding_served",
+    "dedup_semantic_trained",
+    "sim_topk_ivf_trained",
+    "cluster_topics",
+    "ann_recall_report",
+    "pq_recall_report",
+    "sim_topk_pq",
+    "minhash_pr_report",
+    "events_distinct_hll",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "pagerank",
+    "value_quantiles_hist",
+    "dedup_spans",
+    "dedup_spans_apply",
+    "dedup_spans_intradoc",
+    "event_freq_cms",
+    "text_tfidf",
+    "corpus_pipeline_v4",
+    "dedup_minhash_precision",
+    "dedup_ngram_blocked",
+    "copurchase",
+    "text_logprob",
+    "text_bigram_logprob",
+    "text_dsir",
+    "dedup_srp",
+    "dedup_srp_scaled",
+    "dedup_chunks",
+    "dedup_chunks_apply",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_semantic",
+    "ngram_novelty",
+    "quality_deciles",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "mm_frame_sample",
+    "mm_resize",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the round driver verifies the first 50
-    # entries against the DuckDB oracles. Round-11 window (VERDICT r10
-    # task 3 rotation): the 7 NEW queries, then the 11 whose code or
-    # oracle text changed this round, then the oldest-evidence cohort
-    # (32 of the 36 rows whose last green driver check was r08 — the
-    # five that don't fit, text_fingerprint plus the displaced tail
-    # four, front the r12 rotation). Everything r09/r10-verified and
-    # untouched holds the tail. Per-query recency is auto-audited in
-    # VERIFIED.md (tools/verified_rounds.py).
-    return {
+    # entries against the DuckDB oracles — _R12_WINDOW above is this
+    # round's first-50; the base dict below keeps the r11 ordering (and
+    # its rotation rationale) for the tail. Per-query recency is
+    # auto-audited in VERIFIED.md (tools/verified_rounds.py).
+    qmap = {
         # -- NEW this round (r11): the composed IVFxPQ serving tier +
         #    recall row, the real-CJK dictionary-BMM query, the trained
         #    NB quality classifier (fit + serve + pipeline v5), and the
@@ -1739,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase": q_copurchase,
         "cluster_topics": q_cluster_topics,
     }
+    # r12 rotation: window first, tail keeps its r11 relative order
+    return {**{k: qmap[k] for k in _R12_WINDOW}, **qmap}
 
 
 # ---------------------------------------------------------------------------

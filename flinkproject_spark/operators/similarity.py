@@ -1085,13 +1085,6 @@ def _km_lloyd_rows(q: DataFrame, seed_rows: list, k: int, n_iter: int) -> list:
     return sorted(cent_rows)
 
 
-def _km_lloyd(spark, q: DataFrame, seed_rows: list, k: int, n_iter: int) -> DataFrame:
-    return spark.createDataFrame(
-        _km_lloyd_rows(q, seed_rows, k, n_iter),
-        "cid bigint, cent array<bigint>, n bigint",
-    )
-
-
 def kms_sample_member(sample_mod: int):
     """The sampled trainer's membership predicate, factored once —
     md5-hash64('kms:' || vec_id) mod sample_mod == 0 — so callers that
